@@ -1,0 +1,411 @@
+package graft
+
+import graft.etl.TypeInference
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The query surface registered in [[SparkEntry.queries]] — one function per
+  * operator category from SURVEY.md §2, each over the driver's parquet
+  * tables. Determinism rules (SURVEY.md §7 hard-part 4): every query has a
+  * total ORDER BY with a unique tie-break, aggregate doubles are rounded,
+  * temporal outputs are formatted strings or dates, pass-through values are
+  * left untouched (bit-exact in both engines).
+  *
+  * Scale notes are inline per query; dimension tables are explicitly
+  * broadcast, fact-fact joins shuffle on their join keys, and nothing
+  * collects to the driver.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  // ---- aggregations (Q7 + §2b agg) ----
+
+  /** TPC-H Q1 shape: scan-heavy partial-agg-friendly group-by — the workhorse
+    * for 100 TB scans (map-side combine does most of the work; 6 groups).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Flagship: 5-table star join. nation/region are broadcast (dim side),
+    * lineitem⋈orders and orders⋈customer shuffle on their keys — the plan
+    * that survives 1000 executors: two shuffles, no cartesian anywhere.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00"))
+    val customer = t(spark, dir, "customer")
+    val nation = broadcast(t(spark, dir, "nation"))
+    val region = broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def countStar(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  def groupDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  def minMaxAvg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch — no DuckDB oracle (approximate); rows-only check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  // ---- scans / filters / projections (Q1–Q6) ----
+
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+    * per-partition heaps, no global sort. The pattern to reach for at scale
+    * instead of sort-then-limit.
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** D5/Q3 — contradiction filter; Catalyst folds it to an empty relation. */
+  def emptyClone(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(lit(false))
+      .select(col("l_orderkey"), col("l_quantity"))
+
+  // ---- joins (§2b) ----
+
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Non-equi range join with an equi anchor: the equality key carries the
+    * shuffle (SortMergeJoin), the range predicate is evaluated post-match —
+    * never a cartesian.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** As-of join via union + ordered window (one shuffle; see AsOfJoin). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    AsOfJoin.backward(errors, signups, Seq("user_id"), "ts", "ts", Seq("ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts_asof"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- windows (§2b) ----
+
+  def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_date"), col("o_orderkey"))
+  }
+
+  def windowTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- set ops (§2b) ----
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(spark, dir, "supplier").select(col("s_nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(spark, dir, "supplier").select(col("s_nationkey")))
+      .orderBy(col("nationkey"))
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(spark, dir, "supplier").select(col("s_nationkey")))
+      .orderBy(col("nationkey"))
+
+  def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cur = t(spark, dir, "orders").agg(count(lit(1)).as("cnt"))
+      .withColumn("src", lit("current"))
+    val hist = t(spark, dir, "orders").agg(count(lit(1)).as("cnt"))
+      .withColumn("src", lit("history"))
+    cur.unionByName(hist).select(col("src"), col("cnt")).orderBy(col("src"))
+  }
+
+  // ---- grouping sets / rollup / cube (§2b) ----
+
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(1) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  // ---- scalar functions (§2a string/date inventory, §2b json/array) ----
+
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        lower(col("p_type")).as("type_lc"),
+        upper(col("p_brand")).as("brand_uc"),
+        regexp_replace(col("p_brand"), "#", "_").as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("name_trim"),
+        substring(col("p_name"), 1, 5).as("name_pfx"))
+      .orderBy(col("p_partkey"))
+
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("y"), col("m"))
+
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
+
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x), 4).as("sum_val"))
+      .orderBy(col("vec_id"))
+
+  // ---- SQL subquery surface (Q8 EXISTS) ----
+
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // ---- dedup / text / similarity (north star) ----
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def distinctDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .agg(countDistinct(col("text")).as("n_distinct"), count(lit(1)).as("n_total"))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordCount(col("text")).as("n_stopwords"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+
+  def termFrequency(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("lang") === "en" && tokenCount(col("text")) >= 20)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic + fingerprints — engine-specific hashes, no
+    * oracle (rows-only).
+    */
+  def textFingerprints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        simhash64(col("text")).as("simhash"),
+        rollingFingerprint(col("text")).as("fingerprint"),
+        langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash LSH candidate pairs (rows-only: banding is hash-specific). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(spark, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (rows-only). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact top-k cosine neighbors for a broadcast query set. */
+  def topkSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** ANN via random-hyperplane LSH (rows-only: approximate). */
+  def lshTopkSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5, numPlanes = 2)
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  // ---- multimodal plumbing ----
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metaColumns(
+        Multimodal.withBinaryPayload(t(spark, dir, "documents"), "doc_id", "text"))
+      .orderBy(col("id"))
+
+  // ---- streaming batch mirrors ----
+
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // ---- schema inference / catalog reports (S6, D6, T1–T4) ----
+
+  def inferSchemaReport(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val allText = part.select(part.columns.map(c => col(c).cast("string").as(c)): _*)
+    val report = TypeInference.schemaReport(allText)
+    import spark.implicits._
+    report.toDF("column_name", "inferred_type").orderBy(col("column_name"))
+  }
+
+  def catalogReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.names
+      .map(n => (n, t(spark, dir, n).schema.length))
+      .toDF("table_name", "n_columns")
+      .orderBy(col("table_name"))
+  }
+}

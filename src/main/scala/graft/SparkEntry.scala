@@ -1,13 +1,293 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator (SURVEY.md §2) to a DataFrame
+  * program over the driver's parquet tables; `oracleSql` holds the DuckDB-
+  * runnable ANSI equivalent for hash comparison. Keys absent from
+  * `oracleSql` (hash-specific or approximate operators) get the driver's
+  * weaker rows-only check. Column names/ordering rules are documented on
+  * [[Queries]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // aggregations
+    "q01_pricing_summary"   -> Queries.pricingSummary _,
+    "q02_revenue_by_nation" -> Queries.revenueByNation _,
+    "q03_count_star"        -> Queries.countStar _,
+    "q04_group_distinct"    -> Queries.groupDistinct _,
+    "q05_minmax_avg"        -> Queries.minMaxAvg _,
+    "q06_approx_distinct"   -> Queries.approxDistinct _,
+    // scans / filters / top-k
+    "q07_filter_project"    -> Queries.filterProject _,
+    "q08_topk_orders"       -> Queries.topkOrders _,
+    "q09_empty_clone"       -> Queries.emptyClone _,
+    // joins
+    "q10_join_left"         -> Queries.joinLeftOuter _,
+    "q11_join_semi"         -> Queries.joinSemi _,
+    "q12_join_anti"         -> Queries.joinAnti _,
+    "q13_range_join"        -> Queries.rangeJoin _,
+    "q14_asof_join"         -> Queries.asofJoin _,
+    // windows
+    "q15_window_running"    -> Queries.windowRunningTotal _,
+    "q16_window_topk"       -> Queries.windowTopPerGroup _,
+    "q17_window_lag"        -> Queries.windowLag _,
+    // set ops
+    "q18_union"             -> Queries.setUnion _,
+    "q19_intersect"         -> Queries.setIntersect _,
+    "q20_except"            -> Queries.setExcept _,
+    "q21_union_all"         -> Queries.unionAllCounts _,
+    // rollup / cube / grouping sets
+    "q22_rollup"            -> Queries.rollupAgg _,
+    "q23_cube"              -> Queries.cubeAgg _,
+    "q24_grouping_sets"     -> Queries.groupingSets _,
+    // scalar functions
+    "q25_string_funcs"      -> Queries.stringFuncs _,
+    "q26_date_funcs"        -> Queries.dateFuncs _,
+    "q27_json_extract"      -> Queries.jsonExtract _,
+    "q28_array_funcs"       -> Queries.arrayFuncs _,
+    "q29_exists_subquery"   -> Queries.existsSubquery _,
+    // dedup / text analysis
+    "q30_dedup_exact"       -> Queries.dedupExact _,
+    "q31_distinct_docs"     -> Queries.distinctDocs _,
+    "q32_text_quality"      -> Queries.textQuality _,
+    "q33_term_frequency"    -> Queries.termFrequency _,
+    "q34_quality_filter"    -> Queries.qualityFilter _,
+    "q35_text_fingerprints" -> Queries.textFingerprints _,
+    "q36_minhash_pairs"     -> Queries.minhashPairs _,
+    "q37_simhash_pairs"     -> Queries.simhashPairs _,
+    // similarity search
+    "q38_topk_similar"      -> Queries.topkSimilar _,
+    "q39_lsh_topk"          -> Queries.lshTopkSimilar _,
+    // multimodal plumbing
+    "q40_multimodal_meta"   -> Queries.multimodalMeta _,
+    // streaming batch mirrors
+    "q41_tumbling_hourly"   -> Queries.tumblingHourly _,
+    "q42_session_windows"   -> Queries.sessionWindows _,
+    // schema inference / catalog
+    "q43_infer_schema"      -> Queries.inferSchemaReport _,
+    "q44_catalog_report"    -> Queries.catalogReport _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q03_count_star" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q04_group_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q05_minmax_avg" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price, round(avg(l_extendedprice),4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q07_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q08_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q09_empty_clone" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE 1 = 2",
+    "q10_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(sum(coalesce(o_totalprice, 0)),2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q11_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_range_join" ->
+      """SELECT o_orderkey, count(*) AS cnt
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q14_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        | strftime((SELECT max(s.ts) FROM events s
+        |           WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |             AND s.ts < e.ts), '%Y-%m-%d %H:%M:%S') AS asof_ts
+        |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
+    "q15_window_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
+    "q16_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q17_window_lag" ->
+      """SELECT event_id, user_id, value,
+        | value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q19_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q20_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q21_union_all" ->
+      """SELECT src, cnt FROM (
+        | SELECT 'current' AS src, count(*) AS cnt FROM orders
+        | UNION ALL SELECT 'history' AS src, count(*) AS cnt FROM orders)
+        |ORDER BY src""".stripMargin,
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q23_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q24_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q25_string_funcs" ->
+      """SELECT p_partkey, lower(p_type) AS type_lc, upper(p_brand) AS brand_uc,
+        | replace(p_brand, '#', '_') AS brand_u,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | concat(p_brand, ':', p_type) AS brand_type,
+        | trim(p_name) AS name_trim, substring(p_name, 1, 5) AS name_pfx
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q26_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | count(*) AS cnt, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q27_json_extract" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q28_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        | embedding[1] AS first_val,
+        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))),4) AS sum_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q29_exists_subquery" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q31_distinct_docs" ->
+      "SELECT count(DISTINCT text) AS n_distinct, count(*) AS n_total FROM documents",
+    "q32_text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS INTEGER) AS n_tokens,
+        | CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0),
+        |   x -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on'], x)))
+        |   AS INTEGER) AS n_stopwords,
+        | round(CASE WHEN length(text) = 0 THEN 0
+        |   ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+        |   END, 4) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_term_frequency" ->
+      """SELECT token, count(*) AS cnt FROM (
+        | SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q34_quality_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE lang = 'en'
+        |  AND len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) >= 20
+        |ORDER BY doc_id""".stripMargin,
+    "q38_topk_similar" ->
+      """SELECT query_id, neighbor_id, cosine, rk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE),4) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id)
+        |    AS INTEGER) AS rk
+        | FROM embeddings q CROSS JOIN embeddings c
+        | WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q40_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        | CAST(64 + (octet_length(encode(text)) % 512) AS INTEGER) AS width,
+        | CAST(64 + ((octet_length(encode(text)) // 7) % 512) AS INTEGER) AS height,
+        | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY id""".stripMargin,
+    "q41_tumbling_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q42_session_windows" ->
+      """WITH flags AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 5 MINUTE
+        |   THEN 1 ELSE 0 END AS newflag
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts, sum(newflag) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flags)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q43_infer_schema" ->
+      """SELECT * FROM (VALUES
+        | ('p_brand','text'), ('p_name','text'), ('p_partkey','smallint'),
+        | ('p_retailprice','numeric'), ('p_size','smallint'), ('p_type','text'))
+        |AS t(column_name, inferred_type) ORDER BY column_name""".stripMargin,
+    "q44_catalog_report" ->
+      """SELECT * FROM (VALUES
+        | ('customer',5), ('documents',5), ('embeddings',3), ('events',6),
+        | ('lineitem',11), ('nation',3), ('orders',6), ('part',6),
+        | ('region',2), ('supplier',4))
+        |AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
+  )
 }

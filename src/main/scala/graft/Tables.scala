@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's parquet test tables (TESTDATA.md).
   *
@@ -15,7 +16,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read nanos as long and convert with exact integer division
+      // (a double roundtrip would lose sub-µs bits at 2024-epoch magnitudes).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` queries can run
     * (used by the GROUPING SETS query and ad-hoc SQL surface). */

@@ -1,0 +1,208 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.time.LocalTime
+import java.time.format.{DateTimeFormatter, ResolverStyle}
+import java.time.temporal.TemporalQueries
+import scala.util.Try
+
+/** Inferred logical column types — the reference's PG type vocabulary.
+  *
+  * Mirrors `guess_type` (reference load_tables_daily.py:118–152) and its
+  * per-value detectors (:86–116). The widening lattice fixes the reference's
+  * fall-through holes (`_determine_final_type`, load_tables_daily.py:307–327,
+  * e.g. `{date, smallint}` silently widening to text) with a proper
+  * commutative/associative/idempotent `widen` (property-tested).
+  */
+sealed abstract class DType(val name: String) extends Serializable
+object DType {
+  case object SmallInt  extends DType("smallint")
+  case object Int32     extends DType("integer")
+  case object Int64     extends DType("bigint")
+  case object Num       extends DType("numeric")
+  case object Bool      extends DType("boolean")
+  case object DateD     extends DType("date")
+  case object Timestamp extends DType("timestamp")
+  case object Text      extends DType("text")
+
+  val all: Seq[DType] =
+    Seq(SmallInt, Int32, Int64, Num, Bool, DateD, Timestamp, Text)
+
+  def fromName(n: String): DType =
+    all.find(_.name == n).getOrElse(Text)
+
+  /** Spark physical type for each inferred logical type. */
+  def toSpark(t: DType): DataType = t match {
+    case SmallInt  => ShortType
+    case Int32     => IntegerType
+    case Int64     => LongType
+    case Num       => DecimalType(38, 18)
+    case Bool      => BooleanType
+    case DateD     => DateType
+    case Timestamp => TimestampType
+    case Text      => StringType
+  }
+}
+
+object TypeInference {
+  import DType._
+
+  /** Pinned date/timestamp formats standing in for dateutil's lenient parser
+    * (reference load_tables_daily.py:104–116). dateutil accepts more exotic
+    * shapes; these cover every format the reference's 22 clinical extracts
+    * use, and being pinned makes inference deterministic (SURVEY.md §7
+    * hard-part 1).
+    */
+  private val dateTimeFormats: Seq[DateTimeFormatter] = Seq(
+    "uuuu-MM-dd['T'][' ']HH:mm:ss[.SSSSSS][.SSS]",
+    "uuuu-MM-dd",
+    "uuuu/MM/dd",
+    "M/d/uuuu[ H:mm[:ss]]",
+    "M-d-uuuu",
+    "MMM d, uuuu",
+    "uuuuMMdd'T'HHmmss"
+  ).map(p => DateTimeFormatter.ofPattern(p).withResolverStyle(ResolverStyle.STRICT))
+
+  /** Parse attempt → Some(isMidnight). None = not temporal. */
+  private def parseTemporal(s: String): Option[Boolean] =
+    dateTimeFormats.iterator.flatMap { f =>
+      Try {
+        val parsed = f.parse(s)
+        val time = Option(parsed.query(TemporalQueries.localTime()))
+        time.forall(_ == LocalTime.MIDNIGHT)
+      }.toOption
+    }.nextOption()
+
+  def isBool(s: String): Boolean =
+    Set("true", "false", "t", "f").contains(s.toLowerCase)
+
+  def isNumeric(s: String): Boolean =
+    Try(s.trim.toDouble).toOption.exists(d => !d.isNaN && !d.isInfinite) &&
+      // Python float() rejects hex/underscores; Scala toDouble rejects them
+      // too, but accepts trailing 'd'/'f' suffixes — exclude those.
+      !s.exists(c => c.isLetter && c != 'e' && c != 'E')
+
+  def isInteger(s: String): Boolean =
+    Try(s.trim.toDouble).toOption.exists(d => d == Math.floor(d) && !d.isInfinite)
+
+  /** Per-value classifier — rule-for-rule mirror of guess_type
+    * (load_tables_daily.py:118–152):
+    *   - ""            → text        (:119–120)
+    *   - "0"/"1"       → smallint    (:125–126, before the leading-zero rule)
+    *   - leading zero  → text        (:128–129, preserves MRN-style IDs)
+    *   - |v| ≤ 32767   → smallint    (:131)
+    *   - |v| ≤ 2³¹−1   → integer     (:134)
+    *   - other integer → bigint      (:136)
+    *   - non-integer   → numeric     (:138)
+    *   - true/false/t/f→ boolean     (:141–142)
+    *   - temporal, midnight → date, else timestamp (:144–150)
+    */
+  def guessType(raw: String): DType = {
+    val s = raw.trim
+    if (s.isEmpty) return Text
+    if (isNumeric(s)) {
+      if (isInteger(s)) {
+        if (s == "0" || s == "1") return SmallInt
+        if (s.charAt(0) == '0') return Text
+        val v = s.toDouble
+        if (v >= -32768 && v <= 32767) SmallInt
+        else if (v >= -2147483648.0 && v <= 2147483647.0) Int32
+        else Int64
+      } else Num
+    } else if (isBool(s)) Bool
+    else parseTemporal(s) match {
+      case Some(true)  => DateD
+      case Some(false) => Timestamp
+      case None        => Text
+    }
+  }
+
+  /** Pairwise widening — a proper join-semilattice (top = Text).
+    * Chains: smallint < integer < bigint < numeric < text;
+    *         date < timestamp < text; boolean < text.
+    * Cross-chain combinations widen to text (fixing the reference's
+    * `{date, integer} → integer` surprise and the `{date, smallint} → text`
+    * silent fall-through by making every combination explicit).
+    */
+  def widen(a: DType, b: DType): DType = {
+    if (a == b) return a
+    def rankNum(t: DType): Option[Int] = t match {
+      case SmallInt => Some(0); case Int32 => Some(1)
+      case Int64 => Some(2);    case Num => Some(3)
+      case _ => None
+    }
+    def rankTemporal(t: DType): Option[Int] = t match {
+      case DateD => Some(0); case Timestamp => Some(1); case _ => None
+    }
+    (rankNum(a), rankNum(b)) match {
+      case (Some(x), Some(y)) => if (x >= y) a else b
+      case _ =>
+        (rankTemporal(a), rankTemporal(b)) match {
+          case (Some(x), Some(y)) => if (x >= y) a else b
+          case _                  => Text
+        }
+    }
+  }
+
+  /** Column vote resolution (reference `_determine_final_type`,
+    * load_tables_daily.py:307–327) — ours is `reduce(widen)`, total and
+    * order-independent. Empty vote (all-null column) stays text, matching
+    * the reference's all-text default.
+    */
+  def meet(types: Iterable[DType]): DType =
+    if (types.isEmpty) Text else types.reduce(widen)
+
+  /** Adaptive sample sizing (load_tables_daily.py:269–280). */
+  def sampleSizeFor(recordCount: Long): Int =
+    if (recordCount > 10000) 1000
+    else if (recordCount > 1000) 500
+    else recordCount.toInt
+
+  /** Sampled per-column inference (Q1/Q2/Q5/Q6/T3): for each column,
+    * `SELECT col WHERE col IS NOT NULL LIMIT n` (load_tables_daily.py:287) →
+    * per-value guess → widen. The LIMIT is pushed into the scan by Catalyst
+    * (`CollectLimit`), so this reads O(columns × n) values regardless of
+    * table size — the same bounded-probe design that keeps the reference
+    * viable on multi-million-row tables keeps this viable at 100 TB.
+    */
+  def inferColumnTypes(df: DataFrame, sampleRows: Option[Int] = None): Map[String, DType] = {
+    val n = sampleRows.getOrElse(sampleSizeFor(df.count()))
+    df.columns.map { c =>
+      val values = df.select(col(c).cast(StringType))
+        .filter(col(c).isNotNull)
+        .limit(n)
+        .collect()
+        .map(_.getString(0))
+      c -> meet(values.map(v => guessType(v.trim)))
+    }.toMap
+  }
+
+  /** D3 equivalent: one-shot functional cast rewrite instead of per-column
+    * `ALTER COLUMN TYPE` mutations (load_tables_daily.py:296–305,422–426).
+    * A single `select` keeps the whole narrowing inside one projection —
+    * one pass over the data, fully codegen'd.
+    */
+  def narrow(df: DataFrame, types: Map[String, DType]): DataFrame = {
+    val cols: Seq[Column] = df.columns.toSeq.map { c =>
+      types.get(c) match {
+        case Some(t) if t != Text => col(c).cast(DType.toSpark(t)).as(c)
+        case _                    => col(c)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  def inferAndNarrow(df: DataFrame): DataFrame = narrow(df, inferColumnTypes(df))
+
+  /** S6/D6: schema report DataFrame (column_name, inferred_type) — the
+    * Spark analogue of data-type-pandas.py:15–31's `TABLE,COLUMN,TYPE` dump
+    * and build_query's information_schema probe (vertica_upload.py:237–243).
+    */
+  def schemaReport(df: DataFrame, sampleRows: Option[Int] = None): Seq[(String, String)] =
+    inferColumnTypes(df, sampleRows).toSeq
+      .map { case (c, t) => (c, t.name) }
+      .sortBy(_._1)
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native cosine similarity over two `array<float>` columns.
+  *
+  * Preference order from the build brief: compose built-ins first (see
+  * [[VectorFunctions.cosineHof]]), custom codegen'd `Expression` second.
+  * This is the second: one fused loop over both arrays computing dot and
+  * both norms — versus the higher-order-function composition which
+  * materializes a zipped intermediate array per row. Both stay inside
+  * whole-stage codegen; this one is the hot-path variant for the 2 000–
+  * 100 M row similarity scans.
+  *
+  * Semantics: null if either side is null, 0.0 if either norm is 0,
+  * accumulation in double (matches DuckDB's `list_cosine_similarity` well
+  * inside 1e-12 for 64-dim unit vectors).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall {
+      _.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      }
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = (double) $x.getFloat($i);
+         |  double yv = (double) $y.getFloat($i);
+         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Register `cosine_sim` on this session's function registry so it is
+    * usable from both `expr(...)` and `spark.sql(...)`. Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+  }
+
+  /** Codegen'd native cosine (requires [[register]] on the session). */
+  def cosine(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+
+  /** Built-ins-only composition (no registration needed): dot and norms via
+    * `zip_with` + `aggregate`. Baseline/fallback for [[cosine]].
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val d = dot(a, b)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Dot product via higher-order functions (unit vectors ⇒ cosine). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotHof(a, a))
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Every transform is written against DataFrame so the identical logic runs
+  * in batch (oracle-checked via SparkEntry) and streaming (tested with
+  * MemoryStream). Watermarks bound state; windowed aggregations use
+  * event-time, not arrival time — late rows inside the watermark update
+  * their window, later ones are dropped.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts per event type, 10-minute watermark. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding window: 1-hour windows every 15 minutes. */
+  def slidingValueAvg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(round(avg(col("value")), 2).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("avg_value"))
+
+  /** Session windows per user with a 5-minute inactivity gap. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming dedup on event_id with bounded state: duplicates arriving
+    * within the watermark are dropped, state for older keys is evicted —
+    * the streaming mirror of the reference's idempotent build→swap refresh.
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: sessionization via flatMapGroupsWithState ----
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Int,
+                        total_value: Double)
+
+  /** Custom per-user sessionizer with explicit state + processing-time
+    * timeout — the `flatMapGroupsWithState` shape for semantics the
+    * built-in session_window can't express (e.g. emit-on-close with
+    * session-spanning aggregates).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMs: Long = 5 * 60 * 1000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed ::= SessionOut(userId, new Timestamp(s.start), s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
+  /** Run any of the above on a streaming DataFrame into an in-memory sink —
+    * the harness used by the streaming tests.
+    */
+  def runToMemory(df: DataFrame, queryName: String, mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}
