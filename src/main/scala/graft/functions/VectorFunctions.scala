@@ -92,20 +92,22 @@ object VectorFunctions {
   def cosine(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
 
   /** Built-ins-only composition (no registration needed): dot and norms via
-    * `zip_with` + `aggregate`. Baseline/fallback for [[cosine]].
+    * `zip_with` + `aggregate`, with per-element promotion to double so the
+    * result agrees with the native expression bit-for-bit closely (float32
+    * products would diverge at ~1e-7). Baseline/fallback for [[cosine]].
     */
   def cosineHof(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val d = dot(a, b)
-    val na = sqrt(dot(a, a))
-    val nb = sqrt(dot(b, b))
+    val d = dotHof(a, b)
+    val na = sqrt(dotHof(a, a))
+    val nb = sqrt(dotHof(b, b))
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
   }
 
   /** Dot product via higher-order functions (unit vectors ⇒ cosine). */
   def dotHof(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    aggregate(
+      zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column = sqrt(dotHof(a, a))
 }

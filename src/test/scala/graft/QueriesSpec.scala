@@ -1,0 +1,31 @@
+package graft
+
+/** Smoke for the driver contract: every registered query runs at sf0.001
+  * and returns a sane shape; oracle keys are a subset of query keys.
+  */
+class QueriesSpec extends SparkSpec {
+
+  // Queries whose correct result CAN be empty at tiny scale.
+  private val mayBeEmpty = Set("q09_empty_clone", "q12_join_anti", "q20_except",
+    "q36_minhash_pairs", "q37_simhash_pairs")
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle keys without query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf0001)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty)
+      assert(df.columns.distinct.length == df.columns.length,
+        s"$name has duplicate column names")
+    }
+  }
+}

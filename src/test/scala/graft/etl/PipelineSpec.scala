@@ -1,0 +1,107 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path}
+
+/** E2E: CSV manifest → backup → all-text staging → narrowing → atomic swap
+  * → history — the reference's daily pipeline (load_tables_daily.py:562–650)
+  * over synthesized fixtures.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def writeCsv(dir: Path, name: String, lines: Seq[String]): String = {
+    val f = dir.resolve(name)
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("tableNameFor normalizes like the reference (F3)") {
+    assert(Ingest.tableNameFor("Patient_Labs.CSV") == "patient_labs")
+    assert(Ingest.tableNameFor("/data/in/Encounters.csv") == "encounters")
+    assert(Ingest.tableNameFor("plain") == "plain")
+  }
+
+  test("readCsvAllText stages every column as string (D1 two-phase schema)") {
+    val dir = Files.createTempDirectory("ingest")
+    val f = writeCsv(dir, "t.csv", Seq("id,amount,when", "1,2.5,2024-01-01"))
+    val df = Ingest.readCsvAllText(spark, f)
+    assert(df.schema.forall(_.dataType == StringType))
+    assert(df.columns.toSeq == Seq("id", "amount", "when"))
+    assert(df.count() == 1)
+  }
+
+  test("backupFiles copies into a dated history folder (F1)") {
+    val dir = Files.createTempDirectory("bk")
+    val f = writeCsv(dir, "a.csv", Seq("x", "1"))
+    val hist = dir.resolve("history").toString
+    val copied = Ingest.backupFiles(spark, Seq(f), hist,
+      java.time.LocalDate.of(2026, 8, 12))
+    assert(copied.size == 1)
+    assert(copied.head.contains("upload_2026_08_12"))
+    assert(Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(copied.head).getPath match {
+        case "" | null => copied.head
+        case p => p
+      })) || Files.exists(java.nio.file.Paths.get(copied.head.stripPrefix("file:"))))
+  }
+
+  test("readManifest skips blanks and comments (F2)") {
+    val dir = Files.createTempDirectory("mf")
+    val f = writeCsv(dir, "files.list", Seq("a.csv", "", "# comment", "b.csv"))
+    assert(Ingest.readManifest(spark, f) == Seq("a.csv", "b.csv"))
+  }
+
+  test("lifecycle: build → swap → history → clone (D1–D5, A1)") {
+    import spark.implicits._
+    val t = "lc_orders"
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    TableLifecycle.stageBuild(v1, t)
+    assert(TableLifecycle.tableExists(spark, TableLifecycle.buildName(t)))
+    TableLifecycle.swap(spark, t)
+    assert(TableLifecycle.tableExists(spark, t))
+    assert(!TableLifecycle.tableExists(spark, TableLifecycle.buildName(t)))
+    assert(TableLifecycle.recordCount(spark, t) == 2)
+
+    // refresh with v2: readers see old or new count, never partial
+    val v2 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    TableLifecycle.stageBuild(v2, t)
+    assert(TableLifecycle.recordCount(spark, t) == 2) // prod untouched while staged
+    TableLifecycle.swap(spark, t)
+    assert(TableLifecycle.recordCount(spark, t) == 3)
+
+    TableLifecycle.snapshotToHistory(spark, t)
+    TableLifecycle.snapshotToHistory(spark, t)
+    val hist = spark.table(TableLifecycle.historyName(t))
+    assert(hist.count() == 6) // append-only
+    assert(hist.columns.contains("load_time"))
+
+    TableLifecycle.cloneStructure(spark, t, s"${t}_clone")
+    val clone = spark.table(s"${t}_clone")
+    assert(clone.count() == 0)
+    assert(clone.schema == spark.table(t).schema)
+  }
+
+  test("runDaily E2E over a 3-file manifest (X1)") {
+    val dir = Files.createTempDirectory("daily")
+    val files = Seq(
+      writeCsv(dir, "Labs.csv", Seq("mrn,value,drawn", "0042,1.5,2024-01-01", "0099,2.0,2024-01-02")),
+      writeCsv(dir, "Visits.csv", Seq("visit_id,seen", "100,2024-03-01 10:00:00", "101,2024-03-02 11:30:00")),
+      writeCsv(dir, "Flags.csv", Seq("flag,active", "a,true", "b,false")))
+    val report = Pipeline.runDaily(spark, files, dir.resolve("history").toString,
+      withHistory = true)
+    assert(report.tables.map(_.table).toSet == Set("labs", "visits", "flags"))
+    assert(report.tables.forall(_.rows == 2))
+    val labs = spark.table("labs")
+    val m = labs.schema.map(f => f.name -> f.dataType).toMap
+    assert(m("mrn") == StringType)            // leading zeros preserved
+    assert(m("value") == DecimalType(38, 18))
+    assert(m("drawn") == DateType)
+    assert(spark.table("visits").schema("seen").dataType == TimestampType)
+    assert(spark.table("flags").schema("active").dataType == BooleanType)
+    assert(spark.table("labs_history").count() == 2)
+    val counts = Pipeline.countReport(spark, Seq("labs", "visits", "flags"))
+    assert(counts.collect().map(_.getLong(1)).sum == 6)
+  }
+}

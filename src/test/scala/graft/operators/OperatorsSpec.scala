@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the wide river bank today"), // near-dup of 0
+    (3L, "completely different content about spark query engines and distributed joins"),
+    (4L, "another unrelated document discussing columnar storage formats and parquet"))
+    .toDF("doc_id", "text")
+
+  test("exactCanonical keeps min id per duplicate text group") {
+    val out = Dedup.exactCanonical(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 2L) // ids 0,1 merged
+    assert(out.map(_.getLong(1)).sum == 5)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))            // exact dup always caught
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L))) // near-dup caught
+    assert(!keys.contains((3L, 4L)))           // unrelated not paired
+  }
+
+  test("minhashNearDups thresholds on true jaccard") {
+    val nd = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
+    val keys = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val sh = docs.select($"doc_id", TextFunctions.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) == 0)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard on candidate pairs") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 3L)) < 0.1)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 4L, 2L)) // by descending cosine
+    assert(out.forall(_.getLong(0) == 0L))
+    assert(math.abs(out.head.getDouble(2) - 0.9939) < 1e-3)
+  }
+
+  test("native cosine_sim expression agrees with the HOF composition") {
+    VectorFunctions.register(spark)
+    val paired = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        VectorFunctions.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"),
+        expr("cosine_sim(a.embedding, b.embedding)").as("native"))
+    val diffs = paired.select(max(abs($"hof" - $"native"))).first().getDouble(0)
+    assert(diffs < 1e-12)
+  }
+
+  test("cosine_sim works from spark.sql after registration") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("v_test")
+    val r = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) c FROM v_test a JOIN v_test b ON a.vec_id=0 AND b.vec_id=3")
+      .first().getDouble(0)
+    assert(math.abs(r - (-1.0)) < 1e-12)
+  }
+
+  test("lshTopK returns plausible neighbors (bucketed, self excluded)") {
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 2,
+      numPlanes = 1, dim = 3).collect()
+    assert(out.forall(r => r.getLong(1) != 0L))
+    assert(out.nonEmpty)
+  }
+
+  test("asof backward join picks latest strictly-prior right row") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), "a"),
+      (10L, ts("2024-01-01 11:00:00"), "b"),
+      (10L, ts("2024-01-01 12:00:00"), "equal-ts"), // equal to left id=2: excluded (strict)
+      (20L, ts("2024-01-01 09:30:00"), "late"))     // after left id=3: excluded
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("id").collect()
+    assert(out(0).getString(3) == "a")
+    assert(out(1).getString(3) == "b")   // not "equal-ts": strict <
+    assert(out(2).isNullAt(3))           // nothing prior for key 20
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Streaming semantics under MemoryStream replay: tumbling windows close on
+  * watermark, late-but-inside-watermark rows update their window, duplicate
+  * event_ids are dropped within the watermark, and the custom sessionizer
+  * emits closed sessions.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0): Event = Event(id, ts(t), user, typ, v)
+
+  test("tumbling hourly counts with watermark close in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val agg = hourlyTypeCounts(in.toDF())
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+        ev(3, "2024-01-01 11:10:00"))
+      q.processAllAvailable()
+      // advance watermark far past hour 10 and 11 so both windows close
+      in.addData(ev(4, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      val h10 = rows.find(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(h10.isDefined && h10.get.getLong(2) == 2)
+    } finally q.stop()
+  }
+
+  test("late row inside watermark lands in its window; beyond-late dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val agg = hourlyTypeCounts(in.toDF())
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:59:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 11:05:00")) // watermark → 10:55
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 10:58:00")) // late but inside watermark: counts
+      q.processAllAvailable()
+      in.addData(ev(5, "2024-01-01 14:00:00")) // closes everything
+      q.processAllAvailable()
+      in.addData(ev(6, "2024-01-01 10:01:00")) // beyond watermark: dropped
+      q.processAllAvailable()
+      val h10 = spark.table("late").collect()
+        .find(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(h10.isDefined && h10.get.getLong(2) == 3) // ids 1,2,4 — not 6
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedupedStream(in.toDF()).writeStream.format("memory")
+      .queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:01"),
+        ev(2, "2024-01-01 10:00:02"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("custom sessionizer emits closed sessions with totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = sessionize(spark, in.toDS())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", v = 2.0), ev(2, "2024-01-01 10:02:00", v = 3.0),
+        ev(3, "2024-01-01 10:30:00", v = 5.0)) // >5min gap → closes first session
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows.head.session_start == ts("2024-01-01 10:00:00"))
+      assert(rows.head.n_events == 2 && rows.head.total_value == 5.0)
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling agg agree on the same data") {
+    val batch = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+      ev(3, "2024-01-01 11:10:00")).toDF()
+    val r = hourlyTypeCounts(batch).orderBy("window_start").collect()
+    assert(r.length == 2 && r(0).getLong(2) == 2 && r(1).getLong(2) == 1)
+  }
+}
