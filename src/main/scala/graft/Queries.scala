@@ -340,16 +340,19 @@ object Queries {
         langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  /** MinHash LSH candidate pairs (rows-only: banding is hash-specific). */
+  /** MinHash LSH candidate pairs (rows-only: banding is hash-specific).
+    * High-precision banding (2 bands of 8): on a shared-vocabulary corpus
+    * loose bands degenerate toward all-pairs.
+    */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(t(spark, dir, "documents"), "doc_id", "text",
-        numHashes = 8, bands = 4)
+        numHashes = 16, bands = 2)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs (rows-only). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(spark, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 6)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact top-k cosine neighbors for a broadcast query set. */

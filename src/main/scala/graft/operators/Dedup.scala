@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
   * Scale design: every variant is bucket-first. The only shuffle key is
   * either the content hash (exact) or an LSH band bucket (near-dup), so
   * candidate comparison is confined to within-bucket pairs — never an
-  * all-pairs cross join. At 100 TB the band tables stay proportional to the
-  * corpus (numBands rows per doc) and AQE's skew splitting handles hot
-  * buckets (e.g. boilerplate-heavy shingles).
+  * all-pairs cross join. Per-document features (shingle hashes, signatures)
+  * are computed exactly once at scan time; the band table carries only
+  * (id, band, hash) fixed-width rows; candidate pairs are deduplicated
+  * *before* the verify step joins features back in. At 100 TB the band
+  * table stays proportional to the corpus and AQE skew splitting handles
+  * hot buckets (boilerplate-heavy shingles).
   */
 object Dedup {
 
   /** Exact dedup, canonical-representative form: keep min(id) per identical
-    * `textCol`. Grouping by a 64-bit content hash first keeps the shuffle
-    * key fixed-width (16 bytes vs arbitrary document text) — at 100 TB the
-    * shuffle moves hashes + ids, not documents.
+    * `textCol`. Grouping by a 64-bit content hash keeps the shuffle key
+    * fixed-width (vs arbitrary document text) — at 100 TB the shuffle moves
+    * hashes + ids, not documents.
     */
   def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -31,75 +34,92 @@ object Dedup {
   def exactRows(docs: DataFrame, keys: Seq[String]): DataFrame =
     docs.dropDuplicates(keys)
 
+  /** Per-doc hashed shingle set: distinct 64-bit hashes of the k-shingles —
+    * computed once, reused for both the MinHash signature and the Jaccard
+    * verify (set ops over longs are far cheaper than over strings).
+    */
+  private def hashedShingles(textCol: String, k: Int) =
+    array_distinct(transform(shinglesOf(col(textCol), k), s => xxhash64(s)))
+
   /** MinHash + LSH near-duplicate candidate pairs.
     *
-    * shingle → minhash signature (numHashes lanes) → split into bands →
-    * hash each band → self-join per (band, bandHash) bucket → distinct
-    * id pairs. With r rows/band and b bands, a pair with Jaccard s is
-    * caught with probability 1-(1-s^r)^b — the standard S-curve; defaults
-    * (16 hashes, 4 bands of 4) catch s ≳ 0.6 reliably.
-    *
-    * The returned pairs carry the true shingle-Jaccard for post-filtering.
+    * shingle-hash set → minhash signature (numHashes lanes, each lane a
+    * seeded re-hash min) → band hashes → self-join per (band, bandHash)
+    * bucket → distinct id pairs → verify with true shingle-set Jaccard.
+    * With r rows/band and b bands, a pair with Jaccard s is caught with
+    * probability 1-(1-s^r)^b; defaults (16 hashes, 2 bands of 8) target
+    * s ≳ 0.8 — high-precision banding matters on corpora with shared
+    * vocabulary, where loose bands degenerate toward all-pairs.
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int = 16, bands: Int = 4,
+                            numHashes: Int = 16, bands: Int = 2,
                             shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into equal bands")
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(
-      col(idCol).as("id"),
-      col(textCol).as("text"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
 
-    // (id, band, bandHash): one row per document per band.
+    // (id, sh: array<long>, sig: array<long>) — one pass over the text.
+    // Persisted: referenced by the band table and both verify joins; without
+    // it the shingling+hashing pass runs 3-4×. At cluster scale the same
+    // role is played by staging signatures to parquet once per corpus.
+    val sig = docs.select(col(idCol).as("id"), hashedShingles(textCol, shingleK).as("sh"))
+      .withColumn("sig", array((0 until numHashes).map { seed =>
+        array_min(transform(col("sh"), h => xxhash64(h, lit(seed))))
+      }: _*))
+      .persist()
+
+    // fixed-width band table: (id, band, band_hash) only.
     val banded = sig.select(
-      col("id"), col("text"),
+      col("id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws("|",
-          (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*))
+        xxhash64((0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)
       }: _*)).as(Seq("band", "band_hash")))
 
-    val l = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("text").as("text_b"))
-
-    l.join(r, Seq("band", "band_hash"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "band_hash"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(shinglesOf(col("text_a"), shingleK), shinglesOf(col("text_b"), shingleK))
-          .as("jaccard"))
       .dropDuplicates("id_a", "id_b")
+
+    // verify: fetch each side's shingle set once, true Jaccard over longs.
+    val sets = sig.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** Near-dup pairs above a Jaccard threshold (LSH candidates, verified). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8): DataFrame =
-    minhashCandidatePairs(docs, idCol, textCol)
+    minhashCandidatePairs(docs, idCol, textCol, numHashes = 16, bands = 4)
       .filter(col("jaccard") >= threshold)
 
   /** SimHash near-dup pairs: 64-bit signature, banded into 4×16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⟹ at least one identical chunk), bucket
-    * self-join per chunk, verify with true hamming distance. Same
-    * bucket-not-all-pairs scaling argument as MinHash.
+    * self-join per chunk on fixed-width keys, distinct pairs, then verify
+    * with true hamming distance. Same bucket-not-all-pairs scaling argument
+    * as MinHash.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    // persisted for the same reuse reason as the MinHash signature table
     val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val chunked = sig.select(col("id"), col("sh"),
+      .persist()
+    val chunked = sig.select(col("id"),
       posexplode(array((0 until 4).map { c =>
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("chunk", "chunk_val")))
-    val l = chunked.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
+    val candidates = chunked.as("l")
+      .join(chunked.as("r"), Seq("chunk", "chunk_val"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** N-gram Jaccard similarity for given candidate id pairs (exact verify

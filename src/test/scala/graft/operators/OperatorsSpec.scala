@@ -26,7 +26,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds exact and near dups, not unrelated docs") {
-    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 8) // loose bands: recall-oriented for tiny fixture
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((0L, 1L)))            // exact dup always caught
