@@ -411,4 +411,115 @@ object Queries {
       .toDF("table_name", "n_columns")
       .orderBy(col("table_name"))
   }
+
+  /** Distributed full-scan type vote via the typed Aggregator (UDAF) —
+    * partial aggregation does the lattice widening map-side.
+    */
+  def typeVoteUdaf(spark: SparkSession, dir: String): DataFrame = {
+    val vote = udaf(graft.etl.TypeVoteAggregator)
+    t(spark, dir, "part")
+      .agg(
+        vote(col("p_partkey").cast("string")).as("p_partkey_type"),
+        vote(col("p_retailprice").cast("string")).as("p_retailprice_type"),
+        vote(col("p_name")).as("p_name_type"))
+  }
+
+  // ---- statistical aggregates ----
+
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+      .orderBy(col("l_returnflag"))
+
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot: one column per return flag. Explicit value list keeps the plan
+    * a single pass (no distinct-values pre-query).
+    */
+  def pivotFlags(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+        col("R").as("qty_r"))
+      .orderBy(col("l_linestatus"))
+
+  // ---- additional scalar surfaces ----
+
+  def stringExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"),
+        locate("a", col("p_name")).as("pos_a"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_name")).as("name_rev"))
+      .orderBy(col("p_partkey"))
+
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("1998-01-01"), col("o_orderdate")).as("days_to_98"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  def conditionalFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_x"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("g"),
+        least(col("o_totalprice"), lit(150000.0)).as("l"))
+      .orderBy(col("o_orderkey"))
+
+  /** Map functions over JSON props: parse to map<string,int>, inspect keys,
+    * extract values — the MapType slice of the array/map/JSON category.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_id"),
+        element_at(map_keys(col("m")), 1).as("first_key"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy(col("event_id"))
+
+  // ---- remaining join flavors ----
+
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val s = t(spark, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("s_cnt"))
+    c.join(s, col("nk_c") === col("nk_s"), "full")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+      .orderBy(col("nationkey"))
+  }
+
+  def crossJoinSmall(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region").select(col("r_name"))
+      .crossJoin(t(spark, dir, "lineitem").select(col("l_returnflag")).distinct())
+      .orderBy(col("r_name"), col("l_returnflag"))
 }

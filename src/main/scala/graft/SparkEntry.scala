@@ -73,7 +73,20 @@ object SparkEntry {
     "q42_session_windows"   -> Queries.sessionWindows _,
     // schema inference / catalog
     "q43_infer_schema"      -> Queries.inferSchemaReport _,
-    "q44_catalog_report"    -> Queries.catalogReport _
+    "q44_catalog_report"    -> Queries.catalogReport _,
+    // UDAF + statistical aggregates + pivot
+    "q45_type_vote_udaf"    -> Queries.typeVoteUdaf _,
+    "q46_stats_agg"         -> Queries.statsAgg _,
+    "q47_percentiles"       -> Queries.percentiles _,
+    "q48_pivot_flags"       -> Queries.pivotFlags _,
+    // additional scalar surfaces
+    "q49_string_extract"    -> Queries.stringExtract _,
+    "q50_date_arith"        -> Queries.dateArith _,
+    "q51_conditional"       -> Queries.conditionalFuncs _,
+    "q52_map_funcs"         -> Queries.mapFuncs _,
+    // remaining join flavors
+    "q53_full_outer_join"   -> Queries.fullOuterJoin _,
+    "q54_cross_join"        -> Queries.crossJoinSmall _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -288,6 +301,65 @@ object SparkEntry {
         | ('customer',5), ('documents',5), ('embeddings',3), ('events',6),
         | ('lineitem',11), ('nation',3), ('orders',6), ('part',6),
         | ('region',2), ('supplier',4))
-        |AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
+        |AS t(table_name, n_columns) ORDER BY table_name""".stripMargin,
+    "q45_type_vote_udaf" ->
+      """SELECT 'smallint' AS p_partkey_type, 'numeric' AS p_retailprice_type,
+        | 'text' AS p_name_type""".stripMargin,
+    "q46_stats_agg" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity),4) AS sd_qty,
+        | round(var_samp(l_quantity),4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice),4) AS corr_qp,
+        | round(covar_samp(l_quantity, l_discount),4) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q47_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25),4) AS q25,
+        | round(quantile_cont(l_quantity, 0.5),4) AS median,
+        | round(quantile_cont(l_quantity, 0.75),4) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q48_pivot_flags" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END),2) AS qty_a,
+        | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END),2) AS qty_n,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END),2) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q49_string_extract" ->
+      """SELECT p_partkey, string_split(p_name, ' ')[1] AS first_word,
+        | regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+        | CAST(strpos(p_name, 'a') AS INTEGER) AS pos_a,
+        | lpad(p_brand, 12, '*') AS brand_pad,
+        | reverse(p_name) AS name_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q50_date_arith" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INTEGER) AS days_to_98,
+        | strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q51_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 200000 THEN 'high'
+        |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        | coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x,
+        | greatest(o_totalprice, 150000.0) AS g,
+        | least(o_totalprice, 150000.0) AS l
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q52_map_funcs" ->
+      """SELECT event_id, 'k' AS first_key,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q53_full_outer_join" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        | coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS c_cnt
+        |      FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS s_cnt
+        |           FROM supplier GROUP BY 1) s
+        |ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q54_cross_join" ->
+      """SELECT r_name, l_returnflag
+        |FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+        |ORDER BY r_name, l_returnflag""".stripMargin
   )
 }
