@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: touch every table once (footer reads, codegen JIT, the
+    // events nanos-schema path) so the first timed query doesn't absorb
+    // one-time session costs that no steady-state workload pays.
+    Tables.names.foreach { n =>
+      try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteCosineToDot)
   }
 }

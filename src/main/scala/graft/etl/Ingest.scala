@@ -64,6 +64,15 @@ object Ingest {
     }
   }
 
+  /** JSON-lines ingest — the second text source format next to CSV. Same
+    * two-phase stance: read with Spark's schema inference off the table
+    * (all values as string via a text read + from_json would lose arrays),
+    * so here we accept Spark's JSON inference and hand the result to
+    * [[TypeInference.narrow]] only when columns came back as strings.
+    */
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** F2 — manifest-driven file list (`files.list`, vertica_upload.py:334–339).
     * One small text file read driver-side; blank lines and `#` comments
     * skipped.

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{DotProduct, VectorFunctions}
+import graft.plans.RewriteCosineToDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+/** Extension surfaces: the optimizer rule's rewrite (applied directly to an
+  * analyzed plan, conf-gated) and the V2 manifest source end-to-end.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)), (1L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+
+  test("RewriteCosineToDot rewrites only when the session asserts unit vectors") {
+    VectorFunctions.register(spark)
+    val df = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(expr("cosine_sim(a.embedding, b.embedding)").as("c"))
+    val analyzed = df.queryExecution.analyzed
+
+    spark.conf.set("spark.graft.assumeUnitVectors", "false")
+    val untouched = RewriteCosineToDot(analyzed)
+    assert(untouched.expressions.forall(e =>
+      e.collectFirst { case d: DotProduct => d }.isEmpty))
+
+    spark.conf.set("spark.graft.assumeUnitVectors", "true")
+    try {
+      val rewritten = RewriteCosineToDot(analyzed)
+      assert(rewritten.expressions.exists(e =>
+        e.collectFirst { case d: DotProduct => d }.isDefined))
+    } finally spark.conf.set("spark.graft.assumeUnitVectors", "false")
+  }
+
+  test("dot product equals cosine for unit vectors (the rewrite's soundness)") {
+    VectorFunctions.register(spark)
+    val r = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 0 && $"b.vec_id" === 1)
+      .select(
+        expr("cosine_sim(a.embedding, b.embedding)").as("cos"),
+        VectorFunctions.dotHof($"a.embedding", $"b.embedding").as("dot"))
+      .first()
+    // (0.6f, 0.8f) is unit only to float32 precision, so cosine vs dot
+    // agree to ~1e-7, not machine-double epsilon.
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+    assert(math.abs(r.getDouble(0) - 0.6) < 1e-6)
+  }
+
+  test("GraftExtensions applies its injections cleanly") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("manifest DataSource V2 reads (file_path, table_name) rows") {
+    val dir = java.nio.file.Files.createTempDirectory("mani")
+    val manifest = dir.resolve("files.list")
+    java.nio.file.Files.writeString(manifest,
+      "Patient_Labs.csv\n# skip me\n\n/abs/path/Encounters.CSV\n")
+    val df = spark.read.format("graft.sources.ManifestDataSource")
+      .option("path", manifest.toString).load()
+    assert(df.schema.fieldNames.toSeq == Seq("file_path", "table_name"))
+    val rows = df.orderBy("file_path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(
+      ("/abs/path/Encounters.CSV", "encounters"),
+      ("Patient_Labs.csv", "patient_labs")))
+  }
+
+  test("json-lines ingest reads the second source format") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl")
+    val f = dir.resolve("events.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "kind": "a"}
+        |{"id": 2, "kind": "b"}""".stripMargin)
+    val df = graft.etl.Ingest.readJsonLines(spark, f.toString)
+    assert(df.count() == 2)
+    assert(df.columns.sorted.toSeq == Seq("id", "kind"))
+  }
+}
