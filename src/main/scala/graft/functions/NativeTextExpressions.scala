@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (single-eval-per-row) expressions for the dedup hot path.
+  *
+  * The higher-order-function formulations in [[TextFunctions]] are correct
+  * and fully declarative, but Spark evaluates HOF lambdas interpretively
+  * per element — a 400-shingle × 16-lane signature costs ~6 400 interpreted
+  * expression evaluations per document. These expressions do the identical
+  * work in one tight JVM loop per row (CodegenFallback: one virtual call
+  * per row, loops JIT-compiled), which is the preference order the engine
+  * follows: built-ins first, then a native expression, before ever reaching
+  * for mapPartitions. Hashes are XXH64, same family as Spark's `xxhash64`.
+  */
+object NativeTextExpressions {
+
+  /** Distinct sorted XXH64 hashes of the character k-shingles of the input
+    * string (which should be pre-lowercased; sorting makes the set
+    * canonical and enables merge-join Jaccard).
+    */
+  case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"shingle_hashes expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val n = s.numChars()
+      val last = math.max(n - k, 0)
+      val set = new java.util.HashSet[java.lang.Long](math.max(last * 2, 16))
+      var i = 0
+      while (i <= last) {
+        val sub = s.substring(i, math.min(i + k, n))
+        set.add(XXH64.hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42L))
+        i += 1
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature from a shingle-hash array: lane i = min over the set
+    * of XXH64(h, seed=i). Min over a multiset equals min over the set, so
+    * no dedup is needed here.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<bigint>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var lane = 0
+        while (lane < numHashes) {
+          val v = XXH64.hashLong(h, lane)
+          if (v < sig(lane)) sig(lane) = v
+          lane += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Jaccard similarity of two SORTED long arrays via a single merge pass —
+    * O(|a|+|b|) with no per-element boxing (vs hash-set based
+    * array_intersect/array_union).
+    */
+  case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("jaccard_sorted expects two array<bigint>")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var inter = 0L
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      val union = nx.toLong + ny - inter
+      if (union == 0L) 0.0 else inter.toDouble / union
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** 64-bit SimHash over whitespace tokens of the lowercased input — one
+    * pass, no intermediate arrays. Same semantics as
+    * [[TextFunctions.simhash64]] modulo hash family internals.
+    */
+  case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64_native"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"simhash64_native expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val counts = new Array[Int](64)
+      var start = 0
+      val len = s.length
+      var i = 0
+      while (i <= len) {
+        if (i == len || Character.isWhitespace(s.charAt(i))) {
+          if (i > start) {
+            val tok = UTF8String.fromString(s.substring(start, i))
+            val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** Register every native function on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, null, name), builder)
+    add("shingle_hashes", c => ShingleHashes(c.head, litInt(c(1), "k")))
+    add("minhash_sig", c => MinHashSig(c.head, litInt(c(1), "numHashes")))
+    add("jaccard_sorted", c => SortedLongJaccard(c.head, c(1)))
+    add("simhash64_native", c => SimHash(c.head))
+  }
+}

@@ -78,13 +78,24 @@ object TextFunctions {
     }
   }
 
-  /** Distinct character k-shingles (k-grams) of the lowercased text. */
-  def shinglesOf(text: Column, k: Int = 5): Column = {
-    val t = lower(text)
+  /** Distinct character k-shingles (k-grams) of the lowercased text.
+    *
+    * IMPORTANT for hot paths: expressions referenced inside a higher-order
+    * lambda are re-evaluated per element, so `lower(text)` here would run
+    * once per shingle — O(len²) per document. Callers on large corpora
+    * should project `lower(text)` into a column first and use
+    * [[shinglesOfPreLowered]].
+    */
+  def shinglesOf(text: Column, k: Int = 5): Column =
+    shinglesOfPreLowered(lower(text), k)
+
+  /** As [[shinglesOf]] but assumes the input is already lowercased (pass a
+    * plain column reference so per-element re-evaluation is a no-op).
+    */
+  def shinglesOfPreLowered(t: Column, k: Int = 5): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(length(t) - k, lit(0))),
       i => t.substr(i + 1, lit(k))))
-  }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum over the shingle set of `xxhash64(seed_tag || shingle)`.

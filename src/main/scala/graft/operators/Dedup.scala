@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.NativeTextExpressions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -34,12 +35,6 @@ object Dedup {
   def exactRows(docs: DataFrame, keys: Seq[String]): DataFrame =
     docs.dropDuplicates(keys)
 
-  /** Per-doc hashed shingle set: distinct 64-bit hashes of the k-shingles —
-    * computed once, reused for both the MinHash signature and the Jaccard
-    * verify (set ops over longs are far cheaper than over strings).
-    */
-  private def hashedShingles(textCol: String, k: Int) =
-    array_distinct(transform(shinglesOf(col(textCol), k), s => xxhash64(s)))
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -57,14 +52,17 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into equal bands")
     val rowsPerBand = numHashes / bands
 
-    // (id, sh: array<long>, sig: array<long>) — one pass over the text.
+    // (id, sh: array<long>, sig: array<long>) — one pass over the text via
+    // the native expressions (single tight loop per row vs thousands of
+    // interpreted HOF lambda evaluations — see NativeTextExpressions).
     // Persisted: referenced by the band table and both verify joins; without
     // it the shingling+hashing pass runs 3-4×. At cluster scale the same
     // role is played by staging signatures to parquet once per corpus.
-    val sig = docs.select(col(idCol).as("id"), hashedShingles(textCol, shingleK).as("sh"))
-      .withColumn("sig", array((0 until numHashes).map { seed =>
-        array_min(transform(col("sh"), h => xxhash64(h, lit(seed))))
-      }: _*))
+    NativeTextExpressions.register(docs.sparkSession)
+    val sig = docs
+      .select(col(idCol).as("id"), lower(col(textCol)).as("__lt"))
+      .select(col("id"), expr(s"shingle_hashes(__lt, $shingleK)").as("sh"))
+      .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
       .persist()
 
     // fixed-width band table: (id, band, band_hash) only.
@@ -80,12 +78,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // verify: fetch each side's shingle set once, true Jaccard over longs.
+    // verify: fetch each side's shingle set once; merge-join Jaccard over
+    // the sorted hash arrays (O(|a|+|b|) per pair).
     val sets = sig.select(col("id"), col("sh"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
   }
 
   /** Near-dup pairs above a Jaccard threshold (LSH candidates, verified). */
@@ -103,7 +103,9 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     // persisted for the same reuse reason as the MinHash signature table
-    val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    NativeTextExpressions.register(docs.sparkSession)
+    val sig = docs.select(col(idCol).as("id"),
+        expr(s"simhash64_native($textCol)").as("sh"))
       .persist()
     val chunked = sig.select(col("id"),
       posexplode(array((0 until 4).map { c =>
