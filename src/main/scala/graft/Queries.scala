@@ -329,16 +329,25 @@ object Queries {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  /** Language-ID heuristic + fingerprints — engine-specific hashes, no
-    * oracle (rows-only).
+  /** Language-ID heuristic + fingerprints + BPE-ish subword count —
+    * engine-specific hashes/heuristics, no oracle (rows-only).
     */
   def textFingerprints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
         simhash64(col("text")).as("simhash"),
         rollingFingerprint(col("text")).as("fingerprint"),
-        langId(col("text")).as("lang_pred"))
+        langId(col("text")).as("lang_pred"),
+        subwordCount(col("text")).as("n_subwords"))
       .orderBy(col("doc_id"))
+
+  /** Embedding-cosine near-duplicate pairs via SRP-LSH buckets (rows-only:
+    * bucketing is approximate by design).
+    */
+  def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.2,
+        numPlanes = 4)
+      .orderBy(col("id_a"), col("id_b"))
 
   /** MinHash LSH candidate pairs (rows-only: banding is hash-specific).
     * High-precision banding (2 bands of 8): on a shared-vocabulary corpus

@@ -86,7 +86,9 @@ object SparkEntry {
     "q52_map_funcs"         -> Queries.mapFuncs _,
     // remaining join flavors
     "q53_full_outer_join"   -> Queries.fullOuterJoin _,
-    "q54_cross_join"        -> Queries.crossJoinSmall _
+    "q54_cross_join"        -> Queries.crossJoinSmall _,
+    // embedding-cosine near-dup (LSH-bucketed)
+    "q55_cosine_near_dups"  -> Queries.cosineNearDups _
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -70,6 +70,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4,
               dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val planes = hyperplanes(dim, numPlanes)
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
       bucketExpr(vecCol, planes).as("bucket"))
@@ -78,7 +79,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        VectorFunctions.cosineHof(col("query_vec"), col("corpus_vec")))
+        VectorFunctions.cosine("query_vec", "corpus_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -93,6 +94,7 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 6,
                          dim: Int = 64, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val planes = hyperplanes(dim, numPlanes)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       bucketExpr(vecCol, planes).as("bucket"))
@@ -100,7 +102,7 @@ object Similarity {
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosineHof(col("v_a"), col("v_b")))
+      .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .dropDuplicates("id_a", "id_b")

@@ -101,4 +101,34 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Streaming → table refresh via foreachBatch + the batch lifecycle's
+    * atomic publish: every micro-batch overwrites the prod table through
+    * the commit protocol, so readers always see a complete snapshot — the
+    * streaming mirror of the reference's build→swap refresh
+    * (load_tables_daily.py:227–244), with the update-capable aggregation
+    * state living in the stream, not the table.
+    */
+  def publishEachBatch(agg: DataFrame, table: String, checkpointDir: String) =
+    agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.TableLifecycle.publish(batch, table)
+      }
+
+  /** File-source streaming read of an events-shaped parquet directory —
+    * the nanos-timestamp handling mirrors [[graft.Tables.apply]].
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 }

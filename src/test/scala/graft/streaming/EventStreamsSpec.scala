@@ -94,6 +94,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming read + foreachBatch atomic publish") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    // the file source streams a directory; stage the single parquet into one
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = readEventsStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val agg = stream.groupBy($"event_type").count()
+    val q = publishEachBatch(agg, "events_by_type", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val published = spark.table("events_by_type")
+      assert(published.count() == 5) // click/error/purchase/signup/view
+      assert(published.agg(org.apache.spark.sql.functions.sum($"count"))
+        .first().getLong(0) == 1000)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val batch = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
