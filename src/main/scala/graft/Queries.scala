@@ -349,6 +349,34 @@ object Queries {
         numPlanes = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** IVF-flat ANN top-k (rows-only: inverted-list search is approximate). */
+  def ivfTopkSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** End-to-end mini pipeline inside the oracle gate: export `nation` to
+    * CSV, re-ingest it all-text (S1–S4/D1), narrow via sampled inference
+    * (T1–T4/D3), and report the reconciliation count (Q7/X1). The oracle
+    * pins the expected row/column counts and the narrowed types.
+    */
+  def pipelineRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    t(spark, dir, "nation").coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(s"$tmp/nation")
+    val staged = graft.etl.Ingest.readCsvAllText(spark, s"$tmp/nation")
+    val typed = graft.etl.TypeInference.inferAndNarrow(staged)
+    import spark.implicits._
+    Seq((
+      "nation",
+      typed.count(),
+      typed.columns.length,
+      typed.schema("n_nationkey").dataType.simpleString,
+      typed.schema("n_name").dataType.simpleString))
+      .toDF("table_name", "record_count", "n_columns", "key_type", "name_type")
+  }
+
   /** MinHash LSH candidate pairs (rows-only: banding is hash-specific).
     * High-precision banding (2 bands of 8): on a shared-vocabulary corpus
     * loose bands degenerate toward all-pairs.

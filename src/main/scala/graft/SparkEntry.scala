@@ -87,8 +87,11 @@ object SparkEntry {
     // remaining join flavors
     "q53_full_outer_join"   -> Queries.fullOuterJoin _,
     "q54_cross_join"        -> Queries.crossJoinSmall _,
-    // embedding-cosine near-dup (LSH-bucketed)
-    "q55_cosine_near_dups"  -> Queries.cosineNearDups _
+    // embedding-cosine near-dup (LSH-bucketed) + IVF ANN
+    "q55_cosine_near_dups"  -> Queries.cosineNearDups _,
+    "q56_ivf_topk"          -> Queries.ivfTopkSimilar _,
+    // pipeline E2E inside the oracle gate
+    "q57_pipeline_roundtrip" -> Queries.pipelineRoundtrip _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -362,6 +365,9 @@ object SparkEntry {
     "q54_cross_join" ->
       """SELECT r_name, l_returnflag
         |FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
-        |ORDER BY r_name, l_returnflag""".stripMargin
+        |ORDER BY r_name, l_returnflag""".stripMargin,
+    "q57_pipeline_roundtrip" ->
+      """SELECT 'nation' AS table_name, CAST(25 AS BIGINT) AS record_count,
+        | 3 AS n_columns, 'smallint' AS key_type, 'string' AS name_type""".stripMargin
   )
 }

@@ -61,6 +61,19 @@ object TableLifecycle {
     snap.write.mode("append").saveAsTable(historyName(table))
   }
 
+  /** Bucketed publish: hash-bucket (and sort) the table by its join keys so
+    * subsequent equi-joins between co-bucketed tables run shuffle-free —
+    * the storage-level answer to "this join's shuffle is the bottleneck at
+    * 100 TB". Pair with an identical (buckets, keys) spec on the other
+    * side.
+    */
+  def publishBucketed(df: DataFrame, table: String, buckets: Int,
+                      keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** D5 — schema-only clone (`CREATE TABLE new AS SELECT * FROM old WHERE
     * 1 = 2`, vertica_upload.py:191–197). `lit(false)` is folded by Catalyst
     * (BooleanSimplification + PruneFilters) to an empty LocalRelation — the

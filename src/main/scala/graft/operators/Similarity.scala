@@ -88,6 +88,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF-flat ANN: partition the corpus into inverted lists by nearest
+    * coarse centroid, then search only the `nprobe` lists whose centroids
+    * are closest to the query. Centroids here are a deterministic sample of
+    * the corpus (ids < numCentroids) — the degenerate-but-real IVF variant
+    * when no trained k-means codebook is available; swap in trained
+    * centroids without changing the plan shape. At scale: one pass to
+    * assign lists (broadcast centroids), then each query scans
+    * nprobe/numCentroids of the corpus instead of all of it.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val centroids = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+    // assign every corpus vector to its nearest centroid (one scan,
+    // broadcast centroids, per-row top-1 via max_by on (sim, centroid)).
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"))
+      .join(broadcast(centroids))
+      .withColumn("sim_c", VectorFunctions.cosine("corpus_vec", "centroid_vec"))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("corpus_vec"), col("centroid_id")), col("sim_c")).as("best"))
+      .select(col("neighbor_id"), col("best.corpus_vec").as("corpus_vec"),
+        col("best.centroid_id").as("list_id"))
+
+    // per query: the nprobe nearest centroid lists.
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .join(broadcast(centroids))
+      .withColumn("sim_c", VectorFunctions.cosine("query_vec", "centroid_vec"))
+      .withColumn("rk_c", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim_c").desc, col("centroid_id"))))
+      .filter(col("rk_c") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("centroid_id").as("list_id"))
+
+    // search only the probed lists.
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** All-pairs above a cosine threshold via LSH buckets (embedding-cosine
     * near-duplicate detection) — bucket self-join, never a full cross join.
     */

@@ -105,6 +105,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("saltedJoin matches plain join results") {
+    val large = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0, "x"), (1, "y"), (2, "z")).toDF("k", "name")
+    val salted = Skew.saltedJoin(large, small, "k").orderBy("v")
+      .select("k", "v", "name").collect()
+    val plain = large.join(small, "k").orderBy("v")
+      .select("k", "v", "name").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("ivfTopK finds the exact nearest neighbor when its list is probed") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), k = 3,
+      numCentroids = 2, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) != 0L))
+    // with nprobe = numCentroids the search is exhaustive → same top-1 as brute force
+    assert(out.head.getLong(1) == 1L)
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    import graft.etl.TableLifecycle
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "va")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+    TableLifecycle.publishBucketed(a, "bk_a", 4, Seq("id"))
+    TableLifecycle.publishBucketed(b, "bk_b", 4, Seq("id"))
+    val joined = spark.table("bk_a").join(spark.table("bk_b"), "id")
+    assert(joined.count() == 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
   test("asof backward join picks latest strictly-prior right row") {
     def ts(s: String) = Timestamp.valueOf(s)
     val left = Seq(
