@@ -43,6 +43,22 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each error event joined to signup events
+    * of the same user within the preceding 15 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time on both sides, so
+    * state is evictable — the canonical shape for joining two live streams
+    * without unbounded buffering.
+    */
+  def errorsWithRecentSignup(errors: DataFrame, signups: DataFrame): DataFrame = {
+    val e = errors.withWatermark("ts", "10 minutes").alias("e")
+    val s = signups.withWatermark("ts", "20 minutes").alias("s")
+    e.join(s, expr(
+        """e.user_id = s.user_id AND
+          |s.ts >= e.ts - INTERVAL 15 MINUTES AND s.ts <= e.ts""".stripMargin))
+      .select(col("e.event_id").as("error_id"), col("s.event_id").as("signup_id"),
+        col("e.user_id").as("user_id"))
+  }
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * within the watermark are dropped, state for older keys is evicted —
     * the streaming mirror of the reference's idempotent build→swap refresh.

@@ -94,6 +94,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches users within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val errIn = MemoryStream[Event]
+    val sigIn = MemoryStream[Event]
+    val joined = errorsWithRecentSignup(errIn.toDF(), sigIn.toDF())
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      sigIn.addData(
+        ev(10, "2024-01-01 10:00:00", user = 1, typ = "signup"),
+        ev(11, "2024-01-01 09:00:00", user = 2, typ = "signup"))
+      errIn.addData(
+        ev(20, "2024-01-01 10:10:00", user = 1, typ = "error"), // 10 min after signup: joins
+        ev(21, "2024-01-01 10:10:00", user = 2, typ = "error"), // signup 70 min prior: outside bound
+        ev(22, "2024-01-01 10:10:00", user = 3, typ = "error")) // no signup at all
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("file-source streaming read + foreachBatch atomic publish") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
     // the file source streams a directory; stage the single parquet into one
