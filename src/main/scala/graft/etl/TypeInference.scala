@@ -161,6 +161,14 @@ object TypeInference {
     else if (recordCount > 1000) 500
     else recordCount.toInt
 
+  /** Bounded row-count probe for sample sizing: the thresholds only need
+    * to distinguish ≤1000 / ≤10000 / more, so `limit(10001).count()` reads
+    * at most 10 001 rows — versus the reference's full `count(*)`
+    * (load_tables_daily.py:258), which at 100 TB is a full scan spent on
+    * picking a sample size.
+    */
+  def boundedCount(df: DataFrame): Long = df.limit(10001).count()
+
   /** Sampled per-column inference (Q1/Q2/Q5/Q6/T3): for each column,
     * `SELECT col WHERE col IS NOT NULL LIMIT n` (load_tables_daily.py:287) →
     * per-value guess → widen. The LIMIT is pushed into the scan by Catalyst
@@ -169,7 +177,7 @@ object TypeInference {
     * viable on multi-million-row tables keeps this viable at 100 TB.
     */
   def inferColumnTypes(df: DataFrame, sampleRows: Option[Int] = None): Map[String, DType] = {
-    val n = sampleRows.getOrElse(sampleSizeFor(df.count()))
+    val n = sampleRows.getOrElse(sampleSizeFor(boundedCount(df)))
     df.columns.map { c =>
       val values = df.select(col(c).cast(StringType))
         .filter(col(c).isNotNull)

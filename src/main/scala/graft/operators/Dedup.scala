@@ -20,16 +20,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup, canonical-representative form: keep min(id) per identical
-    * `textCol`. Grouping by a 64-bit content hash keeps the shuffle key
-    * fixed-width (vs arbitrary document text) — at 100 TB the shuffle moves
-    * hashes + ids, not documents.
+    * `textCol`. Grouping by a 128-bit content hash (two independently
+    * seeded 64-bit lanes) keeps the shuffle key fixed-width — at 100 TB the
+    * shuffle moves 16-byte hashes + ids, not documents — while staying
+    * collision-safe at tens of billions of documents, where a single
+    * 64-bit key would start birthday-colliding (~2³² docs).
     */
   def exactCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .withColumn("__h", xxhash64(col(textCol)))
-      .groupBy(col("__h"))
+      .withColumn("__h1", xxhash64(col(textCol)))
+      .withColumn("__h2", xxhash64(lit("g2#"), col(textCol)))
+      .groupBy(col("__h1"), col("__h2"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
-      .drop("__h")
+      .drop("__h1", "__h2")
 
   /** Exact dedup, row-preserving form (`dropDuplicates`). */
   def exactRows(docs: DataFrame, keys: Seq[String]): DataFrame =
