@@ -1,0 +1,93 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge cases for the native single-pass expressions: empty inputs, nulls,
+  * degenerate shingle sizes, and agreement with the HOF reference
+  * implementations on the properties that matter (set equality of shingle
+  * hashes is not required — different hash families — but cardinalities,
+  * dedup behavior, and Jaccard values must line up).
+  */
+class NativeTextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withNative[A](body: => A): A = {
+    NativeTextExpressions.register(spark)
+    body
+  }
+
+  test("shingle_hashes: empty string, short string, dedup, sorted output") {
+    withNative {
+      val df = Seq("", "ab", "aaaaaa", "abcdef").toDF("t")
+        .select(expr("shingle_hashes(t, 5)").as("sh"))
+      val rows = df.collect().map(_.getSeq[Long](0))
+      assert(rows(0).length == 1)            // "" → one empty shingle
+      assert(rows(1).length == 1)            // shorter than k → whole string
+      assert(rows(2).length == 1)            // "aaaaaa": both 5-shingles are "aaaaa" → dedup to 1
+      assert(rows(3).length == 2)            // abcde, bcdef
+      rows.foreach(r => assert(r == r.sorted, "output must be sorted"))
+      rows.foreach(r => assert(r.distinct.length == r.length, "output must be distinct"))
+    }
+  }
+
+  test("null text yields null signature, not a crash") {
+    withNative {
+      val df = Seq(Some("abc"), None).toDF("t")
+        .select(expr("shingle_hashes(t, 3)").as("sh"),
+          expr("simhash64_native(t)").as("sim"))
+      val rows = df.collect()
+      assert(!rows(0).isNullAt(0) && !rows(0).isNullAt(1))
+      assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    }
+  }
+
+  test("minhash_sig on empty shingle set returns MaxValue lanes") {
+    withNative {
+      val sig = Seq(Seq.empty[Long]).toDF("sh")
+        .select(expr("minhash_sig(sh, 4)")).first().getSeq[Long](0)
+      assert(sig == Seq.fill(4)(Long.MaxValue))
+    }
+  }
+
+  test("jaccard_sorted: identical=1, disjoint=0, empty=0, partial correct") {
+    withNative {
+      val df = Seq(
+        (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+        (Seq(1L, 2L), Seq(3L, 4L)),
+        (Seq.empty[Long], Seq.empty[Long]),
+        (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)))
+        .toDF("a", "b")
+        .select(expr("jaccard_sorted(a, b)").as("j"))
+      val js = df.collect().map(_.getDouble(0)).toSeq
+      assert(js == Seq(1.0, 0.0, 0.0, 2.0 / 6.0))
+    }
+  }
+
+  test("simhash64_native: identical texts equal, near texts closer than far") {
+    withNative {
+      val df = Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox leaps over the lazy dog",
+        "entirely unrelated words about query planners")
+        .toDF("t").select(expr("simhash64_native(t)").as("s"))
+      val s = df.collect().map(_.getLong(0))
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      assert(s(0) == s(1))
+      assert(ham(s(0), s(2)) < ham(s(0), s(3)))
+    }
+  }
+
+  test("native and HOF minhash agree on equality structure") {
+    withNative {
+      val texts = Seq("same text here", "same text here", "different words entirely")
+      val native = texts.toDF("t")
+        .select(lower($"t").as("lt"))
+        .select(expr("minhash_sig(shingle_hashes(lt, 5), 8)").as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      assert(native(0) == native(1))
+      assert(native(0) != native(2))
+    }
+  }
+}
