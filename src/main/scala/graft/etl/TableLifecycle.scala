@@ -61,6 +61,15 @@ object TableLifecycle {
     snap.write.mode("append").saveAsTable(historyName(table))
   }
 
+  /** Q10 — first-column extraction (`get_return_list`,
+    * load_tables_daily.py:246–253). Kept for reference parity; note the
+    * collect(): this is a CLIENT-side convenience for small control-flow
+    * results (column lists, catalog probes), never a data-path operator —
+    * anything row-scaled must stay a DataFrame.
+    */
+  def firstColumn(df: DataFrame): Seq[Any] =
+    df.select(df.columns.head).collect().toSeq.map(_.get(0))
+
   /** Bucketed publish: hash-bucket (and sort) the table by its join keys so
     * subsequent equi-joins between co-bucketed tables run shuffle-free —
     * the storage-level answer to "this join's shuffle is the bottleneck at

@@ -213,4 +213,18 @@ object TypeInference {
     inferColumnTypes(df, sampleRows).toSeq
       .map { case (c, t) => (c, t.name) }
       .sortBy(_._1)
+
+  /** D6 — DDL generation: emit a `CREATE TABLE` statement for a DataFrame's
+    * schema, the analogue of `build_query`'s cross-engine DDL
+    * (vertica_upload.py:245–283, including its `text→varchar` style type
+    * rewrite — here the rewrite is Spark-type → SQL-type). Column order
+    * follows the DataFrame; names are backtick-quoted.
+    */
+  def ddlFor(df: DataFrame, table: String): String = {
+    val cols = df.schema.map { f =>
+      val sqlType = f.dataType.sql
+      s"`${f.name}` $sqlType"
+    }
+    s"CREATE TABLE IF NOT EXISTS `$table` (${cols.mkString(", ")})"
+  }
 }

@@ -83,6 +83,40 @@ class PipelineSpec extends SparkSpec {
     assert(clone.schema == spark.table(t).schema)
   }
 
+  test("ddlFor emits CREATE TABLE from a narrowed schema (D6)") {
+    import spark.implicits._
+    val df = Seq(("1", "x")).toDF("id", "name")
+    val typed = TypeInference.narrow(df,
+      Map("id" -> DType.SmallInt, "name" -> DType.Text))
+    val ddl = TypeInference.ddlFor(typed, "t")
+    assert(ddl == "CREATE TABLE IF NOT EXISTS `t` (`id` SMALLINT, `name` STRING)")
+    spark.sql("DROP TABLE IF EXISTS t")
+    spark.sql(ddl) // must be valid Spark SQL
+    assert(spark.catalog.tableExists("t"))
+    spark.sql("DROP TABLE t")
+  }
+
+  test("firstColumn extracts the leading column client-side (Q10)") {
+    import spark.implicits._
+    val vals = TableLifecycle.firstColumn(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(vals == Seq(1, 2))
+  }
+
+  test("manifest DataSource drives the daily pipeline end-to-end") {
+    val dir = Files.createTempDirectory("mpipe")
+    val f1 = writeCsv(dir, "T_One.csv", Seq("a,b", "1,x"))
+    val f2 = writeCsv(dir, "T_Two.csv", Seq("c", "true"))
+    val manifest = dir.resolve("files.list")
+    Files.writeString(manifest, s"$f1\n$f2\n")
+    val files = spark.read.format("graft.sources.ManifestDataSource")
+      .option("path", manifest.toString).load()
+      .select("file_path").collect().map(_.getString(0)).toSeq
+    val report = Pipeline.runDaily(spark, files, dir.resolve("hist").toString)
+    assert(report.tables.map(_.table).toSet == Set("t_one", "t_two"))
+    assert(spark.table("t_one").schema("a").dataType == ShortType)
+    assert(spark.table("t_two").schema("c").dataType == BooleanType)
+  }
+
   test("runDaily E2E over a 3-file manifest (X1)") {
     val dir = Files.createTempDirectory("daily")
     val files = Seq(
