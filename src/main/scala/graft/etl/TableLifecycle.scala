@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, current_timestamp, lit}
 
 /** Table lifecycle: build → prod swap → history (reference D1–D5, A1, Q7–Q9).
   *
@@ -82,6 +82,36 @@ object TableLifecycle {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Partitioned publish: directory-partition the table by low-cardinality
+    * columns (date buckets, region, …) so filters on them become partition
+    * pruning — the scan skips whole directories instead of reading and
+    * filtering. The first lever for time-ranged queries over 100 TB of
+    * fact data; verify with `.explain` showing the pruned partition count.
+    */
+  def publishPartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a table into `targetFiles` files per
+    * partition. Streaming/incremental ingest accumulates small files that
+    * degrade scan parallelism bookkeeping; periodic compaction is the
+    * standard fix. Sorting within partitions clusters the layout for
+    * min/max skipping on the sort key.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+              sortCols: Seq[String] = Nil): Unit = {
+    val df = spark.table(table)
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartition(targetFiles).sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(targetFiles)
+    val tmp = s"${table}_compacting"
+    arranged.write.mode("overwrite").saveAsTable(tmp)
+    dropIfExists(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
 
   /** D5 — schema-only clone (`CREATE TABLE new AS SELECT * FROM old WHERE
     * 1 = 2`, vertica_upload.py:191–197). `lit(false)` is folded by Catalyst

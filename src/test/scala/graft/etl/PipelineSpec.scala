@@ -117,6 +117,30 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("t_two").schema("c").dataType == BooleanType)
   }
 
+  test("partitioned publish prunes partitions on the filter column") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, s"r$i", 2020 + i % 4)).toDF("id", "v", "yr")
+    TableLifecycle.publishPartitioned(df, "pp_orders", Seq("yr"))
+    val q = spark.table("pp_orders").filter($"yr" === 2021)
+    assert(q.count() == 25)
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filter must be applied at the source, not post-scan
+    assert(scan.contains("PartitionFilters") && scan.contains("yr"), scan)
+    assert(!scan.contains("Filter (yr"), "filter should be pruned into the scan")
+  }
+
+  test("compact rewrites into target file count, preserving rows") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, i % 7)).toDF("id", "g").repartition(20)
+    df.write.mode("overwrite").saveAsTable("cmp_t")
+    TableLifecycle.compact(spark, "cmp_t", targetFiles = 2, sortCols = Seq("id"))
+    val back = spark.table("cmp_t")
+    assert(back.count() == 200)
+    assert(back.select("id").distinct().count() == 200)
+    val files = back.inputFiles.length
+    assert(files <= 2, s"expected <=2 files after compaction, got $files")
+  }
+
   test("runDaily E2E over a 3-file manifest (X1)") {
     val dir = Files.createTempDirectory("daily")
     val files = Seq(
