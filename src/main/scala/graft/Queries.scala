@@ -559,4 +559,18 @@ object Queries {
     t(spark, dir, "region").select(col("r_name"))
       .crossJoin(t(spark, dir, "lineitem").select(col("l_returnflag")).distinct())
       .orderBy(col("r_name"), col("l_returnflag"))
+
+  /** Salted skew join, oracle-checked against the plain SQL join — the
+    * salt must be semantics-invisible, so the DuckDB oracle is simply the
+    * unsalted join.
+    */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+      .withColumnRenamed("n_nationkey", "c_nationkey")
+      .select(col("c_nationkey"), col("n_name"))
+    graft.operators.Skew.saltedJoin(customer, nation, "c_nationkey", saltFactor = 8)
+      .select(col("c_custkey"), col("n_name"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -91,7 +91,9 @@ object SparkEntry {
     "q55_cosine_near_dups"  -> Queries.cosineNearDups _,
     "q56_ivf_topk"          -> Queries.ivfTopkSimilar _,
     // pipeline E2E inside the oracle gate
-    "q57_pipeline_roundtrip" -> Queries.pipelineRoundtrip _
+    "q57_pipeline_roundtrip" -> Queries.pipelineRoundtrip _,
+    // salted skew join (oracle = the plain join: salt is semantics-invisible)
+    "q58_salted_join"       -> Queries.saltedJoinQuery _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -368,6 +370,10 @@ object SparkEntry {
         |ORDER BY r_name, l_returnflag""".stripMargin,
     "q57_pipeline_roundtrip" ->
       """SELECT 'nation' AS table_name, CAST(25 AS BIGINT) AS record_count,
-        | 3 AS n_columns, 'smallint' AS key_type, 'string' AS name_type""".stripMargin
+        | 3 AS n_columns, 'smallint' AS key_type, 'string' AS name_type""".stripMargin,
+    "q58_salted_join" ->
+      """SELECT c_custkey, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin
   )
 }

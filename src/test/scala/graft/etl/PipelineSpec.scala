@@ -141,6 +141,18 @@ class PipelineSpec extends SparkSpec {
     assert(files <= 2, s"expected <=2 files after compaction, got $files")
   }
 
+  test("ORC roundtrip: a third columnar format writes and reads losslessly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "d")
+    df.write.mode("overwrite").orc(s"$dir/t")
+    val back = spark.read.orc(s"$dir/t")
+    // file formats read back as nullable; names and types must match
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("runDaily E2E over a 3-file manifest (X1)") {
     val dir = Files.createTempDirectory("daily")
     val files = Seq(
