@@ -158,6 +158,19 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Forward as-of: each signup's next purchase by the same user. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    AsOfJoin.forward(signups, purchases, Seq("user_id"), "ts", "ts", Seq("ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts_asof"), "yyyy-MM-dd HH:mm:ss").as("next_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of join via union + ordered window (one shuffle; see AsOfJoin). */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val events = t(spark, dir, "events")

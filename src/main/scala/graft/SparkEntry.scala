@@ -93,7 +93,9 @@ object SparkEntry {
     // pipeline E2E inside the oracle gate
     "q57_pipeline_roundtrip" -> Queries.pipelineRoundtrip _,
     // salted skew join (oracle = the plain join: salt is semantics-invisible)
-    "q58_salted_join"       -> Queries.saltedJoinQuery _
+    "q58_salted_join"       -> Queries.saltedJoinQuery _,
+    // forward as-of join
+    "q59_asof_forward"      -> Queries.asofForward _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -374,6 +376,12 @@ object SparkEntry {
     "q58_salted_join" ->
       """SELECT c_custkey, n_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q59_asof_forward" ->
+      """SELECT e.event_id, e.user_id,
+        | strftime((SELECT min(p.ts) FROM events p
+        |           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |             AND p.ts > e.ts), '%Y-%m-%d %H:%M:%S') AS next_ts
+        |FROM events e WHERE e.event_type = 'signup' ORDER BY e.event_id""".stripMargin
   )
 }

@@ -64,4 +64,48 @@ object AsOfJoin {
     val carried = valueCols.map(c => col("__asof").getField(c).as(s"${c}_asof"))
     annotated.select(left.columns.map(col) ++ carried: _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTime > leftTime` (strict) sharing the keys — the mirror of
+    * [[backward]], realized by ordering the union descending so "last seen"
+    * walking the partition is the nearest future right row. Same one-
+    * shuffle cost profile.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String, valueCols: Seq[String],
+              strict: Boolean = true): DataFrame = {
+    val keyCols = keys.map(col)
+    // descending time: at equal timestamps a strict forward join must not
+    // see right rows, so they sort after left rows in the descending order.
+    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
+
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(leftSide))
+      .withColumn("__r", lit(null).cast(
+        right.select(struct(valueCols.map(col): _*)).schema.head.dataType))
+    val rTagged = right
+      .select((keyCols :+ col(rightTime).as("__t")) :+
+        struct(valueCols.map(col): _*).as("__r"): _*)
+      .withColumn("__side", lit(rightSide))
+
+    val unioned = lTagged.select(
+        (left.columns.map(col) ++ Seq(col("__t"), col("__side"), col("__r"))): _*)
+      .unionByName(
+        rTagged.select(
+          (keyCols ++ left.columns.filterNot(keys.contains).map(c => lit(null).cast(
+            left.schema(c).dataType).as(c)) ++ Seq(col("__t"), col("__side"), col("__r"))): _*),
+        allowMissingColumns = false)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val annotated = unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftSide && col("__t").isNotNull)
+
+    val carried = valueCols.map(c => col("__asof").getField(c).as(s"${c}_asof"))
+    annotated.select(left.columns.map(col) ++ carried: _*)
+  }
 }

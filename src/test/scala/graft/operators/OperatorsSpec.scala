@@ -137,6 +137,26 @@ class OperatorsSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("asof forward join picks earliest strictly-later right row") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "equal-ts"), // equal to left id=1: excluded (strict)
+      (10L, ts("2024-01-01 11:00:00"), "a"),
+      (10L, ts("2024-01-01 13:00:00"), "b"),
+      (20L, ts("2024-01-01 08:00:00"), "past"))     // before left id=3: excluded
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("id").collect()
+    assert(out(0).getString(3) == "a")   // not "equal-ts": strict >
+    assert(out(1).getString(3) == "b")
+    assert(out(2).isNullAt(3))           // nothing later for key 20
+  }
+
   test("asof backward join picks latest strictly-prior right row") {
     def ts(s: String) = Timestamp.valueOf(s)
     val left = Seq(
