@@ -448,7 +448,7 @@ object Queries {
 
   def inferSchemaReport(spark: SparkSession, dir: String): DataFrame = {
     val part = t(spark, dir, "part")
-    val allText = part.select(part.columns.map(c => col(c).cast("string").as(c)): _*)
+    val allText = part.select(part.columns.toSeq.map(c => col(c).cast("string").as(c)): _*)
     val report = TypeInference.schemaReport(allText)
     import spark.implicits._
     report.toDF("column_name", "inferred_type").orderBy(col("column_name"))

@@ -46,7 +46,7 @@ object AsOfJoin {
       .withColumn("__side", lit(rightSide))
 
     val unioned = lTagged.select(
-        (left.columns.map(col) ++ Seq(col("__t"), col("__side"), col("__r"))): _*)
+        (left.columns.toSeq.map(col) ++ Seq(col("__t"), col("__side"), col("__r"))): _*)
       .unionByName(
         rTagged.select(
           (keyCols ++ left.columns.filterNot(keys.contains).map(c => lit(null).cast(
@@ -62,7 +62,7 @@ object AsOfJoin {
       .filter(col("__side") === leftSide && col("__t").isNotNull)
 
     val carried = valueCols.map(c => col("__asof").getField(c).as(s"${c}_asof"))
-    annotated.select(left.columns.map(col) ++ carried: _*)
+    annotated.select(left.columns.toSeq.map(col) ++ carried: _*)
   }
 
   /** Forward as-of: for each left row, the EARLIEST right row with
@@ -90,7 +90,7 @@ object AsOfJoin {
       .withColumn("__side", lit(rightSide))
 
     val unioned = lTagged.select(
-        (left.columns.map(col) ++ Seq(col("__t"), col("__side"), col("__r"))): _*)
+        (left.columns.toSeq.map(col) ++ Seq(col("__t"), col("__side"), col("__r"))): _*)
       .unionByName(
         rTagged.select(
           (keyCols ++ left.columns.filterNot(keys.contains).map(c => lit(null).cast(
@@ -106,6 +106,6 @@ object AsOfJoin {
       .filter(col("__side") === leftSide && col("__t").isNotNull)
 
     val carried = valueCols.map(c => col("__asof").getField(c).as(s"${c}_asof"))
-    annotated.select(left.columns.map(col) ++ carried: _*)
+    annotated.select(left.columns.toSeq.map(col) ++ carried: _*)
   }
 }
