@@ -110,7 +110,14 @@ object TypeInference {
         val v = s.toDouble
         if (v >= -32768 && v <= 32767) SmallInt
         else if (v >= -2147483648.0 && v <= 2147483647.0) Int32
-        else Int64
+        // Beyond long range the reference still says "bigint"
+        // (load_tables_daily.py:136 has no upper bound) and its ALTER then
+        // fails at load time; we degrade to numeric while the value fits
+        // DecimalType(38,18)'s 20 integer digits, else text — so narrow()
+        // never feeds an unrepresentable value to an ANSI cast.
+        else if (math.abs(v) <= 9.2e18) Int64
+        else if (math.abs(v) < 1e20) Num
+        else Text
       } else Num
     } else if (isBool(s)) Bool
     else parseTemporal(s) match {

@@ -35,6 +35,12 @@ class TypeInferenceSpec extends SparkSpec {
     assert(guessType("-7") == SmallInt)
   }
 
+  test("integers beyond representable ranges degrade instead of breaking narrow()") {
+    assert(guessType("9000000000000000000") == Int64)   // fits long
+    assert(guessType("1e19") == Num)                    // > long, fits decimal(38,18)
+    assert(guessType("1e308") == Text)                  // beyond decimal → text
+  }
+
   test("non-integer numerics are numeric (reference :138)") {
     assert(guessType("3.14") == Num)
     assert(guessType("1.5e3") == SmallInt) // 1500.0 == int(1500) → integer path, like the reference
