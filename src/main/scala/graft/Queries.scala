@@ -255,6 +255,17 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** grouping() indicator columns distinguish real NULL group keys from
+    * rollup subtotal rows — the introspection half of rollup/cube.
+    */
+  def groupingIndicators(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(

@@ -95,7 +95,9 @@ object SparkEntry {
     // salted skew join (oracle = the plain join: salt is semantics-invisible)
     "q58_salted_join"       -> Queries.saltedJoinQuery _,
     // forward as-of join
-    "q59_asof_forward"      -> Queries.asofForward _
+    "q59_asof_forward"      -> Queries.asofForward _,
+    // grouping() indicators on rollup
+    "q60_grouping_ind"      -> Queries.groupingIndicators _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -382,6 +384,13 @@ object SparkEntry {
         | strftime((SELECT min(p.ts) FROM events p
         |           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
         |             AND p.ts > e.ts), '%Y-%m-%d %H:%M:%S') AS next_ts
-        |FROM events e WHERE e.event_type = 'signup' ORDER BY e.event_id""".stripMargin
+        |FROM events e WHERE e.event_type = 'signup' ORDER BY e.event_id""".stripMargin,
+    "q60_grouping_ind" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        | CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }
