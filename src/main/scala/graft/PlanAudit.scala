@@ -30,7 +30,7 @@ object PlanAudit {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"=== $name  runs=${times.map(t => f"$t%.2f").mkString(",")}s")
-      if (sys.env.get("PLAN_AUDIT_EXPLAIN").forall(_ == "1"))
+      if (sys.env.get("PLAN_AUDIT_EXPLAIN").contains("1"))
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }

@@ -195,19 +195,58 @@ object TypeInference {
     }.toMap
   }
 
+  /** The pinned format list of [[parseTemporal]] re-expressed in Spark's
+    * datetime pattern syntax, for the narrowing cast. ISO shapes (formats 1–2
+    * of `dateTimeFormats`, incl. 'T' separators and fractional seconds) are
+    * covered by the default `try_to_timestamp` parse; the rest are explicit.
+    * Single-letter fields are width-lenient, matching the java.time patterns.
+    */
+  private val sparkTemporalFormats: Seq[String] = Seq(
+    "yyyy/M/d", "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm", "M/d/yyyy",
+    "M-d-yyyy", "MMM d, yyyy", "yyyyMMdd'T'HHmmss")
+
+  /** First successful parse across the pinned formats, null if none match —
+    * the Spark-side mirror of [[parseTemporal]], so every string `guessType`
+    * classifies as date/timestamp narrows without an ANSI cast error.
+    */
+  private def temporalParse(c: Column): Column =
+    coalesce((try_to_timestamp(c) +:
+      sparkTemporalFormats.map(f => try_to_timestamp(c, lit(f)))).toSeq: _*)
+
   /** D3 equivalent: one-shot functional cast rewrite instead of per-column
     * `ALTER COLUMN TYPE` mutations (load_tables_daily.py:296–305,422–426).
     * A single `select` keeps the whole narrowing inside one projection —
     * one pass over the data, fully codegen'd.
+    *
+    * Casts are inference-consistent, not plain ANSI casts: `guessType`
+    * accepts integer-valued decimal/scientific strings ('2.0', '1.5e3') as
+    * integral and non-ISO temporals ('3/14/2024') as date/timestamp, both of
+    * which a direct ANSI `CAST` would reject at runtime. Integral targets
+    * therefore route through a decimal intermediate (ANSI decimal→integral
+    * truncates the fraction and only errors on overflow, which inference's
+    * range rules already exclude) and temporals through the same pinned
+    * format list inference used. `try_cast` semantics throughout: a value
+    * the sample never saw degrades to null instead of failing the load —
+    * the sampled-inference contract (SURVEY §7 hard-part 1).
     */
   def narrow(df: DataFrame, types: Map[String, DType]): DataFrame = {
     val cols: Seq[Column] = df.columns.toSeq.map { c =>
       types.get(c) match {
-        case Some(t) if t != Text => col(c).cast(DType.toSpark(t)).as(c)
+        case Some(t) if t != Text => narrowColumn(col(c), t).as(c)
         case _                    => col(c)
       }
     }
     df.select(cols: _*)
+  }
+
+  private def narrowColumn(c: Column, t: DType): Column = t match {
+    case SmallInt | Int32 | Int64 =>
+      c.try_cast(DecimalType(38, 18)).try_cast(DType.toSpark(t))
+    case Num       => c.try_cast(DecimalType(38, 18))
+    case Bool      => c.try_cast(BooleanType)
+    case DateD     => temporalParse(c).cast(DateType)
+    case Timestamp => temporalParse(c)
+    case Text      => c
   }
 
   def inferAndNarrow(df: DataFrame): DataFrame = narrow(df, inferColumnTypes(df))

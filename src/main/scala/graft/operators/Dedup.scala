@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Stage an intermediate DataFrame to parquet and read it back, instead of
+    * `persist()`: the signature tables below are referenced by the band table
+    * and both verify joins (3–4 recomputations without reuse), but a
+    * `persist()` with no reachable unpersist point would pin executor storage
+    * memory for the life of the session (the returned plan is lazy, so there
+    * is no safe place to unpersist inside the operator). A staged write costs
+    * one extra pass at local scale and is exactly the right shape at cluster
+    * scale — signatures land once on the shared filesystem and every
+    * downstream join reads the same files. Set `spark.graft.stagingDir` to a
+    * cluster-visible path (defaults to java.io.tmpdir, correct for local
+    * mode); staged dirs are removed on JVM exit.
+    */
+  private def stage(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = spark.conf.getOption("spark.graft.stagingDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"$base/graft-stage-$tag-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    spark.read.parquet(dir)
+  }
+
   /** Exact dedup, canonical-representative form: keep min(id) per identical
     * `textCol`. Grouping by a 128-bit content hash (two independently
     * seeded 64-bit lanes) keeps the shuffle key fixed-width — at 100 TB the
@@ -58,15 +81,13 @@ object Dedup {
     // (id, sh: array<long>, sig: array<long>) — one pass over the text via
     // the native expressions (single tight loop per row vs thousands of
     // interpreted HOF lambda evaluations — see NativeTextExpressions).
-    // Persisted: referenced by the band table and both verify joins; without
-    // it the shingling+hashing pass runs 3-4×. At cluster scale the same
-    // role is played by staging signatures to parquet once per corpus.
+    // Staged: referenced by the band table and both verify joins; without
+    // reuse the shingling+hashing pass runs 3-4× (see [[stage]]).
     NativeTextExpressions.register(docs.sparkSession)
-    val sig = docs
+    val sig = stage(docs
       .select(col(idCol).as("id"), lower(col(textCol)).as("__lt"))
       .select(col("id"), expr(s"shingle_hashes(__lt, $shingleK)").as("sh"))
-      .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
-      .persist()
+      .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)")), "minhash-sig")
 
     // fixed-width band table: (id, band, band_hash) only.
     val banded = sig.select(
@@ -105,11 +126,10 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    // persisted for the same reuse reason as the MinHash signature table
+    // staged for the same reuse reason as the MinHash signature table
     NativeTextExpressions.register(docs.sparkSession)
-    val sig = docs.select(col(idCol).as("id"),
-        expr(s"simhash64_native($textCol)").as("sh"))
-      .persist()
+    val sig = stage(docs.select(col(idCol).as("id"),
+        expr(s"simhash64_native($textCol)").as("sh")), "simhash-sig")
     val chunked = sig.select(col("id"),
       posexplode(array((0 until 4).map { c =>
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))

@@ -1,8 +1,9 @@
 package graft.sources
 
 import graft.etl.Ingest
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -60,21 +61,27 @@ private[sources] class ManifestScanBuilder(path: String) extends ScanBuilder wit
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(ManifestPartition(path))
+  // Capture the session's Hadoop configuration on the driver so executor-side
+  // reads see the same filesystem settings/credentials (S3 keys, HDFS nameservice)
+  // as the session — a fresh `new Configuration()` on the executor would not.
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory
+    new ManifestReaderFactory(new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sources] case class ManifestPartition(path: String) extends InputPartition
 
-private[sources] class ManifestReaderFactory extends PartitionReaderFactory {
+private[sources] class ManifestReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ManifestReader(partition.asInstanceOf[ManifestPartition].path)
+    new ManifestReader(partition.asInstanceOf[ManifestPartition].path, conf)
 }
 
-private[sources] class ManifestReader(path: String) extends PartitionReader[InternalRow] {
+private[sources] class ManifestReader(path: String, conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
   private val lines: Iterator[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
     val all = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList

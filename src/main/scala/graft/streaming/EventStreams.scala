@@ -76,36 +76,56 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Int,
                         total_value: Double)
 
-  /** Custom per-user sessionizer with explicit state + processing-time
-    * timeout — the `flatMapGroupsWithState` shape for semantics the
-    * built-in session_window can't express (e.g. emit-on-close with
-    * session-spanning aggregates).
+  /** Custom per-user sessionizer with explicit state + event-time timeout —
+    * the `flatMapGroupsWithState` shape for semantics the built-in
+    * session_window can't express (e.g. emit-on-close with session-spanning
+    * aggregates). The timeout is what bounds state on a real stream: once
+    * the watermark passes a session's last event + gap, the open session is
+    * emitted and its state removed, so per-user state never outlives its
+    * session (an event-time timeout, not processing-time, so batch-style
+    * replays and catch-up reads close sessions identically to live runs).
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapMs: Long = 5 * 60 * 1000L): Dataset[SessionOut] = {
+                 gapMs: Long = 5 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var closed = List.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                closed ::= SessionOut(userId, new Timestamp(s.start), s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: close and evict the session.
+            val out = state.getOption.map(s =>
+              SessionOut(userId, new Timestamp(s.start), s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // must exceed the current watermark or Spark rejects it —
+              // a very-late straggler can otherwise set a timeout in the past.
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
           }
-          cur.foreach(state.update)
-          closed.reverseIterator
       }
   }
 

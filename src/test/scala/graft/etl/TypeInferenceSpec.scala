@@ -102,6 +102,43 @@ class TypeInferenceSpec extends SparkSpec {
     assert(sampleSizeFor(800) == 800)
   }
 
+  test("narrow() survives every shape guessType accepts (ANSI-cast hardening)") {
+    import spark.implicits._
+    // each value here is classified non-text by guessType but would throw
+    // CAST_INVALID_INPUT under a plain ANSI cast to the inferred type.
+    val df = Seq(
+      ("2.0", "1.5e3", "3/14/2024", "2024/01/05", "Mar 14, 2024", "20240101T120000"),
+      ("7", "12", "2024-01-01", "2024-02-02", "Jan 2, 2024", "20240301T000130"))
+      .toDF("dec_int", "sci_int", "us_date", "slash_date", "word_date", "compact_ts")
+    val typed = inferAndNarrow(df)
+    val m = typed.schema.map(f => f.name -> f.dataType).toMap
+    assert(m("dec_int") == ShortType)
+    assert(m("sci_int") == ShortType)
+    assert(m("us_date") == DateType)
+    assert(m("slash_date") == DateType)
+    assert(m("word_date") == DateType)
+    assert(m("compact_ts") == TimestampType)
+    val rows = typed.orderBy(col("dec_int")).collect()
+    assert(rows.map(_.getShort(0)).toSeq == Seq(2, 7))
+    assert(rows.map(_.getShort(1)).toSeq == Seq(1500, 12))
+    assert(rows.head.getDate(2).toString == "2024-03-14")
+    assert(rows.head.getDate(3).toString == "2024-01-05")
+    assert(rows.head.getDate(4).toString == "2024-03-14")
+    assert(rows.head.getTimestamp(5).toString == "2024-01-01 12:00:00.0")
+  }
+
+  test("narrow() degrades values the sample never saw to null instead of failing") {
+    import spark.implicits._
+    val df = Seq("1", "2", "3").toDF("i")
+    // force a smallint narrowing, then feed a non-numeric value through it
+    val dirty = Seq("4", "oops").toDF("i")
+    val typed = narrow(dirty, Map("i" -> SmallInt))
+    assert(typed.schema.head.dataType == ShortType)
+    val vals = typed.collect().map(r => if (r.isNullAt(0)) None else Some(r.getShort(0)))
+    assert(vals.toSet == Set(Some(4.toShort), None))
+    assert(narrow(df, inferColumnTypes(df)).count() == 3)
+  }
+
   test("inferAndNarrow types an all-text DataFrame") {
     import spark.implicits._
     val df = Seq(

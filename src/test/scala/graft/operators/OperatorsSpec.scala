@@ -36,6 +36,12 @@ class OperatorsSpec extends SparkSpec {
     assert(!keys.contains((3L, 4L)))           // unrelated not paired
   }
 
+  test("dedup operators leave no cached RDDs behind (staged, not persisted)") {
+    Dedup.minhashCandidatePairs(docs, "doc_id", "text").count()
+    Dedup.simhashNearDups(docs, "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minhashNearDups thresholds on true jaccard") {
     val nd = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
     val keys = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -91,6 +91,19 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows.length == 1)
       assert(rows.head.session_start == ts("2024-01-01 10:00:00"))
       assert(rows.head.n_events == 2 && rows.head.total_value == 5.0)
+
+      // event-time timeout: once the watermark (10 min delay) passes the open
+      // session's last event + gap, the 10:30 session is emitted and evicted —
+      // no new event for user 1 is needed, only watermark advancement.
+      in.addData(ev(4, "2024-01-01 11:00:00", user = 99, v = 1.0))
+      q.processAllAvailable()
+      in.addData(ev(5, "2024-01-01 11:30:00", user = 99, v = 1.0))
+      q.processAllAvailable()
+      val after = spark.table("sessions").as[SessionOut].collect()
+        .filter(_.user_id == 1L)
+      assert(after.length == 2)
+      val open = after.find(_.session_start == ts("2024-01-01 10:30:00"))
+      assert(open.exists(s => s.n_events == 1 && s.total_value == 5.0))
     } finally q.stop()
   }
 
