@@ -1,6 +1,7 @@
 package graft
 
 import graft.etl.TypeInference
+import graft.functions.NativeTextExpressions
 import graft.functions.TextFunctions._
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Dedup, Similarity}
@@ -331,13 +332,18 @@ object Queries {
     t(spark, dir, "documents")
       .agg(countDistinct(col("text")).as("n_distinct"), count(lit(1)).as("n_total"))
 
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    // native single-pass expressions (one JIT'd loop per row) instead of the
+    // interpreted-per-element HOF formulations — identical values, parity
+    // asserted in NativeTextExpressionsSpec
+    NativeTextExpressions.register(spark)
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        stopwordCount(col("text")).as("n_stopwords"),
-        round(punctRatio(col("text")), 4).as("punct_ratio"))
+        expr("token_count_native(text)").as("n_tokens"),
+        expr("stopword_count_native(text)").as("n_stopwords"),
+        round(expr("punct_ratio_native(text)"), 4).as("punct_ratio"))
       .orderBy(col("doc_id"))
+  }
 
   def termFrequency(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -347,11 +353,13 @@ object Queries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)
 
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    NativeTextExpressions.register(spark)
     t(spark, dir, "documents")
-      .filter(col("lang") === "en" && tokenCount(col("text")) >= 20)
+      .filter(col("lang") === "en" && expr("token_count_native(text)") >= 20)
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
 
   /** Language-ID heuristic + fingerprints + BPE-ish subword count —
     * engine-specific hashes/heuristics, no oracle (rows-only).
@@ -365,15 +373,28 @@ object Queries {
         subwordCount(col("text")).as("n_subwords"))
       .orderBy(col("doc_id"))
 
-  /** Embedding-cosine near-duplicate pairs via SRP-LSH buckets (rows-only:
-    * bucketing is approximate by design).
+  /** Embedding-cosine near-duplicate pairs via banded SRP-LSH (rows-only:
+    * bucketing is approximate by design; recall-gated in OperatorsSpec
+    * against [[cosineExactPairs]]). Auto-tuned bits (corpus size) and table
+    * count (0.9 recall target at the threshold).
     */
   def cosineNearDups(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.2,
-        numPlanes = 4)
+    Similarity.cosineNearDupPairs(t(spark, dir, "embeddings"), threshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** IVF-flat ANN top-k (rows-only: inverted-list search is approximate). */
+  /** Exact all-pairs cosine above the same threshold [[cosineNearDups]]
+    * uses — the oracle-checkable exact baseline the approximate variant's
+    * recall is measured against. Corpus bounded (vec_id < 2000) so the
+    * O(N²) baseline stays a baseline at any SF.
+    */
+  def cosineExactPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.exactCosinePairs(
+        t(spark, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** IVF-flat ANN top-k (rows-only: inverted-list search is approximate;
+    * centroids k-means-trained, 3 Lloyd's iterations).
+    */
   def ivfTopkSimilar(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -423,11 +444,14 @@ object Queries {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** ANN via random-hyperplane LSH (rows-only: approximate). */
+  /** ANN via banded random-hyperplane LSH (rows-only: approximate;
+    * recall-gated vs brute force in OperatorsSpec).
+    */
   def lshTopkSimilar(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5, numPlanes = 2)
-      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5,
+        numTables = 8, bits = 2)
+      .orderBy(col("query_id"), col("rk"))
   }
 
   // ---- multimodal plumbing ----

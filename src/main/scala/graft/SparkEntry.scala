@@ -97,7 +97,10 @@ object SparkEntry {
     // forward as-of join
     "q59_asof_forward"      -> Queries.asofForward _,
     // grouping() indicators on rollup
-    "q60_grouping_ind"      -> Queries.groupingIndicators _
+    "q60_grouping_ind"      -> Queries.groupingIndicators _,
+    // exact all-pairs cosine — the hash-checked baseline q55/q39/q56's recall
+    // is measured against (OperatorsSpec recall gates)
+    "q61_cosine_exact_pairs" -> Queries.cosineExactPairs _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -391,6 +394,16 @@ object SparkEntry {
         | CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
         | count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // DOUBLE[] casts make DuckDB compute in float64 like the Spark side
+    // (on FLOAT lists it computes in float32 — boundary pairs would flap).
+    "q61_cosine_exact_pairs" ->
+      """SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS c
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE a.vec_id < 2000 AND b.vec_id < 2000)
+        |WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin
   )
 }

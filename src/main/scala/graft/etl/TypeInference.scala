@@ -176,22 +176,29 @@ object TypeInference {
     */
   def boundedCount(df: DataFrame): Long = df.limit(10001).count()
 
-  /** Sampled per-column inference (Q1/Q2/Q5/Q6/T3): for each column,
-    * `SELECT col WHERE col IS NOT NULL LIMIT n` (load_tables_daily.py:287) →
-    * per-value guess → widen. The LIMIT is pushed into the scan by Catalyst
-    * (`CollectLimit`), so this reads O(columns × n) values regardless of
-    * table size — the same bounded-probe design that keeps the reference
-    * viable on multi-million-row tables keeps this viable at 100 TB.
+  /** Sampled per-column inference (Q1/Q2/Q5/Q6/T3): take a bounded row
+    * sample and vote every column in ONE aggregation job —
+    * `df.limit(n).agg(vote(c1), vote(c2), …)` with [[TypeVoteAggregator]]
+    * doing the per-value guess → widen reduction distributively (the lattice
+    * is commutative/associative, so map-side partial votes are sound).
+    *
+    * The reference runs one `SELECT col WHERE col IS NOT NULL LIMIT n` per
+    * column (load_tables_daily.py:287); a naive port launches one Spark job
+    * per column — 500 job rounds on a 500-column extract, and each
+    * `IS NOT NULL … LIMIT` probe can scan arbitrarily deep on a
+    * mostly-null column. One bounded-sample job reads O(n) rows total
+    * regardless of table size or column count. Null values inside the
+    * sample are skipped by the vote (an all-null column stays text,
+    * matching the reference's all-text default).
     */
   def inferColumnTypes(df: DataFrame, sampleRows: Option[Int] = None): Map[String, DType] = {
+    if (df.columns.isEmpty) return Map.empty
     val n = sampleRows.getOrElse(sampleSizeFor(boundedCount(df)))
-    df.columns.map { c =>
-      val values = df.select(col(c).cast(StringType))
-        .filter(col(c).isNotNull)
-        .limit(n)
-        .collect()
-        .map(_.getString(0))
-      c -> meet(values.map(v => guessType(v.trim)))
+    val vote = udaf(TypeVoteAggregator)
+    val aggCols = df.columns.map(c => vote(col(c).cast(StringType)).as(c))
+    val row = df.limit(n).agg(aggCols.head, aggCols.tail.toSeq: _*).first()
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> DType.fromName(row.getString(i))
     }.toMap
   }
 

@@ -170,6 +170,113 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** Matches Java regex `\s` — the charset Spark's `split(col, "\\s+")`
+    * tokenizes on (NOT Character.isWhitespace, which also matches unicode
+    * separators): identical token boundaries to the HOF formulation.
+    */
+  @inline private def isJavaSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Count of non-empty whitespace-separated tokens — one pass, no token
+    * array materialized. Same result as
+    * `size(filter(split(lower(text), "\\s+"), t => length(t) > 0))`
+    * ([[TextFunctions.tokenCount]]) at one scan-local loop per row; the
+    * filter/quality hot path (q32/q34) runs this per document.
+    */
+  case class TokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "token_count_native"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"token_count_native expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var count = 0
+      var inTok = false
+      var i = 0
+      while (i < s.length) {
+        if (isJavaSpace(s.charAt(i))) inTok = false
+        else if (!inTok) { count += 1; inTok = true }
+        i += 1
+      }
+      count
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Count of lowercased tokens that are stopwords (the q32 quality
+    * signal) — single pass, set membership per token, no arrays.
+    */
+  case class StopwordCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "stopword_count_native"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"stopword_count_native expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+      var count = 0
+      var start = 0
+      var i = 0
+      while (i <= s.length) {
+        if (i == s.length || isJavaSpace(s.charAt(i))) {
+          if (i > start && NativeTextExpressions.stopwordSet.contains(s.substring(start, i)))
+            count += 1
+          start = i + 1
+        }
+        i += 1
+      }
+      count
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Punctuation character ratio (0.0 when empty) — same result as the
+    * regexp_replace-based [[TextFunctions.punctRatio]] without running a
+    * regex engine per row.
+    */
+  case class PunctRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "punct_ratio_native"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"punct_ratio_native expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (s.isEmpty) 0.0
+      else {
+        var punct = 0
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':')
+            punct += 1
+          i += 1
+        }
+        punct.toDouble / s.length
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private[graft] val stopwordSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.stopwords.foreach(s.add)
+    s
+  }
+
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
@@ -186,5 +293,8 @@ object NativeTextExpressions {
     add("minhash_sig", c => MinHashSig(c.head, litInt(c(1), "numHashes")))
     add("jaccard_sorted", c => SortedLongJaccard(c.head, c(1)))
     add("simhash64_native", c => SimHash(c.head))
+    add("token_count_native", c => TokenCount(c.head))
+    add("stopword_count_native", c => StopwordCount(c.head))
+    add("punct_ratio_native", c => PunctRatio(c.head))
   }
 }

@@ -32,7 +32,7 @@ object TextFunctions {
     when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
   }
 
-  private val stopwords = Seq(
+  private[graft] val stopwords = Seq(
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "for", "on")
 
   /** Stopword hits among tokens — classic quality / fluency signal. */

@@ -75,10 +75,73 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection bucket ids for banded SRP-LSH: `numTables`
+  * independent b-bit tables, each bucket id the fold of `bits` hyperplane
+  * sign bits. One fused loop per row over all tables×bits planes (a HOF
+  * formulation would re-evaluate interpreted lambdas per plane element).
+  * Hyperplanes are derived deterministically from (seed, plane index, dim),
+  * so corpus and query sides agree across executors and runs. Returns
+  * `array<long>` of length `numTables`; pair with `posexplode` so the table
+  * index joins alongside the bucket value.
+  */
+case class SrpBuckets(child: Expression, numTables: Int, bits: Int, seed: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "srp_buckets"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_buckets expects array<float>, got ${other.simpleString}")
+  }
+
+  // planes(t*bits + j) = gaussian hyperplane; lazily built per JVM, keyed by
+  // dim discovered from the first row (embedding dim is constant per corpus).
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, d => {
+      Array.tabulate(numTables * bits) { p =>
+        val rnd = new java.util.Random(seed * 1000003L + p * 7919L + d)
+        Array.fill(d)(rnd.nextGaussian())
+      }
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val planes = planesFor(dim)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val plane = planes(t * bits + j)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v.getFloat(i) * plane(i); i += 1 }
+        bucket = (bucket << 1) | (if (dot >= 0) 1L else 0L)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
-  /** Register `cosine_sim` on this session's function registry so it is
-    * usable from both `expr(...)` and `spark.sql(...)`. Idempotent.
+  /** Register `cosine_sim` and `srp_buckets` on this session's function
+    * registry so they are usable from both `expr(...)` and `spark.sql(...)`.
+    * Idempotent.
     */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -86,6 +149,18 @@ object VectorFunctions {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+    classic.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("srp_buckets"),
+      new ExpressionInfo(classOf[SrpBuckets].getName, null, "srp_buckets"),
+      (children: Seq[Expression]) => SrpBuckets(children.head,
+        litNum(children(1), "numTables").toInt, litNum(children(2), "bits").toInt,
+        litNum(children(3), "seed")))
+  }
+
+  private def litNum(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)  => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
   /** Codegen'd native cosine (requires [[register]] on the session). */

@@ -12,10 +12,18 @@ import scala.util.Random
   * Scale design: the query set is always the small side — broadcast it and
   * make a single scan over the corpus compute all query×corpus scores, then
   * per-query top-k via `Window` + rank (which Spark executes as a partial
-  * top-k per partition under AQE). The corpus is never self-joined: cost is
-  * O(|corpus| × |queries|) FLOPs on one pass, which is the right baseline
-  * at 100 TB. The LSH variant cuts the scanned fraction by bucketing both
-  * sides on random-hyperplane sign bits.
+  * top-k per partition under AQE). The corpus is never self-joined
+  * all-pairs: the near-dup and ANN variants confine comparison to LSH
+  * buckets / inverted lists, so candidate volume stays linear in the corpus.
+  *
+  * SRP-LSH recall math (used by the auto-tuning below): a random hyperplane
+  * puts two vectors with cosine c on the same side with probability
+  * p = 1 − arccos(c)/π; a b-bit table catches the pair with p^b and T
+  * independent tables with 1 − (1 − p^b)^T. Bits are derived from corpus
+  * size (constant expected bucket population ⇒ linear candidate volume) and
+  * tables from the recall target — the knobs trade recall for cost
+  * explicitly instead of a fixed bucket count degrading quadratically as
+  * the corpus grows.
   */
 object Similarity {
 
@@ -42,42 +50,124 @@ object Similarity {
         col("rk").cast("int").as("rk"))
   }
 
-  /** Deterministic random hyperplanes for sign-bit LSH (seeded). */
+  /** Exact all-pairs cosine above a threshold — the oracle/recall baseline
+    * the approximate operators are measured against. O(N²) comparisons by
+    * definition (that is what "exact all-pairs" means); use it on bounded
+    * corpora — small-SF verification, recall measurement, or a sampled
+    * slice — and [[cosineNearDupPairs]] as the production path.
+    */
+  def exactCosinePairs(corpus: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Deterministic random hyperplanes for sign-bit LSH (seeded). Kept for
+    * API compatibility / tests; the operators below use the fused native
+    * [[graft.functions.SrpBuckets]] expression instead.
+    */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Random-hyperplane LSH bucket id: sign bit per plane, folded to a long.
-    * Vectors with high cosine land in the same bucket with probability
-    * (1 - θ/π)^planes — the classic SRP-LSH guarantee.
+  /** Bits per SRP table for a target expected bucket population: with
+    * 2^bits buckets, expected population is N/2^bits, so candidate pairs
+    * per table stay ≈ N·targetBucket/2 — linear in N at any scale instead
+    * of (N/constant)² quadratic.
     */
-  private def bucketExpr(vecCol: String, planes: Seq[Seq[Double]]) = {
-    val bits = planes.map { p =>
-      val planeArr = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(col(vecCol), planeArr, (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.foldLeft(lit(0L)) { (acc, b) => acc * 2 + b }
+  def bitsFor(corpusSize: Long, targetBucket: Int = 4096): Int =
+    math.max(2, math.ceil(
+      math.log(math.max(corpusSize.toDouble / targetBucket, 1.0)) / math.log(2.0)).toInt)
+
+  /** Number of independent SRP tables needed to reach `recallTarget` for a
+    * pair at exactly `threshold` cosine (pairs above the threshold have
+    * higher per-table probability, so aggregate recall exceeds the target).
+    * Capped: if the cap binds, worst-case recall is below target — raise
+    * `targetBucket` (fewer bits) or accept the lower recall.
+    */
+  def tablesFor(threshold: Double, bits: Int, recallTarget: Double = 0.9,
+                maxTables: Int = 32): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(threshold, 1.0))) / math.Pi
+    val pb = math.pow(p, bits)
+    if (pb >= 1.0) 1
+    else math.min(maxTables,
+      math.max(1, math.ceil(math.log1p(-recallTarget) / math.log1p(-pb)).toInt))
   }
 
-  /** ANN top-k: bucket corpus and queries by SRP-LSH, join on bucket, rank
-    * within. Trades recall for a ~2^planes reduction in scanned pairs; at
-    * 100 TB the bucket join is a hash shuffle on a long key instead of a
-    * broadcast fan-out of every query to every corpus row.
+  /** Banded-SRP candidate pairs: each vector lands in `numTables` buckets
+    * (one per independent b-bit table); candidates are within-bucket pairs,
+    * deduplicated across tables BEFORE any verification. Exposed separately
+    * from [[cosineNearDupPairs]] so candidate volume is testable.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4,
-              dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def srpCandidatePairs(corpus: DataFrame, numTables: Int, bits: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val planes = hyperplanes(dim, numPlanes)
-    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
-      bucketExpr(vecCol, planes).as("bucket"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      bucketExpr(vecCol, planes).as("bucket"))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+    val banded = corpus
+      .select(col(idCol).as("id"),
+        expr(s"srp_buckets($vecCol, $numTables, $bits, ${seed}L)").as("buckets"))
+      .select(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    banded.as("l").join(banded.as("r"), Seq("tbl", "bucket"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** All-pairs above a cosine threshold via banded SRP-LSH (embedding-cosine
+    * near-duplicate detection). Auto-tuned: bits per table from corpus size
+    * (constant expected bucket population ⇒ candidate volume linear in N),
+    * table count from the recall target at the given threshold. Candidate
+    * pairs are verified with the exact codegen'd cosine, so precision is
+    * always 1.0 — the tables only control recall and cost.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         numTables: Int = 0, bitsPerTable: Int = 0,
+                         recallTarget: Double = 0.9, targetBucket: Int = 4096,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val bits = if (bitsPerTable > 0) bitsPerTable
+               else bitsFor(corpus.count(), targetBucket)
+    val tables = if (numTables > 0) numTables else tablesFor(threshold, bits, recallTarget)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    srpCandidatePairs(corpus, tables, bits, idCol, vecCol, seed)
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** ANN top-k: bucket corpus and queries by banded SRP-LSH, join on
+    * (table, bucket), dedup candidates, rank within query. Trades recall
+    * for a ~2^bits reduction in scanned pairs per table; at 100 TB the
+    * bucket join is a hash shuffle on fixed-width keys instead of a
+    * broadcast fan-out of every query to every corpus row. Multi-table:
+    * recall 1−(1−p^bits)^numTables per neighbor (see object doc).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numTables: Int = 8, bits: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    def banded(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+        expr(s"srp_buckets($vecCol, $numTables, $bits, ${seed}L)").as("buckets"))
+      .select(col(s"${side}_id"), col(s"${side}_vec"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val cb = banded(corpus, "neighbor")
+    val qb = banded(queries, "query")
+    val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("query_vec"),
+        col("neighbor_vec").as("corpus_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         VectorFunctions.cosine("query_vec", "corpus_vec"))
     val w = Window.partitionBy(col("query_id"))
@@ -85,24 +175,57 @@ object Similarity {
     scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** Lloyd's k-means over the embedding column in pure DataFrame ops:
+    * assign each vector to its nearest centroid (broadcast centroids, one
+    * corpus scan), recompute centroids as the element-wise mean of their
+    * members (posexplode → per-(centroid, dim) avg → rebuild array), repeat.
+    * Initialization is the deterministic id-sample; empty clusters drop out.
+    * At 100 TB, train on a sample (`corpus.sample(...)`) — centroid quality
+    * needs representative data, not all of it — then assign the full corpus
+    * once in [[ivfTopK]].
+    */
+  def trainCentroids(corpus: DataFrame, numCentroids: Int, iters: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    var cent = vecs.filter(col("vid") < numCentroids)
+      .select(col("vid").cast("long").as("centroid_id"), col("vv").as("centroid_vec"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs.join(broadcast(cent))
+        .withColumn("sim_c", VectorFunctions.cosine("vv", "centroid_vec"))
+        .groupBy(col("vid"))
+        .agg(max_by(struct(col("vv"), col("centroid_id")),
+          struct(col("sim_c"), -col("centroid_id"))).as("best"))
+        .select(col("best.vv").as("vv"), col("best.centroid_id").as("cid"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("vv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid").as("centroid_id"),
+          transform(col("pm"), s => s.getField("m").cast("float")).as("centroid_vec"))
+    }
+    cent
   }
 
   /** IVF-flat ANN: partition the corpus into inverted lists by nearest
     * coarse centroid, then search only the `nprobe` lists whose centroids
-    * are closest to the query. Centroids here are a deterministic sample of
-    * the corpus (ids < numCentroids) — the degenerate-but-real IVF variant
-    * when no trained k-means codebook is available; swap in trained
-    * centroids without changing the plan shape. At scale: one pass to
-    * assign lists (broadcast centroids), then each query scans
-    * nprobe/numCentroids of the corpus instead of all of it.
+    * are closest to the query. Centroids are k-means-trained
+    * ([[trainCentroids]], `trainIters` Lloyd's iterations; 0 = the
+    * deterministic id-sample init only). At scale: one pass to assign lists
+    * (broadcast centroids), then each query scans ≈ nprobe/numCentroids of
+    * the corpus instead of all of it.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCentroids: Int = 16, nprobe: Int = 4,
+              numCentroids: Int = 16, nprobe: Int = 4, trainIters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val centroids = corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val centroids = trainCentroids(corpus, numCentroids, trainIters, idCol, vecCol)
 
     // assign every corpus vector to its nearest centroid (one scan,
     // broadcast centroids, per-row top-1 via max_by on (sim, centroid)).
@@ -110,7 +233,8 @@ object Similarity {
       .join(broadcast(centroids))
       .withColumn("sim_c", VectorFunctions.cosine("corpus_vec", "centroid_vec"))
       .groupBy(col("neighbor_id"))
-      .agg(max_by(struct(col("corpus_vec"), col("centroid_id")), col("sim_c")).as("best"))
+      .agg(max_by(struct(col("corpus_vec"), col("centroid_id")),
+        struct(col("sim_c"), -col("centroid_id"))).as("best"))
       .select(col("neighbor_id"), col("best.corpus_vec").as("corpus_vec"),
         col("best.centroid_id").as("list_id"))
 
@@ -134,25 +258,5 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("int").as("rk"))
-  }
-
-  /** All-pairs above a cosine threshold via LSH buckets (embedding-cosine
-    * near-duplicate detection) — bucket self-join, never a full cross join.
-    */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 6,
-                         dim: Int = 64, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
-    val planes = hyperplanes(dim, numPlanes)
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bucketExpr(vecCol, planes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -83,6 +83,32 @@ class PipelineSpec extends SparkSpec {
     assert(clone.schema == spark.table(t).schema)
   }
 
+  test("inference runs ONE job regardless of column count") {
+    import spark.implicits._
+    // 20-column all-text frame: the naive per-column probe would launch 20+
+    // jobs; the single-pass vote must launch exactly one (plus none for the
+    // bounded count, which is skipped when sampleRows is given).
+    val cols = (1 to 20).map(i => s"c$i")
+    val df = (1 to 50).map(i => cols.map(c => s"$i")).map {
+      vs => (vs(0), vs(1), vs(2), vs(3), vs(4), vs(5), vs(6), vs(7), vs(8), vs(9),
+        vs(10), vs(11), vs(12), vs(13), vs(14), vs(15), vs(16), vs(17), vs(18), vs(19))
+    }.toDF(cols: _*)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val types = TypeInference.inferColumnTypes(df, sampleRows = Some(50))
+      Thread.sleep(500) // let the listener bus drain (no public flush API)
+      assert(types.size == 20 && types.values.forall(_ == DType.SmallInt))
+      // one aggregation query (AQE may stage it as 2 jobs); the per-column
+      // formulation launched 20
+      assert(jobs <= 2, s"expected one inference query, saw $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ddlFor emits CREATE TABLE from a narrowed schema (D6)") {
     import spark.implicits._
     val df = Seq(("1", "x")).toDF("id", "name")

@@ -79,6 +79,30 @@ class NativeTextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("token_count/stopword_count/punct_ratio native == HOF on edge cases") {
+    withNative {
+      val texts = Seq(
+        "the quick brown fox, jumps! over the lazy dog.",
+        "", "   ", "one", "  leading and trailing  ",
+        "tabs\tand\nnewlines\r\nmixed  runs",
+        "ALL CAPS THE AND OF", "!!!...,,,", "a b c d e f g",
+        "punct:mid;word.split, counts? chars!")
+      val df = texts.toDF("t").select($"t",
+        graft.functions.TextFunctions.tokenCount($"t").as("hof_tok"),
+        expr("token_count_native(t)").as("nat_tok"),
+        graft.functions.TextFunctions.stopwordCount($"t").as("hof_stop"),
+        expr("stopword_count_native(t)").as("nat_stop"),
+        graft.functions.TextFunctions.punctRatio($"t").as("hof_punct"),
+        expr("punct_ratio_native(t)").as("nat_punct"))
+      df.collect().foreach { r =>
+        assert(r.getInt(1) == r.getInt(2), s"tokens differ on '${r.getString(0)}'")
+        assert(r.getInt(3) == r.getInt(4), s"stopwords differ on '${r.getString(0)}'")
+        assert(math.abs(r.getDouble(5) - r.getDouble(6)) < 1e-15,
+          s"punct differs on '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("native and HOF minhash agree on equality structure") {
     withNative {
       val texts = Seq("same text here", "same text here", "different words entirely")

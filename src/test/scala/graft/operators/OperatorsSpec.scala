@@ -106,7 +106,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("lshTopK returns plausible neighbors (bucketed, self excluded)") {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 2,
-      numPlanes = 1, dim = 3).collect()
+      numTables = 4, bits = 1).collect()
     assert(out.forall(r => r.getLong(1) != 0L))
     assert(out.nonEmpty)
   }
@@ -128,6 +128,116 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) != 0L))
     // with nprobe = numCentroids the search is exhaustive → same top-1 as brute force
     assert(out.head.getLong(1) == 1L)
+  }
+
+  // ---- recall gates: the approximate operators measured against exact ----
+
+  /** 400 random 16-dim vectors + 40 planted near-duplicates (tiny gaussian
+    * perturbations of the first 40) — deterministic, so the recall numbers
+    * below are exact reproducible values, not flaky samples.
+    */
+  private lazy val plantedCorpus = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 40).map { j =>
+      (1000L + j, base(j)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("cosineNearDupPairs recall >= 0.9 vs exact all-pairs, precision 1.0") {
+    val exact = pairSet(Similarity.exactCosinePairs(plantedCorpus, 0.95))
+    assert(exact.size >= 40) // the planted pairs are all above 0.95
+    val approx = pairSet(Similarity.cosineNearDupPairs(plantedCorpus, 0.95))
+    assert(approx.subsetOf(exact), "verify step must make precision exact")
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("srp candidate volume is a fraction of all-pairs; bits scale with corpus size") {
+    val n = plantedCorpus.count()
+    val allPairs = n * (n - 1) / 2
+    val candidates = Similarity.srpCandidatePairs(plantedCorpus, numTables = 2, bits = 4).count()
+    assert(candidates < allPairs * 0.4, s"$candidates vs $allPairs")
+    // auto-tuning: expected bucket population stays at targetBucket as N grows
+    assert(Similarity.bitsFor(4096, 4096) == 2)       // floor
+    assert(Similarity.bitsFor(1L << 20, 4096) == 8)
+    assert(Similarity.bitsFor(1L << 30, 4096) == 18)  // 100 TB-scale corpora
+    assert(Similarity.tablesFor(0.95, 2) >= 2)        // recall target needs >1 table
+  }
+
+  test("lshTopK recall@5 >= 0.9 vs brute force on the planted corpus") {
+    val queries = plantedCorpus.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(plantedCorpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(plantedCorpus, queries, k = 5,
+        numTables = 8, bits = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("trained ivfTopK recall@5 beats the untrained id-sample centroids") {
+    // 8 genuine clusters, ids ordered so the id-sample init (ids < 8) is
+    // degenerate — all 8 initial centroids land in cluster 0. Lloyd's
+    // iterations must spread them to recover the cluster structure; the
+    // untrained variant is stuck probing near-identical lists.
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val clustered = (0 until 400).map { i =>
+      val c = centers(i / 50) // ids 0..49 → cluster 0, 50..99 → cluster 1, …
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" % 50 < 2) // 2 per cluster
+    val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(iters: Int): Double = {
+      val got = Similarity.ivfTopK(clustered, queries, k = 5,
+          numCentroids = 8, nprobe = 3, trainIters = iters)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val untrained = recallOf(0)
+    val trained = recallOf(3)
+    assert(trained >= untrained, s"trained $trained vs untrained $untrained")
+    assert(trained >= 0.7, s"trained recall $trained")
+  }
+
+  test("minhash candidate recall >= 0.9 vs exact shingle-jaccard pairs") {
+    graft.functions.NativeTextExpressions.register(spark)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val rnd = new scala.util.Random(11)
+    val originals = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(40)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val nearDups = originals.map { case (id, text) =>
+      val toks = text.split(" ").toVector
+      val k = rnd.nextInt(toks.size)
+      (100L + id, toks.updated(k, words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val corpus = (originals ++ nearDups).toDF("doc_id", "text")
+    // exact Jaccard over the same shingle sets the minhash uses
+    val sh = corpus.select($"doc_id".as("id"),
+      expr("shingle_hashes(lower(text), 5)").as("sh"))
+    val exact = sh.as("a").join(sh.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        expr("jaccard_sorted(a.sh, b.sh)").as("j"))
+      .filter($"j" >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20)
+    val candidates = pairSet(
+      Dedup.minhashCandidatePairs(corpus, "doc_id", "text", numHashes = 16, bands = 8))
+    val recall = candidates.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("bucketed co-located join plans without a shuffle exchange") {
