@@ -19,17 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Stage an intermediate DataFrame to parquet and read it back, instead of
-    * `persist()`: the signature tables below are referenced by the band table
-    * and both verify joins (3–4 recomputations without reuse), but a
-    * `persist()` with no reachable unpersist point would pin executor storage
-    * memory for the life of the session (the returned plan is lazy, so there
-    * is no safe place to unpersist inside the operator). A staged write costs
-    * one extra pass at local scale and is exactly the right shape at cluster
-    * scale — signatures land once on the shared filesystem and every
-    * downstream join reads the same files. Set `spark.graft.stagingDir` to a
-    * cluster-visible path (defaults to java.io.tmpdir, correct for local
-    * mode); staged dirs are removed on JVM exit.
+  /** Stage a DataFrame to parquet and read it back. Used for the (small)
+    * pair RESULT of the LSH operators so their (large) signature cache can
+    * be released before returning: the signature table is referenced by the
+    * band table and both verify joins (3–4 recomputations without reuse),
+    * so it is `persist()`ed during the build — but a persist with no
+    * unpersist point would pin executor storage for the life of the
+    * session. Materializing the result through a staged write gives a safe
+    * release point: no cached RDDs outlive the operator (asserted in
+    * OperatorsSpec). Set `spark.graft.stagingDir` to a cluster-visible path
+    * (defaults to java.io.tmpdir, correct for local mode); staged dirs are
+    * removed on JVM exit. At 100 TB the same write is simply the operator's
+    * natural output materialization — near-dup pair sets are consumed many
+    * times downstream.
     */
   private def stage(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
@@ -40,6 +42,22 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
     spark.read.parquet(dir)
+  }
+
+  /** Persist `sig`, materialize `result(sig)` through a staged write, then
+    * unpersist — the cache exists exactly for the duration of the build.
+    * The cache is populated eagerly (cheap one-pass count) BEFORE the
+    * result job runs: the result plan references the signature table three
+    * times (band table + both verify joins), and inside a single job those
+    * subtrees race the cache — each would recompute the full
+    * shingle+signature pass on a cold cache.
+    */
+  private def withCachedSig(sig: DataFrame, tag: String)(result: DataFrame => DataFrame): DataFrame = {
+    val cached = sig.persist()
+    try {
+      cached.count()
+      stage(result(cached), tag)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Exact dedup, canonical-representative form: keep min(id) per identical
@@ -81,35 +99,37 @@ object Dedup {
     // (id, sh: array<long>, sig: array<long>) — one pass over the text via
     // the native expressions (single tight loop per row vs thousands of
     // interpreted HOF lambda evaluations — see NativeTextExpressions).
-    // Staged: referenced by the band table and both verify joins; without
-    // reuse the shingling+hashing pass runs 3-4× (see [[stage]]).
+    // Cached for the build (band table + both verify joins), released on
+    // return (see [[withCachedSig]]).
     NativeTextExpressions.register(docs.sparkSession)
-    val sig = stage(docs
+    val rawSig = docs
       .select(col(idCol).as("id"), lower(col(textCol)).as("__lt"))
       .select(col("id"), expr(s"shingle_hashes(__lt, $shingleK)").as("sh"))
-      .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)")), "minhash-sig")
+      .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
 
-    // fixed-width band table: (id, band, band_hash) only.
-    val banded = sig.select(
-      col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+    withCachedSig(rawSig, "minhash-pairs") { sig =>
+      // fixed-width band table: (id, band, band_hash) only.
+      val banded = sig.select(
+        col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)
+        }: _*)).as(Seq("band", "band_hash")))
 
-    val candidates = banded.as("l")
-      .join(banded.as("r"), Seq("band", "band_hash"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      val candidates = banded.as("l")
+        .join(banded.as("r"), Seq("band", "band_hash"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
 
-    // verify: fetch each side's shingle set once; merge-join Jaccard over
-    // the sorted hash arrays (O(|a|+|b|) per pair).
-    val sets = sig.select(col("id"), col("sh"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
+      // verify: fetch each side's shingle set once; merge-join Jaccard over
+      // the sorted hash arrays (O(|a|+|b|) per pair).
+      val sets = sig.select(col("id"), col("sh"))
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
+    }
   }
 
   /** Near-dup pairs above a Jaccard threshold (LSH candidates, verified). */
@@ -126,25 +146,28 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    // staged for the same reuse reason as the MinHash signature table
+    // cached for the build, released on return — same reuse reason as the
+    // MinHash signature table
     NativeTextExpressions.register(docs.sparkSession)
-    val sig = stage(docs.select(col(idCol).as("id"),
-        expr(s"simhash64_native($textCol)").as("sh")), "simhash-sig")
-    val chunked = sig.select(col("id"),
-      posexplode(array((0 until 4).map { c =>
-        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("chunk", "chunk_val")))
-    val candidates = chunked.as("l")
-      .join(chunked.as("r"), Seq("chunk", "chunk_val"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val rawSig = docs.select(col(idCol).as("id"),
+      expr(s"simhash64_native($textCol)").as("sh"))
+    withCachedSig(rawSig, "simhash-pairs") { sig =>
+      val chunked = sig.select(col("id"),
+        posexplode(array((0 until 4).map { c =>
+          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("chunk", "chunk_val")))
+      val candidates = chunked.as("l")
+        .join(chunked.as("r"), Seq("chunk", "chunk_val"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      candidates
+        .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
   }
 
   /** N-gram Jaccard similarity for given candidate id pairs (exact verify

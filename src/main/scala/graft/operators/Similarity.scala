@@ -179,73 +179,110 @@ object Similarity {
         col("rk").cast("int").as("rk"))
   }
 
-  /** Lloyd's k-means over the embedding column in pure DataFrame ops:
-    * assign each vector to its nearest centroid (broadcast centroids, one
-    * corpus scan), recompute centroids as the element-wise mean of their
-    * members (posexplode → per-(centroid, dim) avg → rebuild array), repeat.
-    * Initialization is the deterministic id-sample; empty clusters drop out.
-    * At 100 TB, train on a sample (`corpus.sample(...)`) — centroid quality
-    * needs representative data, not all of it — then assign the full corpus
-    * once in [[ivfTopK]].
+  /** Literal centroid array as a Column: `array<struct<cid, cv>>`. A
+    * centroid codebook is small by definition (k × dim floats), so the
+    * cheapest way to "broadcast" it is to inline it into the plan — every
+    * executor evaluates it locally, and centroid assignment becomes a
+    * scan-local expression with NO join and NO shuffle.
     */
+  private def centroidArray(cents: Seq[(Long, Array[Float])]) =
+    array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v).as("cv"))
+    }.toSeq: _*)
+
+  /** Nearest-centroid id for a vector column (argmax cosine over the
+    * inlined codebook; ties → lowest centroid id). The per-element lambda
+    * wraps the native codegen'd `cosine_sim`, so the loop body is one fused
+    * dot product per centroid.
+    */
+  private def nearestCentroid(vec: org.apache.spark.sql.Column,
+                              cents: Seq[(Long, Array[Float])]) =
+    aggregate(centroidArray(cents),
+      struct(lit(Double.MinValue).as("s"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val s = call_function("cosine_sim", vec, c.getField("cv"))
+        when(s > acc.getField("s"),
+          struct(s.as("s"), c.getField("cid").as("cid"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+
+  /** The `nprobe` nearest centroid ids for a query vector, nearest first. */
+  private def probeLists(vec: org.apache.spark.sql.Column,
+                         cents: Seq[(Long, Array[Float])], nprobe: Int) = {
+    val scored = transform(centroidArray(cents), c =>
+      struct((-call_function("cosine_sim", vec, c.getField("cv"))).as("negs"),
+        c.getField("cid").as("cid")))
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** Lloyd's k-means over the embedding column: per iteration, ONE
+    * distributed pass — scan-local nearest-centroid assignment against the
+    * inlined codebook, then a single groupBy(centroid) computing all
+    * per-dimension means as `avg(element_at(...))` columns (no posexplode
+    * row blowup, no second shuffle). The k × dim codebook rides the driver
+    * between iterations — it is small by definition; the DATA never
+    * collects. Initialization is the deterministic id-sample; empty
+    * clusters drop out. At 100 TB, train on a sample
+    * (`corpus.sample(...)`) — centroid quality needs representative data,
+    * not all of it — then assign the full corpus once in [[ivfTopK]].
+    */
+  def trainCentroidsLocal(corpus: DataFrame, numCentroids: Int, iters: Int = 3,
+                          idCol: String = "vec_id", vecCol: String = "embedding"
+                         ): Seq[(Long, Array[Float])] = {
+    VectorFunctions.register(corpus.sparkSession)
+    var cents = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val avgCols = (0 until dim).map(i =>
+        avg(element_at(col("vv"), i + 1)).as(s"m$i"))
+      val rows = corpus
+        .select(nearestCentroid(col(vecCol), cents).as("cid"), col(vecCol).as("vv"))
+        .groupBy(col("cid"))
+        .agg(avgCols.head, avgCols.tail.toSeq: _*)
+        .collect()
+      cents = rows
+        .map(r => (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)))
+        .toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** [[trainCentroidsLocal]] as a DataFrame (centroid_id, centroid_vec). */
   def trainCentroids(corpus: DataFrame, numCentroids: Int, iters: Int = 3,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
-    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    var cent = vecs.filter(col("vid") < numCentroids)
-      .select(col("vid").cast("long").as("centroid_id"), col("vv").as("centroid_vec"))
-    for (_ <- 1 to iters) {
-      val assigned = vecs.join(broadcast(cent))
-        .withColumn("sim_c", VectorFunctions.cosine("vv", "centroid_vec"))
-        .groupBy(col("vid"))
-        .agg(max_by(struct(col("vv"), col("centroid_id")),
-          struct(col("sim_c"), -col("centroid_id"))).as("best"))
-        .select(col("best.vv").as("vv"), col("best.centroid_id").as("cid"))
-      cent = assigned
-        .select(col("cid"), posexplode(col("vv")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid").as("centroid_id"),
-          transform(col("pm"), s => s.getField("m").cast("float")).as("centroid_vec"))
-    }
-    cent
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    trainCentroidsLocal(corpus, numCentroids, iters, idCol, vecCol)
+      .toDF("centroid_id", "centroid_vec")
   }
 
   /** IVF-flat ANN: partition the corpus into inverted lists by nearest
     * coarse centroid, then search only the `nprobe` lists whose centroids
     * are closest to the query. Centroids are k-means-trained
-    * ([[trainCentroids]], `trainIters` Lloyd's iterations; 0 = the
-    * deterministic id-sample init only). At scale: one pass to assign lists
-    * (broadcast centroids), then each query scans ≈ nprobe/numCentroids of
-    * the corpus instead of all of it.
+    * ([[trainCentroidsLocal]], `trainIters` Lloyd's iterations; 0 = the
+    * deterministic id-sample init only). At scale: list assignment is a
+    * scan-local expression against the inlined codebook (no join, no
+    * shuffle), and each query scans ≈ nprobe/numCentroids of the corpus
+    * instead of all of it.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, nprobe: Int = 4, trainIters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val centroids = trainCentroids(corpus, numCentroids, trainIters, idCol, vecCol)
+    val cents = trainCentroidsLocal(corpus, numCentroids, trainIters, idCol, vecCol)
 
-    // assign every corpus vector to its nearest centroid (one scan,
-    // broadcast centroids, per-row top-1 via max_by on (sim, centroid)).
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"))
-      .join(broadcast(centroids))
-      .withColumn("sim_c", VectorFunctions.cosine("corpus_vec", "centroid_vec"))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(struct(col("corpus_vec"), col("centroid_id")),
-        struct(col("sim_c"), -col("centroid_id"))).as("best"))
-      .select(col("neighbor_id"), col("best.corpus_vec").as("corpus_vec"),
-        col("best.centroid_id").as("list_id"))
+    // shuffle-free list assignment: one corpus scan.
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
+      nearestCentroid(col(vecCol), cents).as("list_id"))
 
-    // per query: the nprobe nearest centroid lists.
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .join(broadcast(centroids))
-      .withColumn("sim_c", VectorFunctions.cosine("query_vec", "centroid_vec"))
-      .withColumn("rk_c", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim_c").desc, col("centroid_id"))))
-      .filter(col("rk_c") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("centroid_id").as("list_id"))
+    // per query: the nprobe nearest centroid lists (scan-local as well).
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        explode(probeLists(col(vecCol), cents, nprobe)).as("list_id"))
 
     // search only the probed lists.
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
