@@ -51,28 +51,41 @@ object TypeInference {
   import DType._
 
   /** Pinned date/timestamp formats standing in for dateutil's lenient parser
-    * (reference load_tables_daily.py:104–116). dateutil accepts more exotic
-    * shapes; these cover every format the reference's 22 clinical extracts
-    * use, and being pinned makes inference deterministic (SURVEY.md §7
-    * hard-part 1).
+    * (reference load_tables_daily.py:104–116). dateutil accepts open-ended
+    * shapes; this pinned list covers every format the reference's 22
+    * clinical extracts use plus the common interchange shapes dateutil would
+    * also take (word months, European dots, offset timestamps, 2-digit
+    * years), and being pinned makes inference deterministic (SURVEY.md §7
+    * hard-part 1). KEEP IN LOCKSTEP with [[sparkTemporalFormats]] — every
+    * format accepted here must be parseable by [[narrow]]'s cast path.
     */
   private val dateTimeFormats: Seq[DateTimeFormatter] = Seq(
     "uuuu-MM-dd['T'][' ']HH:mm:ss[.SSSSSS][.SSS]",
+    "uuuu-MM-dd['T'][' ']HH:mm:ss[.SSS]XXX", // offset timestamps (ISO)
     "uuuu-MM-dd",
     "uuuu/MM/dd",
+    "uuuu.MM.dd",
     "M/d/uuuu[ H:mm[:ss]]",
+    "M/d/uu",                                // 2-digit year (dateutil default)
     "M-d-uuuu",
+    "d.M.uuuu",                              // European dotted
     "MMM d, uuuu",
+    "MMMM d, uuuu",                          // full month name
+    "d MMM uuuu",
     "uuuuMMdd'T'HHmmss"
   ).map(p => DateTimeFormatter.ofPattern(p).withResolverStyle(ResolverStyle.STRICT))
 
-  /** Parse attempt → Some(isMidnight). None = not temporal. */
+  /** Parse attempt → Some(isMidnight). None = not temporal. Offset-bearing
+    * strings are always timestamps: "midnight" in some zone is not a date
+    * once normalized to the session zone.
+    */
   private def parseTemporal(s: String): Option[Boolean] =
     dateTimeFormats.iterator.flatMap { f =>
       Try {
         val parsed = f.parse(s)
+        val hasOffset = Option(parsed.query(TemporalQueries.offset())).isDefined
         val time = Option(parsed.query(TemporalQueries.localTime()))
-        time.forall(_ == LocalTime.MIDNIGHT)
+        !hasOffset && time.forall(_ == LocalTime.MIDNIGHT)
       }.toOption
     }.nextOption()
 
@@ -203,14 +216,17 @@ object TypeInference {
   }
 
   /** The pinned format list of [[parseTemporal]] re-expressed in Spark's
-    * datetime pattern syntax, for the narrowing cast. ISO shapes (formats 1–2
-    * of `dateTimeFormats`, incl. 'T' separators and fractional seconds) are
-    * covered by the default `try_to_timestamp` parse; the rest are explicit.
-    * Single-letter fields are width-lenient, matching the java.time patterns.
+    * datetime pattern syntax, for the narrowing cast. ISO shapes (incl. 'T'
+    * separators, fractional seconds, and zone offsets) are covered by the
+    * default `try_to_timestamp` parse; the rest are explicit. Single-letter
+    * fields are width-lenient, matching the java.time patterns.
     */
   private val sparkTemporalFormats: Seq[String] = Seq(
-    "yyyy/M/d", "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm", "M/d/yyyy",
-    "M-d-yyyy", "MMM d, yyyy", "yyyyMMdd'T'HHmmss")
+    "yyyy/M/d", "yyyy.M.d",
+    "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm", "M/d/yyyy", "M/d/yy",
+    "M-d-yyyy", "d.M.yyyy",
+    "MMM d, yyyy", "MMMM d, yyyy", "d MMM yyyy",
+    "yyyyMMdd'T'HHmmss")
 
   /** First successful parse across the pinned formats, null if none match —
     * the Spark-side mirror of [[parseTemporal]], so every string `guessType`

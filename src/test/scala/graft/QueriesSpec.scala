@@ -28,4 +28,15 @@ class QueriesSpec extends SparkSpec {
         s"$name has duplicate column names")
     }
   }
+
+  test("q06 HLL estimate is within the sketch error bound of exact") {
+    // approx_count_distinct defaults to rsd = 0.05; 3x rsd is a generous
+    // deterministic bound (the sketch is seeded, so this is reproducible).
+    val r = Queries.approxDistinct(spark, sf0001).first()
+    val approx = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble
+    assert(exact > 0)
+    val relErr = math.abs(approx - exact) / exact
+    assert(relErr <= 0.15, s"HLL rel error $relErr (approx=$approx exact=$exact)")
+  }
 }

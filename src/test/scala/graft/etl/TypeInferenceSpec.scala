@@ -60,6 +60,32 @@ class TypeInferenceSpec extends SparkSpec {
     assert(guessType("3/14/2024 9:05") == Timestamp)
   }
 
+  test("extended dateutil-style formats classify and narrow consistently") {
+    // classification
+    assert(guessType("2024.01.05") == DateD)
+    assert(guessType("14.3.2024") == DateD)
+    assert(guessType("March 14, 2024") == DateD)
+    assert(guessType("14 Mar 2024") == DateD)
+    assert(guessType("3/14/24") == DateD)
+    assert(guessType("2024-01-01T10:00:00+05:00") == Timestamp)
+    // offset at local midnight is still an instant, not a date
+    assert(guessType("2024-01-01T00:00:00+05:00") == Timestamp)
+
+    // narrow() must parse everything the classifier accepted
+    import spark.implicits._
+    val df = Seq(
+      ("2024.01.05", "14.3.2024", "March 14, 2024", "14 Mar 2024", "3/14/24"))
+      .toDF("dot_iso", "dot_eu", "word_full", "day_first", "yy")
+    val typed = inferAndNarrow(df)
+    assert(typed.schema.forall(_.dataType == DateType))
+    val r = typed.first()
+    assert(r.getDate(0).toString == "2024-01-05")
+    assert(r.getDate(1).toString == "2024-03-14")
+    assert(r.getDate(2).toString == "2024-03-14")
+    assert(r.getDate(3).toString == "2024-03-14")
+    assert(r.getDate(4).toString == "2024-03-14")
+  }
+
   test("empty and junk are text") {
     assert(guessType("") == Text)
     assert(guessType("hello") == Text)
