@@ -25,7 +25,7 @@ import scala.util.Random
   * explicitly instead of a fixed bucket count degrading quadratically as
   * the corpus grows.
   */
-object Similarity {
+object Similarity extends org.apache.spark.internal.Logging {
 
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` must be small (broadcast); self-matches excluded. The score
@@ -135,6 +135,14 @@ object Similarity {
     val bits = if (bitsPerTable > 0) bitsPerTable
                else bitsFor(corpus.count(), targetBucket)
     val tables = if (numTables > 0) numTables else tablesFor(threshold, bits, recallTarget)
+    // never cap silently: if the table budget binds, say what recall it buys.
+    if (numTables == 0 && tables == 32) {
+      val p = 1.0 - math.acos(math.max(-1.0, math.min(threshold, 1.0))) / math.Pi
+      val worst = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+      logWarning(f"cosineNearDupPairs: $tables tables (cap) give worst-case " +
+        f"recall $worst%.3f < target $recallTarget%.2f at threshold $threshold " +
+        s"with $bits bits/table; raise targetBucket (fewer bits) or accept the lower recall")
+    }
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     srpCandidatePairs(corpus, tables, bits, idCol, vecCol, seed)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
@@ -261,31 +269,41 @@ object Similarity {
       .toDF("centroid_id", "centroid_vec")
   }
 
-  /** IVF-flat ANN: partition the corpus into inverted lists by nearest
-    * coarse centroid, then search only the `nprobe` lists whose centroids
-    * are closest to the query. Centroids are k-means-trained
-    * ([[trainCentroidsLocal]], `trainIters` Lloyd's iterations; 0 = the
-    * deterministic id-sample init only). At scale: list assignment is a
-    * scan-local expression against the inlined codebook (no join, no
-    * shuffle), and each query scans ≈ nprobe/numCentroids of the corpus
-    * instead of all of it.
+  /** A built IVF index: the trained codebook plus the corpus with its
+    * inverted-list assignment. Build once, search many — the assignment
+    * pass over the corpus is the expensive part, so amortize it across
+    * query batches; at cluster scale write `assigned` to a table
+    * partitioned or bucketed by `list_id` (probe joins then prune to the
+    * probed lists at the scan).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCentroids: Int = 16, nprobe: Int = 4, trainIters: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  final case class IvfIndex private[operators] (
+      centroids: Seq[(Long, Array[Float])], assigned: DataFrame)
+
+  /** Train the codebook and assign every corpus vector to its inverted
+    * list — one scan-local pass after training (no join, no shuffle).
+    */
+  def ivfBuild(corpus: DataFrame,
+               numCentroids: Int = 16, trainIters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     VectorFunctions.register(corpus.sparkSession)
     val cents = trainCentroidsLocal(corpus, numCentroids, trainIters, idCol, vecCol)
-
-    // shuffle-free list assignment: one corpus scan.
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
       nearestCentroid(col(vecCol), cents).as("list_id"))
+    IvfIndex(cents, assigned)
+  }
 
+  /** Search a prebuilt index: each query scans only its `nprobe` nearest
+    * inverted lists (≈ nprobe/numCentroids of the corpus).
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
     // per query: the nprobe nearest centroid lists (scan-local as well).
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-        explode(probeLists(col(vecCol), cents, nprobe)).as("list_id"))
+      explode(probeLists(col(vecCol), index.centroids, nprobe)).as("list_id"))
 
     // search only the probed lists.
-    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+    val scored = index.assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
     val w = Window.partitionBy(col("query_id"))
@@ -296,4 +314,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("int").as("rk"))
   }
+
+  /** IVF-flat ANN: partition the corpus into inverted lists by nearest
+    * coarse centroid, then search only the `nprobe` lists whose centroids
+    * are closest to the query. Centroids are k-means-trained
+    * ([[trainCentroidsLocal]], `trainIters` Lloyd's iterations; 0 = the
+    * deterministic id-sample init only). One-shot form of
+    * [[ivfBuild]] + [[ivfSearch]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 16, nprobe: Int = 4, trainIters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(ivfBuild(corpus, numCentroids, trainIters, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
 }

@@ -211,6 +211,35 @@ class OperatorsSpec extends SparkSpec {
     assert(trained >= 0.7, s"trained recall $trained")
   }
 
+  test("approximate similarity plans never go cartesian; exact baseline does by design") {
+    // banded LSH and IVF must stay equi-join shaped (bucket / list keys) —
+    // a nested-loop or cartesian anywhere means the bucketing fell through.
+    val lsh = Similarity.cosineNearDupPairs(plantedCorpus, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("CartesianProduct") && !lsh.contains("NestedLoop"), lsh)
+    val ivf = Similarity.ivfTopK(plantedCorpus,
+        plantedCorpus.filter($"vec_id" < 3), k = 3, numCentroids = 4, trainIters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!ivf.contains("CartesianProduct") && !ivf.contains("NestedLoop"), ivf)
+    // the exact all-pairs baseline is the one operator where a nested-loop
+    // IS the correct plan (non-equi id_a < id_b self-join)
+    val exact = Similarity.exactCosinePairs(plantedCorpus, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("NestedLoop") || exact.contains("CartesianProduct"), exact)
+  }
+
+  test("ivfBuild/ivfSearch reuse one index across query batches") {
+    val idx = Similarity.ivfBuild(plantedCorpus, numCentroids = 8, trainIters = 2)
+    val r1 = Similarity.ivfSearch(idx, plantedCorpus.filter($"vec_id" < 3), k = 3)
+    val r2 = Similarity.ivfSearch(idx, plantedCorpus.filter($"vec_id".between(3, 5)), k = 3)
+    assert(r1.select("query_id").distinct().count() == 3)
+    assert(r2.select("query_id").distinct().count() == 3)
+    // one-shot form agrees with build+search
+    val oneShot = Similarity.ivfTopK(plantedCorpus, plantedCorpus.filter($"vec_id" < 3),
+      k = 3, numCentroids = 8, trainIters = 2)
+    assert(oneShot.collect().toSet == r1.collect().toSet)
+  }
+
   test("minhash candidate recall >= 0.9 vs exact shingle-jaccard pairs") {
     graft.functions.NativeTextExpressions.register(spark)
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
