@@ -238,11 +238,20 @@ object Similarity extends org.apache.spark.internal.Logging {
                           idCol: String = "vec_id", vecCol: String = "embedding"
                          ): Seq[(Long, Array[Float])] = {
     VectorFunctions.register(corpus.sparkSession)
-    var cents = corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
+    // deterministic init: the lowest-id vectors; falls back to an arbitrary
+    // bounded sample when the id space doesn't start at 0 (sparse ids,
+    // offset ranges). Centroid ids are positional 0..k-1 either way — they
+    // are list labels, not corpus ids.
+    val initRows = {
+      val byId = corpus.filter(col(idCol) < numCentroids)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect().sortBy(_.getLong(0))
+      if (byId.nonEmpty) byId
+      else corpus.select(col(idCol).cast("long"), col(vecCol))
+        .limit(numCentroids).collect()
+    }
+    var cents: Seq[(Long, Array[Float])] = initRows.toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
     if (cents.isEmpty) return cents
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {

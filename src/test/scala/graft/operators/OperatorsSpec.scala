@@ -228,6 +228,14 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.contains("NestedLoop") || exact.contains("CartesianProduct"), exact)
   }
 
+  test("ivfTopK works when the id space does not start at zero") {
+    val shifted = vecs.withColumn("vec_id", $"vec_id" + 5000L)
+    val out = Similarity.ivfTopK(shifted, shifted.filter($"vec_id" === 5000L), k = 2,
+      numCentroids = 2, nprobe = 2, trainIters = 1).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(1) == 5001L) // same top-1 as the unshifted corpus
+  }
+
   test("ivfBuild/ivfSearch reuse one index across query batches") {
     val idx = Similarity.ivfBuild(plantedCorpus, numCentroids = 8, trainIters = 2)
     val r1 = Similarity.ivfSearch(idx, plantedCorpus.filter($"vec_id" < 3), k = 3)
