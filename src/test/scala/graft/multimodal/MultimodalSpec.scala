@@ -33,4 +33,36 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 10) // offsets 0,100,...,900
     assert(frames.map(_.getInt(2)).toSeq.sorted == (0 until 1000 by 100).toSeq)
   }
+
+  test("byte-histogram features: normalized, deterministic, ANN-composable") {
+    val bin = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val feats = Multimodal.byteHistogram(spark, bin, bins = 16)
+    val rows = feats.collect().map(f => f.id -> f.embedding).toMap
+    assert(rows.values.forall(_.length == 16))
+    // histogram of a non-empty payload sums to 1
+    assert(math.abs(rows(1L).sum - 1f) < 1e-5)
+    // identical payloads → identical features
+    val dup = Multimodal.byteHistogram(spark,
+      Multimodal.withBinaryPayload(docs, "doc_id", "text"), bins = 16)
+      .collect().map(f => f.id -> f.embedding.toSeq).toMap
+    assert(dup(1L) == rows(1L).toSeq)
+    // the features column feeds the similarity operators directly:
+    // binary → features → exact top-k is the full multimodal loop
+    val topk = graft.operators.Similarity.bruteForceTopK(
+      feats.toDF().withColumnRenamed("id", "vec_id"),
+      feats.toDF().withColumnRenamed("id", "vec_id").filter($"vec_id" === 1), k = 2)
+    assert(topk.count() == 2)
+  }
+
+  test("resizePlan emits target geometry and scale factors columnar") {
+    val meta = Multimodal.metaColumns(
+      Multimodal.withBinaryPayload(docs, "doc_id", "text"))
+    val plan = Multimodal.resizePlan(meta, 224, 224).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val (w, sx) = (r.getInt(1), r.getDouble(5))
+      assert(math.abs(sx - 224.0 / w) < 1e-3)
+      assert(r.getBoolean(7) == (r.getInt(1) != 224 || r.getInt(2) != 224))
+    }
+  }
 }
