@@ -450,7 +450,7 @@ object Queries {
   def lshTopkSimilar(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5,
-        numTables = 8, bits = 2)
+        numTables = 8, bitsPerTable = 2)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -460,6 +460,21 @@ object Queries {
     Multimodal.metaColumns(
         Multimodal.withBinaryPayload(t(spark, dir, "documents"), "doc_id", "text"))
       .orderBy(col("id"))
+
+  /** Multimodal feature extraction, oracle-checked: 16-bin normalized byte
+    * histogram over the binary payload (a real codec-free content feature —
+    * the shape a learned embedding would have), one column per bin. The
+    * documents corpus is ASCII, so DuckDB can reproduce the bytes from the
+    * text; a float32 division is correctly rounded, so casting the oracle's
+    * exact ratio to FLOAT reproduces Spark's value bit-for-bit.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val bin = Multimodal.withBinaryPayload(t(spark, dir, "documents"), "doc_id", "text")
+    val feats = Multimodal.byteHistogram(spark, bin, bins = 16).toDF()
+    feats.select(col("id").as("doc_id") +: (0 until 16).map(i =>
+        round(element_at(col("embedding"), i + 1).cast("double"), 4).as(f"b$i%02d")): _*)
+      .orderBy(col("doc_id"))
+  }
 
   // ---- streaming batch mirrors ----
 

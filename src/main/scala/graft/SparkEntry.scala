@@ -100,7 +100,9 @@ object SparkEntry {
     "q60_grouping_ind"      -> Queries.groupingIndicators _,
     // exact all-pairs cosine — the hash-checked baseline q55/q39/q56's recall
     // is measured against (OperatorsSpec recall gates)
-    "q61_cosine_exact_pairs" -> Queries.cosineExactPairs _
+    "q61_cosine_exact_pairs" -> Queries.cosineExactPairs _,
+    // multimodal feature extraction (byte histogram), oracle-checked
+    "q62_media_features"     -> Queries.mediaFeatures _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -404,6 +406,23 @@ object SparkEntry {
         |                         CAST(b.embedding AS DOUBLE[])) AS c
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE a.vec_id < 2000 AND b.vec_id < 2000)
-        |WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin
+        |WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    // CAST(... AS FLOAT) reproduces Spark's float32 histogram division
+    // bit-for-bit (a single float division is correctly rounded), so the
+    // round(…,4) values hash-match exactly. ASCII corpus ⇒ char codes are
+    // the payload bytes.
+    "q62_media_features" -> {
+      val bins = (0 until 16).map { i =>
+        s"round(CAST(CAST(CAST(len(list_filter(cs, c -> c // 16 = $i)) AS DOUBLE)" +
+          f" / greatest(n, 1) AS FLOAT) AS DOUBLE), 4) AS b$i%02d"
+      }.mkString(",\n ")
+      s"""WITH codes AS (
+         | SELECT doc_id, octet_length(encode(text)) AS n,
+         |  list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS cs
+         | FROM documents)
+         |SELECT doc_id,
+         | $bins
+         |FROM codes ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -160,10 +160,12 @@ object Similarity extends org.apache.spark.internal.Logging {
     * recall 1−(1−p^bits)^numTables per neighbor (see object doc).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numTables: Int = 8, bits: Int = 4,
+              numTables: Int = 8, bitsPerTable: Int = 0, targetBucket: Int = 4096,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
+    val bits = if (bitsPerTable > 0) bitsPerTable
+               else bitsFor(corpus.count(), targetBucket)
     def banded(df: DataFrame, side: String) = df
       .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
         expr(s"srp_buckets($vecCol, $numTables, $bits, ${seed}L)").as("buckets"))

@@ -68,6 +68,22 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact-content dedup: duplicates BY CONTENT (not id) within
+    * the watermark are dropped — the streaming mirror of the batch exact
+    * dedup for a live document feed. Same 128-bit content key as
+    * [[graft.operators.Dedup.exactCanonical]] (state stores two longs per
+    * distinct document, never the document), same watermark-bounded state
+    * story as [[dedupedStream]].
+    */
+  def dedupedByContent(stream: DataFrame, contentCol: String, tsCol: String = "ts",
+                       delay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__ck1", xxhash64(lower(col(contentCol))))
+      .withColumn("__ck2", xxhash64(lit("g2#"), lower(col(contentCol))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__ck1", "__ck2")
+      .drop("__ck1", "__ck2")
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

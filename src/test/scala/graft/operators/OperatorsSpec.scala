@@ -106,7 +106,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("lshTopK returns plausible neighbors (bucketed, self excluded)") {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 2,
-      numTables = 4, bits = 1).collect()
+      numTables = 4, bitsPerTable = 1).collect()
     assert(out.forall(r => r.getLong(1) != 0L))
     assert(out.nonEmpty)
   }
@@ -176,7 +176,7 @@ class OperatorsSpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(plantedCorpus, queries, k = 5,
-        numTables = 8, bits = 2)
+        numTables = 8, bitsPerTable = 2)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = approx.intersect(exact).size.toDouble / exact.size

@@ -76,6 +76,21 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("content dedup drops same-text events across different ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedupedByContent(in.toDF(), "event_type").writeStream.format("memory")
+      .queryName("content_dedup").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", typ = "same content"),
+        ev(2, "2024-01-01 10:00:01", typ = "same content"),  // different id, dup content
+        ev(3, "2024-01-01 10:00:02", typ = "other content"))
+      q.processAllAvailable()
+      assert(spark.table("content_dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("custom sessionizer emits closed sessions with totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
