@@ -67,6 +67,40 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Exact all-pairs without a broadcast bound — the blocked form of
+    * [[exactCosinePairs]] for corpora past nested-loop-broadcast size.
+    * Each vector hashes to one of `blocks` blocks; every unordered block
+    * pair (i ≤ j) is an equi-join key, so the work shuffles as ~(blocks+1)×
+    * corpus replicated rows and each task compares one (N/blocks)² tile in
+    * memory. Still O(N²) comparisons — exact is exact — but memory per task
+    * is corpus/blocks and nothing broadcasts. Size `blocks` ≈
+    * corpus_bytes / executor_tile_budget.
+    */
+  def exactCosinePairsBlocked(corpus: DataFrame, threshold: Double, blocks: Int = 8,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj").withColumn("bp", col("bi") * blocks + col("bj"))
+    val l = v.join(broadcast(blockPairs), col("blk") === col("bi"))
+      .select(col("bp"), col("id").as("ida"), col("v").as("va"))
+    val r = v.join(broadcast(blockPairs), col("blk") === col("bj"))
+      .select(col("bp"), col("id").as("idb"), col("v").as("vb"))
+    l.join(r, Seq("bp"))
+      // same-block tiles see both orders — keep one; cross-block tiles see
+      // each unordered pair exactly once — keep all, normalize id order.
+      .filter(col("bp") % (blocks + 1) =!= 0 || col("ida") < col("idb"))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("cosine", VectorFunctions.cosine("va", "vb"))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic random hyperplanes for sign-bit LSH (seeded). Kept for
     * API compatibility / tests; the operators below use the fused native
     * [[graft.functions.SrpBuckets]] expression instead.

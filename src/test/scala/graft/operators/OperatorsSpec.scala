@@ -158,6 +158,19 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("blocked exact all-pairs equals the broadcast form (no broadcast bound)") {
+    val direct = Similarity.exactCosinePairs(plantedCorpus, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.exactCosinePairsBlocked(plantedCorpus, 0.9, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(direct.nonEmpty)
+    assert(blocked == direct)
+    // and the blocked plan is equi-join shaped — no nested loop anywhere
+    val plan = Similarity.exactCosinePairsBlocked(plantedCorpus, 0.9, blocks = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("srp candidate volume is a fraction of all-pairs; bits scale with corpus size") {
     val n = plantedCorpus.count()
     val allPairs = n * (n - 1) / 2
