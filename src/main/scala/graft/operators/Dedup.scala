@@ -132,10 +132,28 @@ object Dedup {
     }
   }
 
-  /** Near-dup pairs above a Jaccard threshold (LSH candidates, verified). */
+  /** Bands for a Jaccard threshold: with r = numHashes/b rows per band, a
+    * pair at Jaccard s is caught with 1−(1−s^r)^b. Pick the FEWEST bands
+    * (highest precision — fewer, longer bands admit fewer false candidates)
+    * that still reach the recall target for a pair at exactly the
+    * threshold; pairs above it have strictly higher catch probability. The
+    * MinHash mirror of [[Similarity.tablesFor]].
+    */
+  def bandsFor(threshold: Double, numHashes: Int = 16, recallTarget: Double = 0.9): Int = {
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.find { b =>
+      val r = numHashes / b
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b) >= recallTarget
+    }.getOrElse(divisors.last)
+  }
+
+  /** Near-dup pairs above a Jaccard threshold (LSH candidates, verified;
+    * banding auto-tuned to ≥0.9 recall at the threshold).
+    */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8): DataFrame =
-    minhashCandidatePairs(docs, idCol, textCol, numHashes = 16, bands = 4)
+    minhashCandidatePairs(docs, idCol, textCol, numHashes = 16,
+        bands = bandsFor(threshold))
       .filter(col("jaccard") >= threshold)
 
   /** SimHash near-dup pairs: 64-bit signature, banded into 4×16-bit chunks

@@ -42,6 +42,16 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("bandsFor picks the fewest bands reaching the recall target") {
+    // J=0.9, 16 hashes: 4 bands of 4 rows → 1-(1-0.9^4)^4 ≈ 0.988 ≥ 0.9,
+    // while 2 bands of 8 → 0.64 misses; J=0.5 needs all 16 singleton bands
+    assert(Dedup.bandsFor(0.9) == 4)
+    assert(Dedup.bandsFor(0.8) == 8)
+    assert(Dedup.bandsFor(0.5) == 16)
+    // higher precision (fewer bands) when the target is looser
+    assert(Dedup.bandsFor(0.9, recallTarget = 0.5) <= Dedup.bandsFor(0.9))
+  }
+
   test("minhashNearDups thresholds on true jaccard") {
     val nd = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
     val keys = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
