@@ -137,6 +137,77 @@ case class SrpBuckets(child: Expression, numTables: Int, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Symmetric int8 quantization of a float vector: scale = max|x|/127,
+  * q_i = round(x_i/scale) packed into BINARY (1 byte/dim — 4× less memory
+  * and scan bandwidth than array<float>, the lever that matters when the
+  * embedding column dominates a 100 TB corpus). Cosine is scale-invariant,
+  * so [[QuantizedCosine]] needs no dequantization.
+  */
+case class QuantizeI8(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "quantize_i8"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_i8 expects array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var maxAbs = 0f
+    var i = 0
+    while (i < n) { val a = math.abs(v.getFloat(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0f) {
+      val s = maxAbs / 127f
+      i = 0
+      while (i < n) {
+        out(i) = math.max(-127, math.min(127, math.round(v.getFloat(i) / s))).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine over two int8-quantized vectors (BINARY) — pure integer dot and
+  * norms in one fused loop, result in double. Approximates the float
+  * cosine to the quantization error (~1e-2 worst case at 64 dims).
+  */
+case class QuantizedCosine(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim_i8"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == org.apache.spark.sql.types.BinaryType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("cosine_sim_i8 expects two binary columns")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
+    while (i < n) {
+      val xi = x(i).toLong; val yi = y(i).toLong
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0L || ny == 0L) 0.0
+    else dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Register `cosine_sim` and `srp_buckets` on this session's function
@@ -155,6 +226,14 @@ object VectorFunctions {
       (children: Seq[Expression]) => SrpBuckets(children.head,
         litNum(children(1), "numTables").toInt, litNum(children(2), "bits").toInt,
         litNum(children(3), "seed")))
+    classic.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, null, "quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children.head))
+    classic.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim_i8"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName, null, "cosine_sim_i8"),
+      (children: Seq[Expression]) => QuantizedCosine(children.head, children(1)))
   }
 
   private def litNum(e: Expression, what: String): Long = e match {

@@ -50,6 +50,32 @@ object Similarity extends org.apache.spark.internal.Logging {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors: the corpus scan reads
+    * 1 byte/dim instead of 4 (cosine is scale-invariant, so symmetric
+    * quantization needs no dequantize) — the memory/bandwidth lever when
+    * the embedding column dominates a 100 TB corpus. Ranking approximates
+    * the float cosine to the quantization error; recall-gated vs
+    * [[bruteForceTopK]] in tests. At scale, materialize
+    * `quantize_i8(embedding)` once as a stored column and scan that.
+    */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      expr(s"quantize_i8($vecCol)").as("query_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      expr(s"quantize_i8($vecCol)").as("corpus_q"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_i8(query_q, corpus_q)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Exact all-pairs cosine above a threshold — the oracle/recall baseline
     * the approximate operators are measured against. O(N²) comparisons by
     * definition (that is what "exact all-pairs" means); use it on bounded

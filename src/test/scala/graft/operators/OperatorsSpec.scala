@@ -168,6 +168,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("int8-quantized top-k: recall@5 >= 0.9 vs float, 4x smaller scan") {
+    VectorFunctions.register(spark)
+    val queries = plantedCorpus.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(plantedCorpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopKQuantized(plantedCorpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // quantized column is 1 byte/dim; cosine of a vector with itself is 1
+    val row = plantedCorpus.select(
+      expr("quantize_i8(embedding)").as("q"),
+      expr("cosine_sim_i8(quantize_i8(embedding), quantize_i8(embedding))").as("self"))
+      .first()
+    assert(row.getAs[Array[Byte]](0).length == 16)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("blocked exact all-pairs equals the broadcast form (no broadcast bound)") {
     val direct = Similarity.exactCosinePairs(plantedCorpus, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
