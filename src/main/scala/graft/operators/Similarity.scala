@@ -324,9 +324,12 @@ object Similarity extends org.apache.spark.internal.Logging {
         .groupBy(col("cid"))
         .agg(avgCols.head, avgCols.tail.toSeq: _*)
         .collect()
-      cents = rows
+      val updated = rows
         .map(r => (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)))
-        .toSeq.sortBy(_._1)
+        .toMap
+      // a cluster that lost every member keeps its previous centroid (it can
+      // regain members as the others move) instead of silently shrinking k
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
     cents
   }

@@ -168,6 +168,16 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("k-means keeps its centroid count when a cluster empties") {
+    // two far-apart tight clusters but FOUR centroids: some must empty out;
+    // training must not shrink k below the requested count
+    val pts = ((0 until 20).map(i => (i.toLong, Array(1f, 0f, 0f))) ++
+      (20 until 40).map(i => (i.toLong, Array(0f, 1f, 0f)))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroidsLocal(pts, numCentroids = 4, iters = 3)
+    assert(cents.size == 4)
+    assert(cents.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("int8-quantized top-k: recall@5 >= 0.9 vs float, 4x smaller scan") {
     VectorFunctions.register(spark)
     val queries = plantedCorpus.filter($"vec_id" < 20)
