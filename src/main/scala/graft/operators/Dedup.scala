@@ -188,6 +188,44 @@ object Dedup {
     }
   }
 
+  /** Near-duplicate SUPPRESSION against a static reference corpus: rows of
+    * `df` whose SimHash is within `maxHamming` of any reference document
+    * are dropped. Every step is stateless row-local or a join against the
+    * static side (simhash scan-local; one anti-join per 16-bit pigeonhole
+    * chunk — a doc survives iff no chunk bucket holds a reference doc
+    * within the hamming bound), so the SAME operator runs in batch and in
+    * Structured Streaming (stream-static joins need no state; composes
+    * with watermarks and dedupedByContent for in-stream exact dups). This
+    * is the "filter the incoming feed against the existing corpus" shape:
+    * the reference chunk table is built once (stage it to parquet at
+    * scale) and reused every micro-batch.
+    *
+    * Recall guarantee holds for `maxHamming` ≤ 3 (4 chunks pigeonhole 3 bit
+    * errors); larger bounds still verify correctly but may miss pairs whose
+    * differing bits spread across all 4 chunks.
+    */
+  def suppressNearDups(df: DataFrame, reference: DataFrame,
+                       textCol: String, refTextCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    NativeTextExpressions.register(df.sparkSession)
+    val refChunks = reference
+      .select(expr(s"simhash64_native($refTextCol)").as("__ref_sh"))
+      .select(col("__ref_sh"),
+        posexplode(array((0 until 4).map { c =>
+          shiftrightunsigned(col("__ref_sh"), c * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("__chunk", "__chunk_val")))
+    val withSh = df.withColumn("__sh", expr(s"simhash64_native($textCol)"))
+    val survived = (0 until 4).foldLeft(withSh) { (acc, c) =>
+      val refC = refChunks.filter(col("__chunk") === c)
+        .select(col("__chunk_val").as("__ref_cv"), col("__ref_sh"))
+      acc.join(refC,
+        shiftrightunsigned(acc("__sh"), c * 16).bitwiseAND(lit(0xFFFFL)) === col("__ref_cv") &&
+          hammingDistance(acc("__sh"), col("__ref_sh")) <= maxHamming,
+        "left_anti")
+    }
+    survived.drop("__sh")
+  }
+
   /** N-gram Jaccard similarity for given candidate id pairs (exact verify
     * step; candidates come from LSH, never all-pairs).
     */

@@ -70,6 +70,24 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("suppressNearDups drops exact and near matches of the reference, keeps novel") {
+    // long docs so a 1-token change flips ≤3 simhash bits — inside the
+    // pigeonhole guarantee (hamming ≤ 3 ⟹ at least one 16-bit chunk equal)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(3)
+    val base = Seq.fill(120)(words(rnd.nextInt(words.size)))
+    val reference = Seq((0L, base.mkString(" "))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base.mkString(" ")),                               // exact dup
+      (11L, base.updated(60, "omega").mkString(" ")),          // near-dup (hamming 1)
+      (12L, Seq.fill(120)("unrelated").mkString(" ")))         // novel
+      .toDF("doc_id", "text")
+    val kept = Dedup.suppressNearDups(incoming, reference, "text", "text", maxHamming = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L), s"kept $kept")
+  }
+
   test("ngram jaccard on candidate pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs)

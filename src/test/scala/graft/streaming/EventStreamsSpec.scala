@@ -91,6 +91,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup suppression runs stream-static (stateless on the stream side)") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((0L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val filtered = graft.operators.Dedup.suppressNearDups(
+      in.toDS().toDF("doc_id", "text"), reference, "text", "text", maxHamming = 6)
+    val q = filtered.writeStream.format("memory").queryName("nd_suppress")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (11L, "a totally novel sentence about columnar execution and vectorized reads"))
+      q.processAllAvailable()
+      val kept = spark.table("nd_suppress").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("custom sessionizer emits closed sessions with totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
