@@ -291,8 +291,9 @@ object Similarity extends org.apache.spark.internal.Logging {
     * per-dimension means as `avg(element_at(...))` columns (no posexplode
     * row blowup, no second shuffle). The k × dim codebook rides the driver
     * between iterations — it is small by definition; the DATA never
-    * collects. Initialization is the deterministic id-sample; empty
-    * clusters drop out. At 100 TB, train on a sample
+    * collects. Initialization is the deterministic id-sample; a cluster
+    * that empties keeps its previous centroid (k never shrinks). At 100 TB,
+    * train on a sample
     * (`corpus.sample(...)`) — centroid quality needs representative data,
     * not all of it — then assign the full corpus once in [[ivfTopK]].
     */
