@@ -22,18 +22,25 @@ object Bench {
     // machine a single sample is noise-dominated (observed 3-4× swings on
     // identical code). Min-of-N is the standard steady-state estimator.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // A run that throws must NOT count as a (near-instant) timing — a broken
+    // query would otherwise bench as a speedup. Min is taken over successful
+    // runs only; a query with zero successes reports -1 and bumps `failed`.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    val failed = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * table stays proportional to the corpus and AQE skew splitting handles
   * hot buckets (boilerplate-heavy shingles).
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** Stage a DataFrame to parquet and read it back. Used for the (small)
     * pair RESULT of the LSH operators so their (large) signature cache can
@@ -33,10 +33,22 @@ object Dedup {
     * natural output materialization — near-dup pair sets are consumed many
     * times downstream.
     */
-  private def stage(df: DataFrame, tag: String): DataFrame = {
+  private[operators] def stage(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
-    val base = spark.conf.getOption("spark.graft.stagingDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = spark.conf.getOption("spark.graft.stagingDir").getOrElse {
+      if (spark.sparkContext.isLocal) System.getProperty("java.io.tmpdir")
+      else {
+        // On a multi-node cluster each executor's java.io.tmpdir is its OWN
+        // local disk — parquet parts would scatter across machines and the
+        // driver-side read-back would silently see partial data. Fall back
+        // to a tmp dir on the Hadoop default FS (cluster-visible) instead.
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val d = new org.apache.hadoop.fs.Path(fs.getUri.toString + "/tmp").toString
+        logWarning("spark.graft.stagingDir unset on a non-local master; " +
+          s"staging to the cluster-visible default FS at $d — set the conf explicitly")
+        d
+      }
+    }
     val dir = s"$base/graft-stage-$tag-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(dir)
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -197,8 +209,8 @@ object Dedup {
     * Structured Streaming (stream-static joins need no state; composes
     * with watermarks and dedupedByContent for in-stream exact dups). This
     * is the "filter the incoming feed against the existing corpus" shape:
-    * the reference chunk table is built once (stage it to parquet at
-    * scale) and reused every micro-batch.
+    * the reference chunk table is built ONCE (staged to parquet via
+    * [[stage]]) and reused by all four anti-joins and every micro-batch.
     *
     * Recall guarantee holds for `maxHamming` ≤ 3 (4 chunks pigeonhole 3 bit
     * errors); larger bounds still verify correctly but may miss pairs whose
@@ -208,12 +220,17 @@ object Dedup {
                        textCol: String, refTextCol: String,
                        maxHamming: Int = 3): DataFrame = {
     NativeTextExpressions.register(df.sparkSession)
-    val refChunks = reference
+    // Staged (scan + simhash ONCE): the fold below joins against the chunk
+    // table four times, and without materialization each anti-join would
+    // re-read and re-hash the whole reference corpus — 4 scans of what may
+    // be a 100 TB table. Staging also keeps the static side static for the
+    // stream-static form: every micro-batch reuses the same parquet.
+    val refChunks = stage(reference
       .select(expr(s"simhash64_native($refTextCol)").as("__ref_sh"))
       .select(col("__ref_sh"),
         posexplode(array((0 until 4).map { c =>
           shiftrightunsigned(col("__ref_sh"), c * 16).bitwiseAND(lit(0xFFFFL))
-        }: _*)).as(Seq("__chunk", "__chunk_val")))
+        }: _*)).as(Seq("__chunk", "__chunk_val"))), "suppress-ref")
     val withSh = df.withColumn("__sh", expr(s"simhash64_native($textCol)"))
     val survived = (0 until 4).foldLeft(withSh) { (acc, c) =>
       val refC = refChunks.filter(col("__chunk") === c)

@@ -145,20 +145,32 @@ object Similarity extends org.apache.spark.internal.Logging {
     math.max(2, math.ceil(
       math.log(math.max(corpusSize.toDouble / targetBucket, 1.0)) / math.log(2.0)).toInt)
 
-  /** Number of independent SRP tables needed to reach `recallTarget` for a
-    * pair at exactly `threshold` cosine (pairs above the threshold have
-    * higher per-table probability, so aggregate recall exceeds the target).
-    * Capped: if the cap binds, worst-case recall is below target — raise
-    * `targetBucket` (fewer bits) or accept the lower recall.
+  /** Cost ceiling on SRP table count: each table is a full hash pass + a
+    * bucket join, so past this point more recall must come from fewer bits
+    * (larger buckets), not more tables.
     */
-  def tablesFor(threshold: Double, bits: Int, recallTarget: Double = 0.9,
-                maxTables: Int = 32): Int = {
+  val MaxSrpTables = 32
+
+  /** Tables needed to reach `recallTarget` with NO cap — the raw solution
+    * of 1 − (1 − p^bits)^T ≥ recallTarget. Compare against [[MaxSrpTables]]
+    * to learn whether the cap binds.
+    */
+  def tablesForUncapped(threshold: Double, bits: Int, recallTarget: Double = 0.9): Int = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(threshold, 1.0))) / math.Pi
     val pb = math.pow(p, bits)
     if (pb >= 1.0) 1
-    else math.min(maxTables,
-      math.max(1, math.ceil(math.log1p(-recallTarget) / math.log1p(-pb)).toInt))
+    else math.max(1, math.ceil(math.log1p(-recallTarget) / math.log1p(-pb)).toInt)
   }
+
+  /** Number of independent SRP tables needed to reach `recallTarget` for a
+    * pair at exactly `threshold` cosine (pairs above the threshold have
+    * higher per-table probability, so aggregate recall exceeds the target).
+    * Capped at `maxTables`: if the cap binds, worst-case recall is below
+    * target — raise `targetBucket` (fewer bits) or accept the lower recall.
+    */
+  def tablesFor(threshold: Double, bits: Int, recallTarget: Double = 0.9,
+                maxTables: Int = MaxSrpTables): Int =
+    math.min(maxTables, tablesForUncapped(threshold, bits, recallTarget))
 
   /** Banded-SRP candidate pairs: each vector lands in `numTables` buckets
     * (one per independent b-bit table); candidates are within-bucket pairs,
@@ -194,13 +206,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     VectorFunctions.register(corpus.sparkSession)
     val bits = if (bitsPerTable > 0) bitsPerTable
                else bitsFor(corpus.count(), targetBucket)
-    val tables = if (numTables > 0) numTables else tablesFor(threshold, bits, recallTarget)
-    // never cap silently: if the table budget binds, say what recall it buys.
-    if (numTables == 0 && tables == 32) {
+    val uncapped = tablesForUncapped(threshold, bits, recallTarget)
+    val tables = if (numTables > 0) numTables else math.min(MaxSrpTables, uncapped)
+    // never cap silently: warn exactly when the cap binds (uncapped demand
+    // exceeds the budget), not whenever the count happens to equal it.
+    if (numTables == 0 && uncapped > MaxSrpTables) {
       val p = 1.0 - math.acos(math.max(-1.0, math.min(threshold, 1.0))) / math.Pi
       val worst = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
-      logWarning(f"cosineNearDupPairs: $tables tables (cap) give worst-case " +
-        f"recall $worst%.3f < target $recallTarget%.2f at threshold $threshold " +
+      logWarning(f"cosineNearDupPairs: $tables tables (cap; $uncapped needed) give " +
+        f"worst-case recall $worst%.3f < target $recallTarget%.2f at threshold $threshold " +
         s"with $bits bits/table; raise targetBucket (fewer bits) or accept the lower recall")
     }
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -309,7 +323,10 @@ object Similarity extends org.apache.spark.internal.Logging {
       val byId = corpus.filter(col(idCol) < numCentroids)
         .select(col(idCol).cast("long"), col(vecCol))
         .collect().sortBy(_.getLong(0))
-      if (byId.nonEmpty) byId
+      // a gappy id space (ids 0, 5000, …) can match some-but-fewer than k
+      // rows — fall back to the bounded sample whenever the id probe comes
+      // up short, not only when it is empty, so k never silently shrinks.
+      if (byId.length >= numCentroids) byId
       else corpus.select(col(idCol).cast("long"), col(vecCol))
         .limit(numCentroids).collect()
     }

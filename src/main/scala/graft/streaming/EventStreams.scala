@@ -78,8 +78,8 @@ object EventStreams {
   def dedupedByContent(stream: DataFrame, contentCol: String, tsCol: String = "ts",
                        delay: String = "10 minutes"): DataFrame =
     stream
-      .withColumn("__ck1", xxhash64(lower(col(contentCol))))
-      .withColumn("__ck2", xxhash64(lit("g2#"), lower(col(contentCol))))
+      .withColumn("__ck1", xxhash64(col(contentCol)))
+      .withColumn("__ck2", xxhash64(lit("g2#"), col(contentCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__ck1", "__ck2")
       .drop("__ck1", "__ck2")

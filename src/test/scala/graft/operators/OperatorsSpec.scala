@@ -88,6 +88,22 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(12L), s"kept $kept")
   }
 
+  test("suppressNearDups scans the reference corpus exactly once (staged)") {
+    // the four per-chunk anti-joins must read the STAGED chunk table, not
+    // re-derive it — count reference-row evaluations via an accumulator
+    val acc = spark.sparkContext.longAccumulator("refRowsRead")
+    val tick = udf((s: String) => { acc.add(1L); s })
+    val reference = Seq((0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1L, "completely different content about spark query engines and distributed joins"))
+      .toDF("doc_id", "raw")
+      .withColumn("text", tick(col("raw")))
+    val incoming = Seq((10L, "a totally novel sentence about columnar execution and vectorized reads"))
+      .toDF("doc_id", "text")
+    acc.reset()
+    Dedup.suppressNearDups(incoming, reference, "text", "text").count()
+    assert(acc.value == 2L, s"reference scanned ${acc.value / 2.0} times, expected 1")
+  }
+
   test("ngram jaccard on candidate pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs)
@@ -192,6 +208,17 @@ class OperatorsSpec extends SparkSpec {
     val pts = ((0 until 20).map(i => (i.toLong, Array(1f, 0f, 0f))) ++
       (20 until 40).map(i => (i.toLong, Array(0f, 1f, 0f)))).toDF("vec_id", "embedding")
     val cents = Similarity.trainCentroidsLocal(pts, numCentroids = 4, iters = 3)
+    assert(cents.size == 4)
+    assert(cents.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("k-means init keeps k on a gappy id space (some ids < k, fewer than k)") {
+    // ids 0 and 2 match the `id < k` probe but k=4 — init must top up from
+    // the bounded sample instead of silently training 2 centroids
+    val pts = Seq(0L, 2L, 5000L, 5001L, 5002L, 5003L)
+      .zipWithIndex.map { case (id, i) => (id, Array(i.toFloat, 1f, 0f)) }
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroidsLocal(pts, numCentroids = 4, iters = 2)
     assert(cents.size == 4)
     assert(cents.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
   }
