@@ -84,6 +84,135 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__ck1", "__ck2")
       .drop("__ck1", "__ck2")
 
+  // ---- custom state: in-stream NEAR-dup dedup via flatMapGroupsWithState ----
+
+  private[streaming] case class DocChunk(doc_id: Long, ts: Timestamp, sh: Long,
+                                         chunk: Int, chunk_val: Long)
+  private[streaming] case class SigEntry(sh: Long, tsMs: Long)
+  private[streaming] case class ChunkDedupState(sigs: List[SigEntry])
+  private[streaming] case class ChunkVerdict(doc_id: Long, ts: Timestamp, is_dup: Boolean)
+
+  /** Per-chunk near-dup verdicts for documents WITHIN a live stream: a
+    * document is flagged if its 64-bit SimHash is within `maxHamming` of
+    * any document seen earlier in the stream (event-time order; ties by id)
+    * and still inside the dedup horizon. This is the "dedupe the live crawl
+    * against itself" shape — [[graft.operators.Dedup.suppressNearDups]]
+    * covers the stream-vs-static-corpus case; this one needs state.
+    *
+    * Shape: simhash scan-local per doc → explode the 4×16-bit pigeonhole
+    * chunks (hamming ≤ 3 ⟹ at least one identical chunk — same guarantee
+    * as the batch operator) → `flatMapGroupsWithState` keyed by
+    * (chunk, chunk_val) holding the full signatures recently seen in that
+    * bucket → one verdict row per (doc, chunk): `is_dup` = that bucket held
+    * an earlier signature within the hamming bound. State is bounded
+    * exactly like `dropDuplicatesWithinWatermark`: signatures evict once
+    * the watermark passes their event time + `delayMs` (EventTimeTimeout —
+    * a processing-time timeout would hang `processAllAvailable` in tests
+    * and replay differently from live runs). Each bucket stores full 8-byte
+    * signatures, never documents, so state is ~16 bytes/doc/chunk.
+    *
+    * The all-chunks combine (a doc survives iff NO bucket flagged it) is
+    * deliberately NOT a second stateful operator — Spark's global-watermark
+    * check rightly rejects aggregations downstream of
+    * `flatMapGroupsWithState`. Instead, a doc's 4 verdict rows are always
+    * emitted in the SAME micro-batch as the doc itself (the operator only
+    * emits for current-batch rows, never on timeout), so the combine is the
+    * batch-local [[combineNearDupVerdicts]] inside `foreachBatch` — see
+    * [[dedupedNearStream]]. That also means survivors emit immediately, not
+    * a watermark delay later.
+    *
+    * Dedup is best-effort beyond the horizon (like
+    * `dropDuplicatesWithinWatermark`): a near-dup arriving within `delayMs`
+    * of the original's event time is guaranteed caught; one arriving later
+    * may or may not be, depending on how far the watermark has advanced.
+    */
+  def nearDupVerdicts(stream: DataFrame, idCol: String, contentCol: String,
+                      tsCol: String = "ts", maxHamming: Int = 3,
+                      delayMs: Long = 10 * 60 * 1000L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.functions.NativeTextExpressions.register(spark)
+    require(maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4-chunk pigeonhole recall guarantee")
+    val delay = s"$delayMs milliseconds"
+
+    val chunked = stream
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        expr(s"simhash64_native($contentCol)").as("sh"))
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"), col("sh"),
+        posexplode(array((0 until 4).map { c =>
+          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("chunk", "chunk_val")))
+      .as[DocChunk]
+
+    val verdicts = chunked
+      .groupByKey(dc => (dc.chunk, dc.chunk_val))
+      .flatMapGroupsWithState[ChunkDedupState, ChunkVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[ChunkDedupState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          def live(sigs: List[SigEntry]) = sigs.filter(_.tsMs + delayMs > wm)
+          if (state.hasTimedOut) {
+            // watermark passed every stored signature's eviction point —
+            // unless a fresher signature arrived since the timeout was set.
+            val kept = live(state.getOption.map(_.sigs).getOrElse(Nil))
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(ChunkDedupState(kept))
+              state.setTimeoutTimestamp(
+                math.max(kept.map(_.tsMs).max + delayMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            var sigs = live(state.getOption.map(_.sigs).getOrElse(Nil))
+            // event-time order (ties by id) makes the greedy survivor
+            // deterministic across micro-batch boundaries and replays
+            val out = rows.toSeq.sortBy(dc => (dc.ts.getTime, dc.doc_id)).map { dc =>
+              val dup = sigs.exists(s =>
+                java.lang.Long.bitCount(s.sh ^ dc.sh) <= maxHamming)
+              sigs ::= SigEntry(dc.sh, dc.ts.getTime)
+              ChunkVerdict(dc.doc_id, dc.ts, dup)
+            }
+            state.update(ChunkDedupState(sigs))
+            state.setTimeoutTimestamp(
+              math.max(sigs.map(_.tsMs).max + delayMs, wm + 1))
+            out.iterator
+          }
+      }
+
+    verdicts.toDF()
+  }
+
+  /** Batch-local all-chunks combine for [[nearDupVerdicts]] output: a doc
+    * survives iff none of its 4 chunk buckets flagged it. Safe as a plain
+    * batch aggregation inside `foreachBatch` because a doc's verdict rows
+    * never straddle micro-batches.
+    */
+  def combineNearDupVerdicts(verdictBatch: DataFrame): DataFrame =
+    verdictBatch
+      .groupBy(col("doc_id"))
+      .agg(max(col("is_dup").cast("int")).as("__dup"), min(col("ts")).as("ts"))
+      .filter(col("__dup") === 0)
+      .select(col("doc_id"), col("ts"))
+
+  /** In-stream near-dup dedup, ready to start: per-chunk stateful verdicts
+    * ([[nearDupVerdicts]]) combined per micro-batch, survivors handed to
+    * `sink`. Output rows are (doc_id, ts) of surviving documents; join
+    * content back downstream if needed — shipping content through the 4×
+    * chunk explosion would quadruple in-flight bytes for no benefit.
+    */
+  def dedupedNearStream(stream: DataFrame, idCol: String, contentCol: String,
+                        tsCol: String = "ts", maxHamming: Int = 3,
+                        delayMs: Long = 10 * 60 * 1000L)
+                       (sink: DataFrame => Unit) =
+    nearDupVerdicts(stream, idCol, contentCol, tsCol, maxHamming, delayMs)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(combineNearDupVerdicts(batch))
+      }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -110,6 +110,79 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream near-dup dedup catches cross-batch near-dups exactly (planted corpus)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.NativeTextExpressions.register(spark)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(7)
+    def randDoc() = Seq.fill(120)(words(rnd.nextInt(words.size)))
+    val base = randDoc()
+    val docs = Seq( // (id, ts, text) — near-dups of doc 1 arrive in a LATER batch
+      (1L, ts("2024-01-01 10:00:00"), base.mkString(" ")),
+      (2L, ts("2024-01-01 10:00:30"), randDoc().mkString(" ")),
+      (3L, ts("2024-01-01 10:01:00"), base.mkString(" ")),                      // exact dup of 1
+      (4L, ts("2024-01-01 10:01:30"), base.updated(60, "omega").mkString(" ")), // near-dup of 1
+      (5L, ts("2024-01-01 10:02:00"), randDoc().mkString(" ")))
+
+    // fixture validation + expected survivors from the ACTUAL signatures:
+    // greedy in (ts, id) order, dup iff any earlier doc within hamming 3
+    val sig = docs.toDF("doc_id", "ts", "text")
+      .select(col("doc_id"), expr("simhash64_native(text)").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = docs.map(_._1).filter(id =>
+      !docs.map(_._1).filter(_ < id).exists(prev => ham(sig(prev), sig(id)) <= 3)).toSet
+    assert(!expected.contains(3L) && !expected.contains(4L),
+      "fixture must plant real near-dups of doc 1")
+    assert(expected == Set(1L, 2L, 5L), s"fixture: expected survivors $expected")
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = dedupedNearStream(
+      in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text") { survivors =>
+        kept.synchronized { kept ++= survivors.collect().map(_.getLong(0)) }
+      }.start()
+    try {
+      in.addData((1L, docs(0)._2, docs(0)._3), (2L, docs(1)._2, docs(1)._3))
+      q.processAllAvailable()
+      // survivors emit in the SAME batch — no watermark-flush sentinel needed
+      assert(kept.synchronized(kept.toSet) == Set(1L, 2L))
+      in.addData((3L, docs(2)._2, docs(2)._3), (4L, docs(3)._2, docs(3)._3),
+        (5L, docs(4)._2, docs(4)._3))
+      q.processAllAvailable()
+      assert(kept.synchronized(kept.toSet) == expected,
+        s"streaming kept $kept, expected $expected")
+    } finally q.stop()
+  }
+
+  test("in-stream near-dup state evicts on the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq.fill(120)("alpha beta gamma delta").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = dedupedNearStream(
+      in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      delayMs = 10 * 60 * 1000L) { survivors =>
+        kept.synchronized { kept ++= survivors.collect().map(_.getLong(0)) }
+      }.start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), base))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's eviction point (10:10)
+      in.addData((2L, ts("2024-01-01 11:00:00"), "watermark advancing sentinel"))
+      q.processAllAvailable()
+      // an exact dup arriving beyond the horizon is NOT suppressed — its
+      // signature was evicted (bounded state, dropDuplicatesWithinWatermark
+      // semantics); within the horizon (earlier test) it is
+      in.addData((3L, ts("2024-01-01 11:05:00"), base))
+      q.processAllAvailable()
+      assert(kept.synchronized(kept.toSet) == Set(1L, 2L, 3L),
+        s"kept $kept — doc 3 should survive after eviction")
+    } finally q.stop()
+  }
+
   test("custom sessionizer emits closed sessions with totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
