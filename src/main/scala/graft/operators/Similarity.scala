@@ -226,17 +226,31 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Queries-side broadcast ceiling (rows). Below it the query side is
+    * broadcast — every executor probes locally, zero shuffle of the corpus
+    * side. Above it (corpus-vs-corpus ANN, 10⁸-row query batches) the
+    * operators fall back to a plain shuffle join on their fixed-width keys:
+    * same semantics, no single-executor materialization of the query side.
+    */
+  val DefaultMaxBroadcastQueries: Long = 1L << 20
+
+  private def maybeBroadcast(df: DataFrame, rows: Long, maxRows: Long) =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** ANN top-k: bucket corpus and queries by banded SRP-LSH, join on
     * (table, bucket), dedup candidates, rank within query. Trades recall
     * for a ~2^bits reduction in scanned pairs per table; at 100 TB the
     * bucket join is a hash shuffle on fixed-width keys instead of a
     * broadcast fan-out of every query to every corpus row. Multi-table:
-    * recall 1−(1−p^bits)^numTables per neighbor (see object doc).
+    * recall 1−(1−p^bits)^numTables per neighbor (see object doc). Query
+    * sides beyond `maxBroadcastQueries` rows take the shuffle join path —
+    * results are identical, only the physical join strategy changes.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numTables: Int = 8, bitsPerTable: Int = 0, targetBucket: Int = 4096,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L,
+              maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val bits = if (bitsPerTable > 0) bitsPerTable
                else bitsFor(corpus.count(), targetBucket)
@@ -247,7 +261,8 @@ object Similarity extends org.apache.spark.internal.Logging {
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cb = banded(corpus, "neighbor")
     val qb = banded(queries, "query")
-    val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+    val scored = cb.join(maybeBroadcast(qb, queries.count(), maxBroadcastQueries),
+        Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("query_vec"),
         col("neighbor_vec").as("corpus_vec"))
@@ -305,7 +320,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     * per-dimension means as `avg(element_at(...))` columns (no posexplode
     * row blowup, no second shuffle). The k × dim codebook rides the driver
     * between iterations — it is small by definition; the DATA never
-    * collects. Initialization is the deterministic id-sample; a cluster
+    * collects. Initialization is deterministic k-means++-style
+    * farthest-first seeding over a bounded sample; a cluster
     * that empties keeps its previous centroid (k never shrinks). At 100 TB,
     * train on a sample
     * (`corpus.sample(...)`) — centroid quality needs representative data,
@@ -315,24 +331,46 @@ object Similarity extends org.apache.spark.internal.Logging {
                           idCol: String = "vec_id", vecCol: String = "embedding"
                          ): Seq[(Long, Array[Float])] = {
     VectorFunctions.register(corpus.sparkSession)
-    // deterministic init: the lowest-id vectors; falls back to an arbitrary
-    // bounded sample when the id space doesn't start at 0 (sparse ids,
-    // offset ranges). Centroid ids are positional 0..k-1 either way — they
-    // are list labels, not corpus ids.
-    val initRows = {
-      val byId = corpus.filter(col(idCol) < numCentroids)
-        .select(col(idCol).cast("long"), col(vecCol))
-        .collect().sortBy(_.getLong(0))
-      // a gappy id space (ids 0, 5000, …) can match some-but-fewer than k
-      // rows — fall back to the bounded sample whenever the id probe comes
-      // up short, not only when it is empty, so k never silently shrinks.
-      if (byId.length >= numCentroids) byId
-      else corpus.select(col(idCol).cast("long"), col(vecCol))
-        .limit(numCentroids).collect()
+    // k-means++-style seeding on a bounded driver-side sample: the first
+    // seed is the lowest-id vector; each further seed is the sample point
+    // farthest (cosine distance) from its nearest already-chosen seed — the
+    // deterministic farthest-first variant of the D² weighting (no RNG, so
+    // replays train identical codebooks). A contiguous-id prefix no longer
+    // degenerates the init: seeds start spread across the sample, so the
+    // same `iters` buys a strictly better codebook. The sample is bounded
+    // (max(k, 1024) rows — one `limit` job, a partition or two at any
+    // scale); seeding cost is O(sample × k) driver-side float ops.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
-    var cents: Seq[(Long, Array[Float])] = initRows.toSeq.zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
-    if (cents.isEmpty) return cents
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .limit(math.max(numCentroids, 1024)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    if (sample.isEmpty) return Seq.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    val minDist = Array.fill(sample.length)(1.0 - cos(sample.head._2, sample.head._2))
+    sample.indices.foreach(i => minDist(i) = 1.0 - cos(sample(i)._2, chosen.head))
+    while (chosen.size < math.min(numCentroids, sample.length)) {
+      // ties (e.g. exhausted distinct points) resolve to the lowest index —
+      // duplicate seeds are fine, the empty-cluster rule keeps k stable
+      var best = 0
+      var i = 1
+      while (i < sample.length) {
+        if (minDist(i) > minDist(best)) best = i
+        i += 1
+      }
+      val seed = sample(best)._2
+      chosen += seed
+      sample.indices.foreach { j =>
+        val d = 1.0 - cos(sample(j)._2, seed)
+        if (d < minDist(j)) minDist(j) = d
+      }
+    }
+    var cents: Seq[(Long, Array[Float])] =
+      chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val avgCols = (0 until dim).map(i =>
@@ -385,17 +423,23 @@ object Similarity extends org.apache.spark.internal.Logging {
   }
 
   /** Search a prebuilt index: each query scans only its `nprobe` nearest
-    * inverted lists (≈ nprobe/numCentroids of the corpus).
+    * inverted lists (≈ nprobe/numCentroids of the corpus). Query batches
+    * beyond `maxBroadcastQueries` rows join the inverted lists by shuffle
+    * on `list_id` instead of broadcasting — identical results; at cluster
+    * scale pair it with `assigned` bucketed by `list_id` so the corpus
+    * side needs no shuffle either.
     */
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     // per query: the nprobe nearest centroid lists (scan-local as well).
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       explode(probeLists(col(vecCol), index.centroids, nprobe)).as("list_id"))
 
     // search only the probed lists.
-    val scored = index.assigned.join(broadcast(probes), Seq("list_id"))
+    val scored = index.assigned.join(
+        maybeBroadcast(probes, queries.count(), maxBroadcastQueries), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
     val w = Window.partitionBy(col("query_id"))
