@@ -392,6 +392,18 @@ object Queries {
         t(spark, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Quantized all-pairs cosine (q63): the [[cosineExactPairs]] shape over
+    * int8-quantized vectors. Oracle-checked bit-for-bit — the symmetric
+    * quantizer (float32 maxAbs/127 scale, float32 per-element division,
+    * exact floor(x+0.5) rounding, clamp ±127, integer dot/norm cosine) is
+    * replicated in DuckDB SQL, so this pins the quantizer's exact
+    * semantics where q55/q56's gates only pin recall.
+    */
+  def quantizedCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.exactCosinePairsQuantized(
+        t(spark, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** IVF-flat ANN top-k (rows-only: inverted-list search is approximate;
     * centroids k-means-trained, 3 Lloyd's iterations).
     */

@@ -102,7 +102,9 @@ object SparkEntry {
     // is measured against (OperatorsSpec recall gates)
     "q61_cosine_exact_pairs" -> Queries.cosineExactPairs _,
     // multimodal feature extraction (byte histogram), oracle-checked
-    "q62_media_features"     -> Queries.mediaFeatures _
+    "q62_media_features"     -> Queries.mediaFeatures _,
+    // int8-quantized all-pairs cosine, oracle-checked bit-for-bit
+    "q63_quantized_pairs"    -> Queries.quantizedCosinePairs _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,6 +408,27 @@ object SparkEntry {
         |                         CAST(b.embedding AS DOUBLE[])) AS c
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE a.vec_id < 2000 AND b.vec_id < 2000)
+        |WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    // Replicates the Spark quantizer exactly: FLOAT/FLOAT division in
+    // DuckDB is true float32 (matches maxAbs/127f and x/scale), and
+    // floor(x + 0.5) over the widened double matches Java 17's exact
+    // Math.round(float). Integer dot/norms are exact in double.
+    "q63_quantized_pairs" ->
+      """WITH qv AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> greatest(-127, least(127,
+        |    CAST(floor(CAST(CAST(x AS FLOAT) / s AS DOUBLE) + 0.5) AS BIGINT)))) AS q
+        | FROM (SELECT vec_id, embedding,
+        |         CAST(list_max(list_transform(embedding, y -> abs(y))) AS FLOAT)
+        |           / CAST(127 AS FLOAT) AS s
+        |       FROM embeddings WHERE vec_id < 2000)
+        | WHERE s > 0)
+        |SELECT id_a, id_b, round(c, 4) AS qcosine FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+        |   sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE) *
+        |        CAST(list_dot_product(b.q, b.q) AS DOUBLE)) AS c
+        | FROM qv a JOIN qv b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     // CAST(... AS FLOAT) reproduces Spark's float32 histogram division
     // bit-for-bit (a single float division is correctly rounded), so the

@@ -93,6 +93,25 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Exact all-pairs over int8-QUANTIZED vectors: [[exactCosinePairs]] with
+    * the scan reading 1 byte/dim. Unlike the LSH/IVF operators this is
+    * deterministic end-to-end — symmetric quantization is a float32 scale
+    * division plus exact floor(x+0.5) rounding, both replicable in ANSI
+    * SQL — so it is oracle-checked bit-for-bit (q63), which pins the
+    * quantizer's semantics, not just its recall.
+    */
+  def exactCosinePairsQuantized(corpus: DataFrame, threshold: Double,
+                                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = corpus.select(col(idCol).as("id"), expr(s"quantize_i8($vecCol)").as("qv"))
+    val a = q.select(col("id").as("id_a"), col("qv").as("q_a"))
+    val b = q.select(col("id").as("id_b"), col("qv").as("q_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("c", expr("cosine_sim_i8(q_a, q_b)"))
+      .filter(col("c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("qcosine"))
+  }
+
   /** Exact all-pairs without a broadcast bound — the blocked form of
     * [[exactCosinePairs]] for corpora past nested-loop-broadcast size.
     * Each vector hashes to one of `blocks` blocks; every unordered block
