@@ -404,6 +404,17 @@ object Queries {
         t(spark, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** PQ-compressed ANN top-k (q64, rows-only: the ADC scan is approximate;
+    * recall@5 ≥ 0.9 after exact rerank gated in OperatorsSpec). 8 codes/
+    * vector (8× smaller than the 64-dim float column even before the
+    * rerank shortlist join).
+    */
+  def pqTopkSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 5, m = 8)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** IVF-flat ANN top-k (rows-only: inverted-list search is approximate;
     * centroids k-means-trained, 3 Lloyd's iterations).
     */

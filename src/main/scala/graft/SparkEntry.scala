@@ -104,7 +104,9 @@ object SparkEntry {
     // multimodal feature extraction (byte histogram), oracle-checked
     "q62_media_features"     -> Queries.mediaFeatures _,
     // int8-quantized all-pairs cosine, oracle-checked bit-for-bit
-    "q63_quantized_pairs"    -> Queries.quantizedCosinePairs _
+    "q63_quantized_pairs"    -> Queries.quantizedCosinePairs _,
+    // PQ ANN (ADC scan + exact rerank), rows-only + recall gate in tests
+    "q64_pq_topk"            -> Queries.pqTopkSimilar _
   )
 
   def oracleSql: Map[String, String] = Map(

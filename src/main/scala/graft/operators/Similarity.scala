@@ -470,6 +470,180 @@ object Similarity extends org.apache.spark.internal.Logging {
         col("rk").cast("int").as("rk"))
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** A trained PQ index: `codebooks(j)(c)` is centroid c of subspace j
+    * (m × ksub × (dim/m) floats — driver-small by construction), and
+    * `encoded` holds one `array<int>` of m codes per corpus vector. The
+    * memory story is the point: m bytes/vector (codes) + a shared codebook
+    * vs 4·dim bytes/vector — at dim 768, m=8 that is a 384× smaller scan.
+    */
+  final case class PqIndex private[operators] (
+      codebooks: Array[Array[Array[Float]]], encoded: DataFrame, dim: Int) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+  }
+
+  /** Driver-local L2 k-means per subspace over a bounded sample (the
+    * standard PQ training recipe — FAISS trains codebooks on a sample too;
+    * codebook quality needs representative data, not all of it). Init is
+    * the same deterministic farthest-first seeding as the IVF coarse
+    * quantizer; L2 here, not cosine, because PQ reconstructs dot products
+    * additively and subvector magnitudes matter.
+    */
+  private def pqTrainLocal(sample: Array[Array[Float]], m: Int, ksub: Int,
+                           iters: Int): Array[Array[Array[Float]]] = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val k = math.min(ksub, pts.length)
+      // farthest-first seeding
+      val seeds = scala.collection.mutable.ArrayBuffer(pts.head)
+      val minD = pts.map(p => l2(p, seeds.head))
+      while (seeds.size < k) {
+        var best = 0
+        var i = 1
+        while (i < pts.length) { if (minD(i) > minD(best)) best = i; i += 1 }
+        val s = pts(best)
+        seeds += s
+        pts.indices.foreach { i => val d = l2(pts(i), s); if (d < minD(i)) minD(i) = d }
+      }
+      var cents = seeds.toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Int](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) { val d = l2(p, cents(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old // empty cell keeps its centroid, k stable
+          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Codebook for one subspace as an inline literal `array<array<float>>` —
+    * same inline-the-codebook trick as the IVF coarse quantizer: encoding
+    * and LUT construction stay scan-local, no join, no shuffle.
+    */
+  private def codebookLit(cb: Array[Array[Float]]) =
+    array(cb.map(c => typedLit(c)).toIndexedSeq: _*)
+
+  /** L2-nearest code (0-based) of `subVec` in the inlined codebook. */
+  private def nearestCode(subVec: org.apache.spark.sql.Column,
+                          cb: Array[Array[Float]]) = {
+    val scored = transform(codebookLit(cb), c =>
+      aggregate(zip_with(subVec, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x))
+    // argmin via (dist, idx) reduce; ties → lowest code, deterministic
+    aggregate(
+      zip_with(scored, sequence(lit(0), lit(cb.length - 1)),
+        (d, i) => struct(d.as("d"), i.as("i"))),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc),
+      acc => acc.getField("i"))
+  }
+
+  /** Train codebooks (on a bounded sample) and encode every corpus vector
+    * to its m codes — one scan-local pass, no shuffle. `encoded` carries
+    * codes ONLY: the compressed representation is the deliverable.
+    */
+  def pqBuild(corpus: DataFrame, m: Int = 4, ksub: Int = 16, trainIters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
+    val sample = corpus.select(col(vecCol)).limit(1024).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqBuild: empty corpus")
+    val dim = sample.head.length
+    val codebooks = pqTrainLocal(sample, m, ksub, trainIters)
+    val sub = dim / m
+    val codes = array((0 until m).map { j =>
+      nearestCode(slice(col(vecCol), j * sub + 1, sub), codebooks(j))
+    }: _*)
+    PqIndex(codebooks,
+      corpus.select(col(idCol).as("neighbor_id"), codes.as("codes")), dim)
+  }
+
+  /** PQ ANN top-k with asymmetric distance computation (ADC) + exact
+    * rerank. Per query, the dot of the query subvector with every codebook
+    * centroid is precomputed scan-local into an m × ksub lookup table, so
+    * scoring a corpus vector is m table lookups over its codes — the scan
+    * reads m ints/vector instead of dim floats. The reconstructed cosine
+    * ranks a shortlist of `rerankFactor`·k candidates, which a join back
+    * to the original vectors reranks exactly — the standard PQ recipe
+    * (compressed scan for candidates, exact math only on the shortlist).
+    * `corpus` is only touched for the shortlist join; queries are
+    * broadcast (PQ's scan is brute-force over codes, so the query side
+    * must be the small side — compose with [[ivfBuild]] lists for huge
+    * query batches).
+    */
+  def pqSearch(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+               rerankFactor: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val m = index.m
+    val sub = index.dim / m
+    // per-code squared norms ride in as a literal (m × ksub doubles)
+    val cnormLit = array(index.codebooks.map { cb =>
+      typedLit(cb.map(c => c.map(x => x.toDouble * x).sum))
+    }.toIndexedSeq: _*)
+    val lut = array((0 until m).map { j =>
+      transform(codebookLit(index.codebooks(j)), c =>
+        aggregate(zip_with(slice(col(vecCol), j * sub + 1, sub), c,
+          (a, b) => a * b), lit(0.0d), (acc, x) => acc + x))
+    }: _*)
+    val qNorm = sqrt(aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x * x))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      lut.as("lut"), qNorm.as("q_norm"))
+    val approxDot = aggregate(
+      zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val approxNorm2 = aggregate(
+      zip_with(col("codes"), cnormLit, (c, arr) => element_at(arr, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val shortlistW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+    val shortlist = index.encoded
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cosine",
+        when(approxNorm2 > 0.0d && col("q_norm") > 0.0d,
+          approxDot / (col("q_norm") * sqrt(approxNorm2))).otherwise(lit(0.0d)))
+      .withColumn("srk", row_number().over(shortlistW))
+      .filter(col("srk") <= k * math.max(rerankFactor, 1))
+    // exact rerank of the shortlist only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec")),
+        "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** One-shot [[pqBuild]] + [[pqSearch]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 16, trainIters: Int = 3, rerankFactor: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSearch(pqBuild(corpus, m, ksub, trainIters, idCol, vecCol),
+      corpus, queries, k, rerankFactor, idCol, vecCol)
+
   /** IVF-flat ANN: partition the corpus into inverted lists by nearest
     * coarse centroid, then search only the `nprobe` lists whose centroids
     * are closest to the query. Centroids are k-means-trained

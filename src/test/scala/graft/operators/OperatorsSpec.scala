@@ -309,6 +309,29 @@ class OperatorsSpec extends SparkSpec {
     assert(trained >= 0.8, s"trained recall $trained")
   }
 
+  test("PQ top-k: recall@5 >= 0.9 after rerank, codes are m small ints") {
+    val queries = plantedCorpus.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(plantedCorpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.pqBuild(plantedCorpus, m = 8, ksub = 16)
+    // compressed representation: m codes per vector, each < ksub
+    val codeRow = index.encoded.select("codes").first().getSeq[Int](0)
+    assert(codeRow.length == 8 && codeRow.forall(c => c >= 0 && c < 16))
+    val pq = Similarity.pqSearch(index, plantedCorpus, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall $recall")
+    // without rerank the compressed scan alone must still be informative
+    val approxOnly = Similarity.pqSearch(index, plantedCorpus, queries, k = 5,
+        rerankFactor = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxRecall = approxOnly.intersect(exact).size.toDouble / exact.size
+    assert(approxRecall >= 0.4, s"ADC-only recall $approxRecall")
+  }
+
   test("lshTopK/ivfSearch shuffle path: identical results, no forced broadcast") {
     val queries = plantedCorpus.filter($"vec_id" < 10)
     val viaBroadcast = Similarity.lshTopK(plantedCorpus, queries, k = 5,
