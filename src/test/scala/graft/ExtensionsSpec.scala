@@ -66,6 +66,26 @@ class ExtensionsSpec extends SparkSpec {
       ("Patient_Labs.csv", "patient_labs")))
   }
 
+  test("manifest source splits a large manifest into multiple partitions, no line lost") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest-big")
+    val manifest = dir.resolve("big.list")
+    // 5000 entries with varying lengths so split points land mid-line
+    val entries = (0 until 5000).map(i => s"/data/in/Table_${"x" * (i % 17)}_$i.csv")
+    java.nio.file.Files.writeString(manifest, entries.mkString("\n") + "\n")
+    val df = spark.read.format("graft.sources.ManifestDataSource")
+      .option("path", manifest.toString)
+      .option("splitSizeBytes", "8192").load()
+    assert(df.rdd.getNumPartitions > 1, s"expected >1 partitions")
+    val got = df.select("file_path").collect().map(_.getString(0)).toSeq
+    assert(got.length == entries.length, s"${got.length} vs ${entries.length}")
+    assert(got.toSet == entries.toSet)
+    // and the default single-ish split reads identically
+    val whole = spark.read.format("graft.sources.ManifestDataSource")
+      .option("path", manifest.toString).load()
+      .select("file_path").collect().map(_.getString(0)).toSeq
+    assert(whole.sorted == got.sorted)
+  }
+
   test("json-lines ingest reads the second source format") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl")
     val f = dir.resolve("events.jsonl")
