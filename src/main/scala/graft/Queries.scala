@@ -659,4 +659,60 @@ object Queries {
       .select(col("c_custkey"), col("n_name"))
       .orderBy(col("c_custkey"))
   }
+
+  // ---- training-data pipeline: splits, decontamination, TF-IDF ----
+
+  /** Deterministic hash-based train/valid/test split (80/10/10) — per-split
+    * document counts and id bounds. The bucket function is portable BIGINT
+    * arithmetic ([[graft.operators.Sampling.bucketOf]]), so the DuckDB
+    * oracle reproduces the assignment bit-for-bit. Scan-local: assignment
+    * adds zero shuffles at any scale; the groupBy here is 3 groups.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.withSplit(t(spark, dir, "documents"), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+
+  /** Benchmark decontamination: documents surviving an 8-gram collision
+    * filter against a benchmark slice of the corpus (doc_id ≡ 0 mod 10
+    * stands in for the eval set). The operator joins on hashed grams
+    * (8-byte keys); the oracle joins on the gram strings — id-set equality
+    * verifies the hashed path end-to-end.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    graft.operators.Decontaminate.suppress(corpus, bench, "doc_id", "text", "text", n = 8)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-5 TF-IDF terms per document (ratio-form idf: tf·N/df — two
+    * correctly-rounded IEEE ops, so Spark and DuckDB agree bit-for-bit;
+    * ln-based idf ranks identically, it's monotone in N/df). Corpus-wide
+    * df and N come from aggregations (N rides a broadcast 1-row cross
+    * join, not a driver collect); ranking is a per-doc window. At 100 TB
+    * the tf/df aggregations are the standard two-shuffle term-stat jobs;
+    * output is bounded to doc_id < 30 here to keep the oracle diff small.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val score = col("tf").cast("double") * col("n") / col("df")
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), score.as("score"),
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(score.desc, col("tok"))).as("rk"))
+      .filter(col("rk") <= 5 && col("doc_id") < 30)
+      .select(col("doc_id"), col("tok"), round(col("score"), 4).as("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }

@@ -106,7 +106,11 @@ object SparkEntry {
     // int8-quantized all-pairs cosine, oracle-checked bit-for-bit
     "q63_quantized_pairs"    -> Queries.quantizedCosinePairs _,
     // PQ ANN (ADC scan + exact rerank), rows-only + recall gate in tests
-    "q64_pq_topk"            -> Queries.pqTopkSimilar _
+    "q64_pq_topk"            -> Queries.pqTopkSimilar _,
+    // deterministic hash split / decontamination / TF-IDF (training-data ops)
+    "q65_train_test_split"   -> Queries.trainTestSplit _,
+    "q66_decontaminate"      -> Queries.decontaminate _,
+    "q67_tfidf_terms"        -> Queries.tfidfTopTerms _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -448,6 +452,58 @@ object SparkEntry {
          |SELECT doc_id,
          | $bins
          |FROM codes ORDER BY doc_id""".stripMargin
-    }
+    },
+    // Portable BIGINT multiply–xorshift mix — both engines compute the
+    // exact same split assignment (see Sampling.bucketOf).
+    "q65_train_test_split" ->
+      """SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        | SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+        | FROM (
+        |  SELECT doc_id, xor(m2, m2 >> 13) % 10000 AS b FROM (
+        |   SELECT doc_id, (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2 FROM (
+        |    SELECT doc_id,
+        |      (((doc_id + 42) % 2147483648) * 2654435761) % 2147483648 AS m1
+        |    FROM documents))))
+        |GROUP BY split ORDER BY split""".stripMargin,
+    // Grams mirror wordNgrams: sequence(0, greatest(size-8,0)) with an
+    // 8-token clipped slice ⇒ range(1, greatest(len-8,0)+2) with t[i:i+7]
+    // (DuckDB slices are 1-based inclusive and clip). The Spark side joins
+    // on xxhash64(gram); the oracle joins on the strings — identical id
+    // sets verify the hashed path.
+    "q66_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 8, 0) + 2),
+        |   i -> array_to_string(t[i:i+7], ' ')))) AS g
+        | FROM toks)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |   SELECT 1 FROM grams c JOIN grams b ON c.g = b.g
+        |   WHERE c.doc_id = documents.doc_id AND b.doc_id % 10 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    // Ratio-form idf (tf·N/df): CAST(tf AS DOUBLE) * n / df is two
+    // correctly-rounded IEEE ops evaluated in the same order on both
+    // engines, so scores (and the rank order derived from them) match
+    // bit-for-bit — no transcendental in the hashed output.
+    "q67_tfidf_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, tok, round(score, 4) AS tfidf, rk FROM (
+        | SELECT tf.doc_id, tf.tok, CAST(tf.tf AS DOUBLE) * n.n / idf.df AS score,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY CAST(tf.tf AS DOUBLE) * n.n / idf.df DESC, tf.tok) AS INTEGER) AS rk
+        | FROM tf JOIN idf USING (tok) CROSS JOIN n)
+        |WHERE rk <= 5 AND doc_id < 30 ORDER BY doc_id, rk""".stripMargin
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * Training-data pipelines need splits that are (a) reproducible across
+  * runs, (b) stable under repartitioning and re-ingestion (a document keeps
+  * its split when the corpus is re-shuffled or appended to), and (c) cheap
+  * at 100 TB. `df.randomSplit` gives none of these — it samples by row
+  * position under a partition-dependent RNG. Hash-based assignment gives
+  * all three: the split is a pure scan-local function of the row's id, so
+  * it never shuffles, never collects, and survives any re-layout of the
+  * data.
+  *
+  * The bucket function is two rounds of multiply–xorshift mixing over
+  * portable BIGINT arithmetic rather than an engine hash (xxhash64/murmur),
+  * so any SQL engine reproduces the exact assignment — the DuckDB oracle
+  * checks it bit-for-bit (q65). A single multiplicative hash is NOT enough
+  * here: with `(id*K + salt) mod m`, changing the salt shifts every hash by
+  * a constant, so two "independent" salts produce almost identical
+  * memberships (caught by SamplingSpec's decorrelation test). The xorshift
+  * rounds avalanche the salt through all bits, making distinct salts behave
+  * like independent hash functions (measured pairwise overlap of two
+  * 0.5-samples ≈ 0.25, the independence value). The state stays in the
+  * 31-bit domain so every product fits a signed 64-bit long under ANSI
+  * mode; ids must be non-negative (wider ids: pre-fold with a portable
+  * `id mod 2^31`).
+  */
+object Sampling {
+
+  val DefaultBuckets = 10000 // basis-point resolution for split fractions
+
+  private val M31 = 2147483648L // 2^31: the mixing domain
+
+  /** Scan-local bucket in [0, buckets) for a non-negative id; pure column
+    * arithmetic (add, multiply, mod, xor, unsigned shift), identical in any
+    * ANSI SQL engine.
+    */
+  def bucketOf(id: Column, buckets: Int = DefaultBuckets, salt: Long = 42L): Column = {
+    def xs(c: Column, bits: Int): Column = c.bitwiseXOR(shiftrightunsigned(c, bits))
+    val x0 = (id.cast("long") + lit(salt)) % lit(M31)
+    val x1 = xs(x0 * lit(2654435761L) % lit(M31), 15)
+    val x2 = xs(x1 * lit(1597334677L) % lit(M31), 13)
+    x2 % lit(buckets)
+  }
+
+  /** Adds a `split` column assigning each row to the first label whose
+    * cumulative fraction covers the row's bucket. Fractions must sum to
+    * ≤ 1; any uncovered remainder falls to the last label (so the standard
+    * 0.8/0.1/0.1 covers everything exactly).
+    */
+  def withSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+                buckets: Int = DefaultBuckets, salt: Long = 42L): DataFrame = {
+    require(splits.nonEmpty, "at least one split label required")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val b = bucketOf(col(idCol), buckets, salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(f => math.round(f * buckets))
+    // last label is the otherwise-branch: covers rounding residue and any
+    // uncovered tail, so every row gets a label.
+    val labeled = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
+      case (((label, _), cut), acc) => when(b < lit(cut), lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Deterministic Bernoulli-by-hash sample: keeps rows whose bucket falls
+    * under `fraction`. Unlike `df.sample`, membership is a property of the
+    * ROW, not the run — re-running, repartitioning, or unioning new data
+    * never flips membership of existing rows.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 buckets: Int = DefaultBuckets, salt: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    df.filter(bucketOf(col(idCol), buckets, salt) < lit(math.round(fraction * buckets)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 10000L).toDF("id")
+
+  test("withSplit labels every row and respects fractions within tolerance") {
+    val out = Sampling.withSplit(ids, "id")
+    assert(out.count() == 10000)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(math.abs(counts("train") - 8000) < 400, s"train=${counts("train")}")
+    assert(math.abs(counts("valid") - 1000) < 200, s"valid=${counts("valid")}")
+    assert(math.abs(counts("test") - 1000) < 200, s"test=${counts("test")}")
+  }
+
+  test("split assignment is a pure function of id — stable under re-layout") {
+    val a = Sampling.withSplit(ids, "id").select("id", "split")
+    val b = Sampling.withSplit(ids.repartition(13).sortWithinPartitions(desc("id")), "id")
+      .select("id", "split")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("hashSample is monotone in fraction: smaller sample nests in larger") {
+    val s30 = Sampling.hashSample(ids, "id", 0.3).select("id")
+    val s70 = Sampling.hashSample(ids, "id", 0.7).select("id")
+    assert(s30.except(s70).isEmpty, "0.3-sample must be a subset of the 0.7-sample")
+    val n30 = s30.count().toDouble
+    assert(math.abs(n30 / 10000 - 0.3) < 0.05, s"n30=$n30")
+  }
+
+  test("different salts decorrelate membership") {
+    val a = Sampling.hashSample(ids, "id", 0.5, salt = 1L).select("id")
+    val b = Sampling.hashSample(ids, "id", 0.5, salt = 2L).select("id")
+    val overlap = a.intersect(b).count().toDouble
+    // independent 0.5-samples overlap ~0.25 of the universe
+    assert(overlap / 10000 > 0.15 && overlap / 10000 < 0.35, s"overlap=$overlap")
+  }
+
+  test("fractions summing above 1 are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(ids, "id", Seq("a" -> 0.8, "b" -> 0.4))
+    }
+  }
+}
