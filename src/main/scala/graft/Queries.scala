@@ -715,4 +715,36 @@ object Queries {
       .select(col("doc_id"), col("tok"), round(col("score"), 4).as("tfidf"), col("rk"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** Token-window chunking (50-token windows, stride 40): the packing step
+    * before tokenization/embedding. One scan, no shuffle; chunk ids derive
+    * from window starts, so the output is layout-independent.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.tokenWindows(t(spark, dir, "documents"),
+        "doc_id", "text", size = 50, stride = 40)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Stratified deterministic sampling: keep 50% of English documents,
+    * 20% of everything else — the "down-sample the dominant language"
+    * shape, stable across runs and re-layout like all Sampling ops.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(t(spark, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5), defaultFraction = 0.2, salt = 7L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic corpus shuffle: a reproducible global permutation via
+    * the avalanche mix as sort key ([[graft.operators.Sampling.mixOf]]) —
+    * the "shuffle the training corpus identically on every run" op. The
+    * output is the sort ORDER itself (key + tie-break), not a materialized
+    * global rank, so at scale this is a plain range-partitioned sort with
+    * no single-task window.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Sampling.mixOf(col("doc_id")).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
 }

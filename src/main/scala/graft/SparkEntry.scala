@@ -110,7 +110,11 @@ object SparkEntry {
     // deterministic hash split / decontamination / TF-IDF (training-data ops)
     "q65_train_test_split"   -> Queries.trainTestSplit _,
     "q66_decontaminate"      -> Queries.decontaminate _,
-    "q67_tfidf_terms"        -> Queries.tfidfTopTerms _
+    "q67_tfidf_terms"        -> Queries.tfidfTopTerms _,
+    // chunking / stratified sampling / deterministic corpus shuffle
+    "q68_doc_chunks"         -> Queries.docChunks _,
+    "q69_stratified_sample"  -> Queries.stratifiedSample _,
+    "q70_corpus_shuffle"     -> Queries.corpusShuffle _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -504,6 +508,40 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY tf.doc_id
         |    ORDER BY CAST(tf.tf AS DOUBLE) * n.n / idf.df DESC, tf.tok) AS INTEGER) AS rk
         | FROM tf JOIN idf USING (tok) CROSS JOIN n)
-        |WHERE rk <= 5 AND doc_id < 30 ORDER BY doc_id, rk""".stripMargin
+        |WHERE rk <= 5 AND doc_id < 30 ORDER BY doc_id, rk""".stripMargin,
+    // Window starts: Spark sequence(0, n-1, 40) inclusive-stop ≡ DuckDB
+    // range(0, n, 40) exclusive-stop; slice(t, s+1, 50) ≡ t[s+1:s+50]
+    // (1-based inclusive, clipped at the document end).
+    "q68_doc_chunks" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |st AS (SELECT doc_id, t, unnest(range(0, len(t), 40)) AS s
+        |       FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, CAST(s // 40 AS INTEGER) AS chunk_idx,
+        | CAST(len(t[s+1:s+50]) AS INTEGER) AS n_chunk_tokens,
+        | array_to_string(t[s+1:s+50], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Same multiply–xorshift mix as q65 (salt 7), with a per-stratum
+    // membership threshold: en keeps 5000/10000 buckets, the rest 2000.
+    "q69_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang, xor(m2, m2 >> 13) % 10000 AS b FROM (
+        |  SELECT doc_id, lang, (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2 FROM (
+        |   SELECT doc_id, lang,
+        |     (((doc_id + 7) % 2147483648) * 2654435761) % 2147483648 AS m1
+        |   FROM documents)))
+        |WHERE b < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin,
+    // The raw mix value is the shuffle key; the result IS the permutation
+    // (ORDER BY key with id tie-break), checked value-for-value.
+    "q70_corpus_shuffle" ->
+      """SELECT doc_id, xor(m2, m2 >> 13) AS shuffle_key FROM (
+        | SELECT doc_id, (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2 FROM (
+        |  SELECT doc_id,
+        |    (((doc_id + 42) % 2147483648) * 2654435761) % 2147483648 AS m1
+        |  FROM documents))
+        |ORDER BY shuffle_key, doc_id""".stripMargin
   )
 }

@@ -34,17 +34,21 @@ object Sampling {
 
   private val M31 = 2147483648L // 2^31: the mixing domain
 
-  /** Scan-local bucket in [0, buckets) for a non-negative id; pure column
+  /** The raw 31-bit mixed value for a non-negative id; pure column
     * arithmetic (add, multiply, mod, xor, unsigned shift), identical in any
-    * ANSI SQL engine.
+    * ANSI SQL engine. Also usable directly as a deterministic shuffle key:
+    * `ORDER BY mixOf(id), id` is a reproducible corpus-wide permutation.
     */
-  def bucketOf(id: Column, buckets: Int = DefaultBuckets, salt: Long = 42L): Column = {
+  def mixOf(id: Column, salt: Long = 42L): Column = {
     def xs(c: Column, bits: Int): Column = c.bitwiseXOR(shiftrightunsigned(c, bits))
     val x0 = (id.cast("long") + lit(salt)) % lit(M31)
     val x1 = xs(x0 * lit(2654435761L) % lit(M31), 15)
-    val x2 = xs(x1 * lit(1597334677L) % lit(M31), 13)
-    x2 % lit(buckets)
+    xs(x1 * lit(1597334677L) % lit(M31), 13)
   }
+
+  /** Scan-local bucket in [0, buckets) for a non-negative id. */
+  def bucketOf(id: Column, buckets: Int = DefaultBuckets, salt: Long = 42L): Column =
+    mixOf(id, salt) % lit(buckets)
 
   /** Adds a `split` column assigning each row to the first label whose
     * cumulative fraction covers the row's bucket. Fractions must sum to
@@ -75,5 +79,25 @@ object Sampling {
                  buckets: Int = DefaultBuckets, salt: Long = 42L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
     df.filter(bucketOf(col(idCol), buckets, salt) < lit(math.round(fraction * buckets)))
+  }
+
+  /** Per-stratum deterministic sampling: each row keeps membership by its
+    * id-bucket, with the threshold chosen by the row's stratum (e.g.
+    * down-sample boilerplate-heavy languages, keep all of a rare one).
+    * Strata not in `fractions` use `defaultFraction`. Same stability
+    * guarantees as [[hashSample]]; still one scan-local filter, and the
+    * sampled fractions compose with [[withSplit]] on a different salt.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double,
+                       buckets: Int = DefaultBuckets, salt: Long = 42L): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions in [0,1]")
+    val threshold = fractions.toSeq.sortBy(_._1).foldRight(
+        lit(math.round(defaultFraction * buckets)): Column) {
+      case ((stratum, f), acc) =>
+        when(col(stratumCol) === lit(stratum), lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(bucketOf(col(idCol), buckets, salt) < threshold)
   }
 }

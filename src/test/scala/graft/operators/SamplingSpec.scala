@@ -46,4 +46,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.withSplit(ids, "id", Seq("a" -> 0.8, "b" -> 0.4))
     }
   }
+
+  test("stratifiedSample honors per-stratum fractions") {
+    val rows = ids.withColumn("lang",
+      when(col("id") % 2 === 0, "en").otherwise("de"))
+    val out = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 0.6), defaultFraction = 0.1)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("en") - 3000) < 300, s"en=${counts("en")}") // 5000 × 0.6
+    assert(math.abs(counts("de") - 500) < 150, s"de=${counts("de")}")  // 5000 × 0.1
+    // membership still a pure function of (id, salt): subset of universe rows
+    assert(out.select("id").except(rows.select("id")).isEmpty)
+  }
+
+  test("mixOf is a total deterministic shuffle key: no collisions on a dense range") {
+    val keys = ids.select(Sampling.mixOf(col("id")).as("k"))
+    assert(keys.distinct().count() == 10000, "mix must be injective on 31-bit ids")
+    // and the induced permutation is not the identity-ish order
+    val firstTen = ids.orderBy(Sampling.mixOf(col("id")), col("id"))
+      .limit(10).as[Long].collect().toSeq
+    assert(firstTen != (0L until 10L).toSeq)
+  }
 }
