@@ -747,4 +747,32 @@ object Queries {
       .select(col("doc_id"),
         graft.operators.Sampling.mixOf(col("doc_id")).as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
+
+  /** SCD2 merge ([[graft.etl.Scd.merge]]): customer as the version-0
+    * dimension, a synthetic snapshot that rotates c_nationkey for every
+    * 7th key and adds 50 brand-new keys — covering changed, unchanged, and
+    * new paths. The oracle reconstructs the same merged dimension with
+    * plain set SQL, so every row the operator emits is hash-checked.
+    */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+    val dimension = customer
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val snapshot = customer
+      .withColumn("c_nationkey",
+        when(pmod(col("c_custkey"), lit(7)) === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")))
+      .unionByName(customer.filter(col("c_custkey") < 50)
+        .select((col("c_custkey") + 100000).as("c_custkey"), lit(0L).as("c_nationkey")))
+    graft.etl.Scd.merge(dimension, snapshot, "c_custkey", Seq("c_nationkey"), newVersion = 1L)
+      // open-ended validity surfaces as -1 so the hash compare never rides
+      // on engine NULL canonicalization; booleans as 0/1 for the same reason
+      .select(col("c_custkey"), col("c_nationkey"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+        col("is_current").cast("int").as("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
 }

@@ -114,7 +114,9 @@ object SparkEntry {
     // chunking / stratified sampling / deterministic corpus shuffle
     "q68_doc_chunks"         -> Queries.docChunks _,
     "q69_stratified_sample"  -> Queries.stratifiedSample _,
-    "q70_corpus_shuffle"     -> Queries.corpusShuffle _
+    "q70_corpus_shuffle"     -> Queries.corpusShuffle _,
+    // SCD2 incremental dimension merge (the reference's refresh, made incremental)
+    "q71_scd2_merge"         -> Queries.scd2Merge _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -542,6 +544,24 @@ object SparkEntry {
         |  SELECT doc_id,
         |    (((doc_id + 42) % 2147483648) * 2654435761) % 2147483648 AS m1
         |  FROM documents))
-        |ORDER BY shuffle_key, doc_id""".stripMargin
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
+    // Reconstructs the merged dimension with plain set SQL: every 7th key
+    // changes nation (closed + reopened rows), keys < 50 reappear shifted
+    // by 100000 as brand-new inserts, the rest pass through untouched.
+    "q71_scd2_merge" ->
+      """WITH base AS (
+        | SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer)
+        |SELECT c_custkey, c_nationkey, valid_from, valid_to, is_current FROM (
+        | SELECT c_custkey, c_nationkey, CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(-1 AS BIGINT) AS valid_to, CAST(1 AS INTEGER) AS is_current
+        | FROM base WHERE c_custkey % 7 <> 0
+        | UNION ALL
+        | SELECT c_custkey, c_nationkey, 0, 1, 0 FROM base WHERE c_custkey % 7 = 0
+        | UNION ALL
+        | SELECT c_custkey, (c_nationkey + 1) % 25, 1, -1, 1 FROM base
+        | WHERE c_custkey % 7 = 0
+        | UNION ALL
+        | SELECT c_custkey + 100000, 0, 1, -1, 1 FROM base WHERE c_custkey < 50)
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
 }
