@@ -775,4 +775,18 @@ object Queries {
         col("is_current").cast("int").as("is_current"))
       .orderBy(col("c_custkey"), col("valid_from"))
   }
+
+  /** Dedup clusters: exact cosine pairs at 0.35 resolved into connected
+    * components ([[graft.operators.Dedup.connectedComponents]]) — pairs →
+    * clusters → canonical id (the cluster label IS min id). The oracle
+    * recomputes components with a recursive CTE, so the distributed
+    * min-label propagation is hash-checked end-to-end.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.exactCosinePairs(
+      t(spark, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.35)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
 }

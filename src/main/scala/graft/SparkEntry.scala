@@ -116,7 +116,9 @@ object SparkEntry {
     "q69_stratified_sample"  -> Queries.stratifiedSample _,
     "q70_corpus_shuffle"     -> Queries.corpusShuffle _,
     // SCD2 incremental dimension merge (the reference's refresh, made incremental)
-    "q71_scd2_merge"         -> Queries.scd2Merge _
+    "q71_scd2_merge"         -> Queries.scd2Merge _,
+    // dedup pairs → connected-component clusters (canonical id per group)
+    "q72_dedup_clusters"     -> Queries.dedupClusters _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -562,6 +564,24 @@ object SparkEntry {
         | WHERE c_custkey % 7 = 0
         | UNION ALL
         | SELECT c_custkey + 100000, 0, 1, -1, 1 FROM base WHERE c_custkey < 50)
-        |ORDER BY c_custkey, valid_from""".stripMargin
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    // Recursive min-label reachability = connected components; min over all
+    // reachable labels is the component's min id — exactly the cluster_id
+    // the Spark-side propagation converges to.
+    "q72_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE a.vec_id < 2000 AND b.vec_id < 2000
+        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) >= 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |cc(id, label) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst)
+        |SELECT id AS vec_id, min(label) AS cluster_id FROM cc
+        |GROUP BY id ORDER BY vec_id""".stripMargin
   )
 }

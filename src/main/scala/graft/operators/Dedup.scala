@@ -243,6 +243,59 @@ object Dedup extends org.apache.spark.internal.Logging {
     survived.drop("__sh")
   }
 
+  /** Connected components over a duplicate-pair table — the step that
+    * turns LSH/verify PAIRS into dedup CLUSTERS so each group keeps one
+    * canonical document (min id = the cluster label). Min-label
+    * propagation: each vertex repeatedly takes the minimum label among
+    * itself and its neighbors; converges in O(component diameter)
+    * rounds — near-dup clusters are shallow (dups of a common source), so
+    * a handful of rounds suffices at any corpus size. Every round is one
+    * edge⋈label join + one min-aggregation, both shuffle-partitioned on
+    * the vertex id; the only driver-side value is the per-round changed
+    * count (the convergence test, an aggregate — standard for iterative
+    * distributed algorithms). Labels are cached per round and the previous
+    * round unpersisted, so peak storage is two label tables.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // cached once: every round joins against the edge table, and its
+    // lineage (typically an LSH/verify pair computation) must not re-run
+    // per round — same single-scan rule as the signature cache above.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    // localCheckpoint (not just persist): each round's plan would otherwise
+    // embed every previous round's plan, and Catalyst re-analysis of the
+    // growing tree dwarfs the actual work after a few rounds — the classic
+    // iterative-DataFrame trap. Checkpointing truncates lineage so every
+    // round plans against a flat cached table. (On a cluster, prefer
+    // `spark.sparkContext.setCheckpointDir` + `.checkpoint()` if executor
+    // loss during the loop must be recoverable; the result itself is
+    // re-staged to parquet below either way.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(nbrMin)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "__prev"), "id")
+        .filter(col("label") =!= col("__prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    if (changed > 0)
+      logWarning(s"connectedComponents: not converged after $maxIter rounds; " +
+        "labels are an upper approximation (raise maxIter for deep chains)")
+    val out = stage(labels.withColumnRenamed("label", "cluster_id"), "cc-labels")
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** N-gram Jaccard similarity for given candidate id pairs (exact verify
     * step; candidates come from LSH, never all-pairs).
     */
