@@ -789,4 +789,15 @@ object Queries {
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
   }
+
+  /** Gopher-style repetition/diversity report
+    * ([[graft.operators.QualityRules.repetitionReport]]): distinct-token
+    * ratio, mean token length, top-bigram coverage — per-doc quality
+    * signals beyond q32's counts. All ratios are single IEEE divisions of
+    * exact integers, so the oracle matches bit-for-bit.
+    */
+  def repetitionQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.repetitionReport(
+        t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
 }

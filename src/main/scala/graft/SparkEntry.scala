@@ -118,7 +118,9 @@ object SparkEntry {
     // SCD2 incremental dimension merge (the reference's refresh, made incremental)
     "q71_scd2_merge"         -> Queries.scd2Merge _,
     // dedup pairs → connected-component clusters (canonical id per group)
-    "q72_dedup_clusters"     -> Queries.dedupClusters _
+    "q72_dedup_clusters"     -> Queries.dedupClusters _,
+    // repetition / vocabulary-diversity quality rules
+    "q73_repetition_quality" -> Queries.repetitionQuality _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -582,6 +584,29 @@ object SparkEntry {
         | UNION
         | SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst)
         |SELECT id AS vec_id, min(label) AS cluster_id FROM cc
-        |GROUP BY id ORDER BY vec_id""".stripMargin
+        |GROUP BY id ORDER BY vec_id""".stripMargin,
+    // Non-distinct bigrams: starts 1..len-1 ⇒ range(1, len); every ratio is
+    // one double division of exact integers, bit-identical across engines.
+    "q73_repetition_quality" ->
+      """WITH base AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |b2 AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |   i -> array_to_string(t[i:i+1], ' '))) AS g
+        | FROM b2 WHERE len(t) >= 2),
+        |topb AS (
+        | SELECT doc_id, max(c) AS top FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        | GROUP BY doc_id)
+        |SELECT b2.doc_id, CAST(n AS INTEGER) AS n_tokens,
+        | round(CAST(len(list_distinct(t)) AS DOUBLE) / n, 4) AS distinct_ratio,
+        | round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / n, 4)
+        |   AS mean_token_len,
+        | round(CAST(coalesce(top * 2, 0) AS DOUBLE) / n, 4) AS top_bigram_frac
+        |FROM b2 LEFT JOIN topb ON b2.doc_id = topb.doc_id
+        |ORDER BY b2.doc_id""".stripMargin
   )
 }
