@@ -239,6 +239,65 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct XXH64 hashes of the space-joined lowercased word n-grams —
+    * exactly the values of `xxhash64(explode(wordNgrams(text, n)))` (seed
+    * 42, same clipped-final-window semantics incl. the single
+    * whole-document gram for docs shorter than n and the "" gram for empty
+    * docs), in one loop per row instead of per-element interpreted HOF
+    * lambdas. The decontamination hot path: only hashes ever leave the
+    * scan, gram strings die inside this eval.
+    */
+  case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(n > 0, "n must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "word_ngram_hashes"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"word_ngram_hashes expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val toks = new java.util.ArrayList[String]()
+      var start = 0
+      var i = 0
+      while (i <= s.length) {
+        if (i == s.length || isJavaSpace(s.charAt(i))) {
+          if (i > start) toks.add(s.substring(start, i))
+          start = i + 1
+        }
+        i += 1
+      }
+      val t = toks.size
+      val lastStart = math.max(t - n, 0)
+      val set = new java.util.HashSet[java.lang.Long](math.max((lastStart + 1) * 2, 16))
+      val sb = new java.lang.StringBuilder
+      var st = 0
+      while (st <= lastStart) {
+        sb.setLength(0)
+        var j = st
+        val end = math.min(st + n, t)
+        while (j < end) {
+          if (j > st) sb.append(' ')
+          sb.append(toks.get(j))
+          j += 1
+        }
+        val g = UTF8String.fromString(sb.toString)
+        set.add(XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L))
+        st += 1
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Punctuation character ratio (0.0 when empty) — same result as the
     * regexp_replace-based [[TextFunctions.punctRatio]] without running a
     * regex engine per row.
@@ -294,6 +353,7 @@ object NativeTextExpressions {
     add("jaccard_sorted", c => SortedLongJaccard(c.head, c(1)))
     add("simhash64_native", c => SimHash(c.head))
     add("token_count_native", c => TokenCount(c.head))
+    add("word_ngram_hashes", c => WordNgramHashes(c.head, litInt(c(1), "n")))
     add("stopword_count_native", c => StopwordCount(c.head))
     add("punct_ratio_native", c => PunctRatio(c.head))
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions
+import graft.functions.NativeTextExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct (id, gram-hash) pairs for a document table. */
-  private def gramKeys(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("__id"),
-        explode(TextFunctions.wordNgrams(col(textCol), n)).as("__gram"))
-      .select(col("__id"), xxhash64(col("__gram")).as("__gh"))
+  /** Distinct (id, gram-hash) pairs for a document table — the native
+    * single-pass expression (one JIT'd loop per doc; gram strings never
+    * leave the eval), value-identical to
+    * `xxhash64(explode(TextFunctions.wordNgrams(text, n)))` and
+    * parity-tested against it in NativeTextExpressionsSpec.
+    */
+  private def gramKeys(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    NativeTextExpressions.register(docs.sparkSession)
+    docs.select(col(idCol).as("__id"),
+      explode(expr(s"word_ngram_hashes($textCol, $n)")).as("__gh"))
+  }
 
   /** Ids of corpus documents sharing at least one word n-gram with the
     * benchmark corpus, with the collision count per document.
@@ -35,10 +40,9 @@ object Decontaminate {
   def contaminated(corpus: DataFrame, benchmark: DataFrame,
                    idCol: String, textCol: String,
                    benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(TextFunctions.wordNgrams(col(benchTextCol), n)).as("__gram"))
-      .select(xxhash64(col("__gram")).as("__gh"))
-      .distinct()
+    val benchGrams = gramKeys(benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, n)
+      .select(col("__gh")).distinct()
     gramKeys(corpus, idCol, textCol, n)
       .join(broadcast(benchGrams), "__gh")
       .groupBy(col("__id").as(idCol))
@@ -52,10 +56,9 @@ object Decontaminate {
   def suppress(corpus: DataFrame, benchmark: DataFrame,
                idCol: String, textCol: String,
                benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(TextFunctions.wordNgrams(col(benchTextCol), n)).as("__gram"))
-      .select(xxhash64(col("__gram")).as("__gh"))
-      .distinct()
+    val benchGrams = gramKeys(benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, n)
+      .select(col("__gh")).distinct()
     val hit = gramKeys(corpus, idCol, textCol, n)
       .join(broadcast(benchGrams), "__gh")
       .select(col("__id")).distinct()

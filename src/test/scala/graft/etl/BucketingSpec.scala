@@ -3,6 +3,11 @@ package graft.etl
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Extends OperatorsSpec's shuffle-free bucketed-join plan check with the
+  * cases it doesn't cover: real testdata tables, forced sort-merge (no
+  * broadcast escape hatch), result equality vs the plain join, and the
+  * aggregation path (bucketed groupBy must also skip its exchange).
+  */
 class BucketingSpec extends SparkSpec {
 
   private def withSqlConf(pairs: (String, String)*)(body: => Unit): Unit = {
@@ -15,26 +20,25 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
-  test("identically bucketed tables join with zero shuffle exchanges") {
+  test("bucketed SMJ with broadcast disabled: no exchange, same result") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select(col("o_custkey").cast("long").as("custkey"),
         col("o_orderkey"), col("o_totalprice"))
     val customer = spark.read.parquet(s"$sf0001/customer.parquet")
       .select(col("c_custkey").cast("long").as("custkey"), col("c_name"))
     try {
-      Bucketing.writeBucketed(orders, "b_orders", "custkey", numBuckets = 8)
-      Bucketing.writeBucketed(customer, "b_customer", "custkey", numBuckets = 8)
+      TableLifecycle.publishBucketed(orders, "b_orders", 8, Seq("custkey"))
+      TableLifecycle.publishBucketed(customer, "b_customer", 8, Seq("custkey"))
       // disable broadcast so the planner has to prove co-partitioning
       // rather than sidestep it; AQE off so the initial plan is what runs
       withSqlConf(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.enabled" -> "false") {
-        val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_customer", "custkey")
+        val joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
         val plan = joined.queryExecution.executedPlan.toString
         assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
         assert(!plan.contains("Exchange"),
           s"bucketed join must not shuffle; plan:\n$plan")
-        // and it is still the CORRECT join
         val expected = orders.join(customer, Seq("custkey")).count()
         assert(joined.count() == expected)
       }
@@ -48,7 +52,7 @@ class BucketingSpec extends SparkSpec {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select(col("o_custkey").cast("long").as("custkey"), col("o_totalprice"))
     try {
-      Bucketing.writeBucketed(orders, "b_orders_agg", "custkey", numBuckets = 8)
+      TableLifecycle.publishBucketed(orders, "b_orders_agg", 8, Seq("custkey"))
       withSqlConf("spark.sql.adaptive.enabled" -> "false") {
         val agg = spark.table("b_orders_agg")
           .groupBy("custkey").agg(sum("o_totalprice").as("total"))

@@ -103,6 +103,27 @@ class NativeTextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("word_ngram_hashes matches xxhash64 over the HOF wordNgrams exactly") {
+    withNative {
+      val texts = Seq(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "  Mixed   CASE and\tweird\nwhitespace padding here  ",
+        "short doc", "one", "", "   ",
+        "repeat repeat repeat repeat repeat repeat repeat repeat repeat")
+      for (n <- Seq(2, 3, 8)) {
+        val df = texts.toDF("t").select($"t",
+          array_sort(expr(s"word_ngram_hashes(t, $n)")).as("native"),
+          array_sort(array_distinct(transform(
+            graft.functions.TextFunctions.wordNgrams($"t", n),
+            g => xxhash64(g)))).as("hof"))
+        df.collect().foreach { r =>
+          assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+            s"n=$n differs on '${r.getString(0)}'")
+        }
+      }
+    }
+  }
+
   test("native and HOF minhash agree on equality structure") {
     withNative {
       val texts = Seq("same text here", "same text here", "different words entirely")
