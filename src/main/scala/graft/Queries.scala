@@ -790,6 +790,18 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF-PQ ANN (rows-only: both stages approximate; recall-gated in
+    * OperatorsSpec): coarse lists prune the scan to ~nprobe/numCentroids,
+    * PQ codes cut the scanned bytes to m per vector, exact rerank on the
+    * shortlist only — the billion-vector configuration.
+    */
+  def ivfPqTopkSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+        numCentroids = 16, m = 8, nprobe = 8)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Gopher-style repetition/diversity report
     * ([[graft.operators.QualityRules.repetitionReport]]): distinct-token
     * ratio, mean token length, top-bigram coverage — per-doc quality

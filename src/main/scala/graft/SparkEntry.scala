@@ -120,7 +120,9 @@ object SparkEntry {
     // dedup pairs → connected-component clusters (canonical id per group)
     "q72_dedup_clusters"     -> Queries.dedupClusters _,
     // repetition / vocabulary-diversity quality rules
-    "q73_repetition_quality" -> Queries.repetitionQuality _
+    "q73_repetition_quality" -> Queries.repetitionQuality _,
+    // IVF-PQ ANN (coarse pruning × compressed scan; rows-only + recall gate)
+    "q74_ivfpq_topk"         -> Queries.ivfPqTopkSimilar _
   )
 
   def oracleSql: Map[String, String] = Map(

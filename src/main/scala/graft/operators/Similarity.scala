@@ -590,41 +590,49 @@ object Similarity extends org.apache.spark.internal.Logging {
     * must be the small side — compose with [[ivfBuild]] lists for huge
     * query batches).
     */
-  def pqSearch(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
-               rerankFactor: Int = 4,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    VectorFunctions.register(queries.sparkSession)
-    val m = index.m
-    val sub = index.dim / m
-    // per-code squared norms ride in as a literal (m × ksub doubles)
-    val cnormLit = array(index.codebooks.map { cb =>
-      typedLit(cb.map(c => c.map(x => x.toDouble * x).sum))
-    }.toIndexedSeq: _*)
-    val lut = array((0 until m).map { j =>
-      transform(codebookLit(index.codebooks(j)), c =>
+  /** Per-query ADC lookup table: `lut(j)(c)` = dot(query subvector j,
+    * codebook centroid c) — m × ksub doubles computed scan-local per query
+    * row against the inlined codebooks.
+    */
+  private def pqQueryLut(codebooks: Array[Array[Array[Float]]], dim: Int,
+                         vecCol: String) = {
+    val m = codebooks.length
+    val sub = dim / m
+    array((0 until m).map { j =>
+      transform(codebookLit(codebooks(j)), c =>
         aggregate(zip_with(slice(col(vecCol), j * sub + 1, sub), c,
           (a, b) => a * b), lit(0.0d), (acc, x) => acc + x))
     }: _*)
-    val qNorm = sqrt(aggregate(col(vecCol), lit(0.0d),
-      (acc, x) => acc + x * x))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      lut.as("lut"), qNorm.as("q_norm"))
+  }
+
+  /** Per-code squared norms as an inline literal (m × ksub doubles). */
+  private def pqCodeNorms(codebooks: Array[Array[Array[Float]]]) =
+    array(codebooks.map { cb =>
+      typedLit(cb.map(c => c.map(x => x.toDouble * x).sum))
+    }.toIndexedSeq: _*)
+
+  /** Reconstructed cosine from `codes` + `lut` + `q_norm` columns: the ADC
+    * score — m table lookups per corpus vector, no float-vector access.
+    */
+  private def adcCosine(cnormLit: org.apache.spark.sql.Column) = {
     val approxDot = aggregate(
       zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
       lit(0.0d), (acc, x) => acc + x)
     val approxNorm2 = aggregate(
       zip_with(col("codes"), cnormLit, (c, arr) => element_at(arr, c + 1)),
       lit(0.0d), (acc, x) => acc + x)
-    val shortlistW = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
-    val shortlist = index.encoded
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx_cosine",
-        when(approxNorm2 > 0.0d && col("q_norm") > 0.0d,
-          approxDot / (col("q_norm") * sqrt(approxNorm2))).otherwise(lit(0.0d)))
-      .withColumn("srk", row_number().over(shortlistW))
-      .filter(col("srk") <= k * math.max(rerankFactor, 1))
-    // exact rerank of the shortlist only
+    when(approxNorm2 > 0.0d && col("q_norm") > 0.0d,
+      approxDot / (col("q_norm") * sqrt(approxNorm2))).otherwise(lit(0.0d))
+  }
+
+  private def queryNorm(vecCol: String) =
+    sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x))
+
+  /** Exact rerank of an (approx-scored) shortlist: join the float vectors
+    * back for the shortlist rows only, rank by true cosine.
+    */
+  private def rerankExact(shortlist: DataFrame, corpus: DataFrame, k: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     shortlist
@@ -637,12 +645,107 @@ object Similarity extends org.apache.spark.internal.Logging {
         col("rk").cast("int").as("rk"))
   }
 
+  def pqSearch(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+               rerankFactor: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      pqQueryLut(index.codebooks, index.dim, vecCol).as("lut"),
+      queryNorm(vecCol).as("q_norm"))
+    val shortlistW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+    val shortlist = index.encoded
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cosine", adcCosine(pqCodeNorms(index.codebooks)))
+      .withColumn("srk", row_number().over(shortlistW))
+      .filter(col("srk") <= k * math.max(rerankFactor, 1))
+    rerankExact(shortlist, corpus, k, idCol, vecCol)
+  }
+
   /** One-shot [[pqBuild]] + [[pqSearch]]. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 16, trainIters: Int = 3, rerankFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     pqSearch(pqBuild(corpus, m, ksub, trainIters, idCol, vecCol),
       corpus, queries, k, rerankFactor, idCol, vecCol)
+
+  // ---- IVF-PQ: coarse pruning over a compressed scan ----
+
+  /** A built IVF-PQ index: coarse centroids partition the corpus into
+    * inverted lists AND every vector is PQ-encoded — `assigned` carries
+    * only (id, list_id, m codes). This is the billion-vector configuration:
+    * IVF cuts the scanned fraction to ~nprobe/numCentroids, PQ cuts the
+    * bytes per scanned vector to m + shared codebooks; the float column is
+    * touched only for the rerank shortlist. Codes here encode the raw
+    * vectors against shared codebooks (FAISS-style residual encoding —
+    * codebooks over vector − centroid — is the next refinement; it
+    * tightens ADC at the cost of per-list LUTs).
+    */
+  final case class IvfPqIndex private[operators] (
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Array[Array[Array[Float]]],
+      assigned: DataFrame, dim: Int) {
+    def m: Int = codebooks.length
+  }
+
+  /** Train coarse centroids (distributed Lloyd's) + PQ codebooks (bounded
+    * sample), then assign and encode every corpus vector in ONE scan-local
+    * pass — no join, no shuffle, the same build posture as [[ivfBuild]]
+    * and [[pqBuild]] separately.
+    */
+  def ivfPqBuild(corpus: DataFrame,
+                 numCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+                 trainIters: Int = 3,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cents = trainCentroidsLocal(corpus, numCentroids, trainIters, idCol, vecCol)
+    val sample = corpus.select(col(vecCol)).limit(1024).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfPqBuild: empty corpus")
+    val dim = sample.head.length
+    val codebooks = pqTrainLocal(sample, m, ksub, trainIters)
+    val sub = dim / m
+    val codes = array((0 until m).map { j =>
+      nearestCode(slice(col(vecCol), j * sub + 1, sub), codebooks(j))
+    }: _*)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      nearestCentroid(col(vecCol), cents).as("list_id"), codes.as("codes"))
+    IvfPqIndex(cents, codebooks, assigned, dim)
+  }
+
+  /** Search: per query, probe the `nprobe` nearest lists, ADC-score only
+    * their codes, rerank the shortlist exactly. The probe join is keyed on
+    * `list_id` (broadcast below `maxBroadcastQueries`, hash shuffle above
+    * — same switch as [[ivfSearch]]); each corpus vector lives in exactly
+    * one list, so no candidate dedup is needed.
+    */
+  def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                  k: Int, nprobe: Int = 4, rerankFactor: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      pqQueryLut(index.codebooks, index.dim, vecCol).as("lut"),
+      queryNorm(vecCol).as("q_norm"),
+      explode(probeLists(col(vecCol), index.centroids, nprobe)).as("list_id"))
+    val shortlistW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+    val shortlist = index.assigned
+      .join(maybeBroadcast(probes, queries.count(), maxBroadcastQueries), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cosine", adcCosine(pqCodeNorms(index.codebooks)))
+      .withColumn("srk", row_number().over(shortlistW))
+      .filter(col("srk") <= k * math.max(rerankFactor, 1))
+    rerankExact(shortlist, corpus, k, idCol, vecCol)
+  }
+
+  /** One-shot [[ivfPqBuild]] + [[ivfPqSearch]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+                trainIters: Int = 3, nprobe: Int = 4, rerankFactor: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqSearch(ivfPqBuild(corpus, numCentroids, m, ksub, trainIters, idCol, vecCol),
+      corpus, queries, k, nprobe, rerankFactor, idCol, vecCol)
 
   /** IVF-flat ANN: partition the corpus into inverted lists by nearest
     * coarse centroid, then search only the `nprobe` lists whose centroids

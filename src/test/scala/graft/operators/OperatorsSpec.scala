@@ -332,6 +332,38 @@ class OperatorsSpec extends SparkSpec {
     assert(approxRecall >= 0.4, s"ADC-only recall $approxRecall")
   }
 
+  test("IVF-PQ top-k: recall@5 >= 0.8 on the clustered corpus, compressed index") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val clustered = (0 until 400).map { i =>
+      val c = centers(i / 50)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" % 50 < 2)
+    val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.ivfPqBuild(clustered, numCentroids = 8, m = 8, ksub = 16)
+    // the index IS the compressed representation: one list + m codes, no floats
+    assert(index.assigned.columns.toSeq == Seq("neighbor_id", "list_id", "codes"))
+    val codeRow = index.assigned.select("codes").first().getSeq[Int](0)
+    assert(codeRow.length == 8 && codeRow.forall(c => c >= 0 && c < 16))
+    val got = Similarity.ivfPqSearch(index, clustered, queries, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall")
+    // probing every list degenerates to the plain PQ scan: identical
+    // results (codebook training is deterministic and the 400-row fixture
+    // fits inside both build paths' 1024-row training sample)
+    val allProbe = Similarity.ivfPqSearch(index, clustered, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val plainPq = Similarity.pqSearch(
+        Similarity.pqBuild(clustered, m = 8, ksub = 16), clustered, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(allProbe == plainPq, "nprobe=all must reduce IVF-PQ to plain PQ")
+  }
+
   test("lshTopK/ivfSearch shuffle path: identical results, no forced broadcast") {
     val queries = plantedCorpus.filter($"vec_id" < 10)
     val viaBroadcast = Similarity.lshTopK(plantedCorpus, queries, k = 5,
