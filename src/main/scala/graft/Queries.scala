@@ -790,6 +790,21 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Multimodal E2E: binary payload → byte-histogram features
+    * ([[Multimodal.byteHistogram]], the partition-wise decode seam) →
+    * exact cosine near-dup pairs — the full "media dedup" pipeline loop in
+    * one query, oracle-checked end to end (the oracle rebuilds the float32
+    * histograms bit-for-bit and recomputes the pair join in SQL).
+    */
+  def mediaNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
+    val feats = Multimodal.byteHistogram(spark,
+      Multimodal.withBinaryPayload(docs, "doc_id", "text")).toDF()
+    Similarity.exactCosinePairs(feats, threshold = 0.99999,
+        idCol = "id", vecCol = "embedding")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** IVF-PQ ANN (rows-only: both stages approximate; recall-gated in
     * OperatorsSpec): coarse lists prune the scan to ~nprobe/numCentroids,
     * PQ codes cut the scanned bytes to m per vector, exact rerank on the

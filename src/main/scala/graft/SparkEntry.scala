@@ -122,7 +122,9 @@ object SparkEntry {
     // repetition / vocabulary-diversity quality rules
     "q73_repetition_quality" -> Queries.repetitionQuality _,
     // IVF-PQ ANN (coarse pruning × compressed scan; rows-only + recall gate)
-    "q74_ivfpq_topk"         -> Queries.ivfPqTopkSimilar _
+    "q74_ivfpq_topk"         -> Queries.ivfPqTopkSimilar _,
+    // multimodal E2E: binary → histogram features → near-dup pairs
+    "q75_media_near_dups"    -> Queries.mediaNearDups _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -609,6 +611,25 @@ object SparkEntry {
         |   AS mean_token_len,
         | round(CAST(coalesce(top * 2, 0) AS DOUBLE) / n, 4) AS top_bigram_frac
         |FROM b2 LEFT JOIN topb ON b2.doc_id = topb.doc_id
-        |ORDER BY b2.doc_id""".stripMargin
+        |ORDER BY b2.doc_id""".stripMargin,
+    // Rebuilds the q62 float32 histograms bit-for-bit (ASCII corpus ⇒ char
+    // codes are the payload bytes; CAST(... AS FLOAT) is the correctly-
+    // rounded float32 division) and recomputes the pair join over them in
+    // double — same machinery q61/q62 already pin.
+    "q75_media_near_dups" ->
+      """WITH codes AS (
+        | SELECT doc_id, octet_length(encode(text)) AS n,
+        |  list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS cs
+        | FROM documents WHERE doc_id < 1000),
+        |hist AS (
+        | SELECT doc_id, list_transform(range(0, 16), b ->
+        |   CAST(CAST(len(list_filter(cs, c -> c // 16 = b)) AS DOUBLE)
+        |     / greatest(n, 1) AS FLOAT)) AS h
+        | FROM codes)
+        |SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  list_cosine_similarity(CAST(a.h AS DOUBLE[]), CAST(b.h AS DOUBLE[])) AS c
+        | FROM hist a JOIN hist b ON a.doc_id < b.doc_id)
+        |WHERE c >= 0.99999 ORDER BY id_a, id_b""".stripMargin
   )
 }
