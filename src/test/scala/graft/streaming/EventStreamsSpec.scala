@@ -110,6 +110,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("training-data ops compose on a live stream: sample → quality gate → chunk") {
+    // Sampling.hashSample, the token-count gate, and Chunking.tokenWindows
+    // are all scan-local, so the SAME operators run unmodified on a
+    // streaming DataFrame — the "clean the live crawl" shape with zero
+    // state. Output must equal the batch run over the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (1L, "tiny doc"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (3L, "spark streaming composes stateless operators without any changes at all"),
+      (4L, "yet another document with enough tokens to clear the quality floor okay"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      graft.functions.NativeTextExpressions.register(spark)
+      val sampled = graft.operators.Sampling.hashSample(df, "doc_id", 0.8)
+        .filter(org.apache.spark.sql.functions.expr("token_count_native(text) >= 10"))
+      graft.operators.Chunking.tokenWindows(sampled, "doc_id", "text", size = 5, stride = 4)
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = pipeline(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("td_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*) // later micro-batch: same row-local results
+      q.processAllAvailable()
+      val streamed = spark.table("td_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+      val batch = pipeline(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+      assert(streamed == batch, s"stream/batch mismatch: $streamed vs $batch")
+      assert(batch.nonEmpty && !batch.exists(_._1 == 1L), "tiny doc must be gated out")
+    } finally q.stop()
+  }
+
   test("in-stream near-dup dedup catches cross-batch near-dups exactly (planted corpus)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr}
