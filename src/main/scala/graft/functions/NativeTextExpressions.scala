@@ -298,6 +298,62 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** All four repetition/diversity signals in one token walk per document:
+    * token count, distinct-token count, total token length, and the count
+    * of the most frequent adjacent bigram. Replaces a 2-scan + 2-shuffle +
+    * join relational formulation in QualityRules with a single scan-local
+    * eval — the quantity is per-document, so nothing about it needs to
+    * leave the row. (Tokens cannot contain spaces, so `prev + ' ' + tok`
+    * is an unambiguous bigram key.)
+    */
+  case class TokenProfile(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("distinct_tokens", IntegerType, nullable = false),
+      StructField("sum_token_len", LongType, nullable = false),
+      StructField("top_bigram_count", IntegerType, nullable = false)))
+    override def prettyName: String = "token_profile"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"token_profile expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val distinct = new java.util.HashSet[String]()
+      val bigrams = new java.util.HashMap[String, Int]()
+      var n = 0
+      var sumLen = 0L
+      var top = 0
+      var prev: String = null
+      var start = 0
+      var i = 0
+      while (i <= s.length) {
+        if (i == s.length || isJavaSpace(s.charAt(i))) {
+          if (i > start) {
+            val tok = s.substring(start, i)
+            n += 1
+            sumLen += tok.length
+            distinct.add(tok)
+            if (prev != null) {
+              val key = prev + " " + tok
+              val c = bigrams.merge(key, 1, Integer.sum)
+              if (c > top) top = c
+            }
+            prev = tok
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, distinct.size, sumLen, top))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Punctuation character ratio (0.0 when empty) — same result as the
     * regexp_replace-based [[TextFunctions.punctRatio]] without running a
     * regex engine per row.
@@ -354,6 +410,7 @@ object NativeTextExpressions {
     add("simhash64_native", c => SimHash(c.head))
     add("token_count_native", c => TokenCount(c.head))
     add("word_ngram_hashes", c => WordNgramHashes(c.head, litInt(c(1), "n")))
+    add("token_profile", c => TokenProfile(c.head))
     add("stopword_count_native", c => StopwordCount(c.head))
     add("punct_ratio_native", c => PunctRatio(c.head))
   }

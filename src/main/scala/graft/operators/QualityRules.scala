@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,31 +16,26 @@ object QualityRules {
     * length, and the fraction of tokens covered by the document's most
     * frequent bigram (0 for documents with fewer than 2 tokens). Zero-token
     * documents are dropped (no denominators).
+    *
+    * Every signal is per-document, so the whole report is ONE scan-local
+    * pass: the native [[graft.functions.NativeTextExpressions.TokenProfile]]
+    * walks the tokens once per row (the earlier relational formulation —
+    * explode bigrams, count, max, join back — scanned the corpus twice and
+    * shuffled twice for a quantity that never needed to leave the row;
+    * parity with it is asserted in QualityRulesSpec).
     */
   def repetitionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__t"))
-      .withColumn("n_tokens", size(col("__t")))
-      .filter(col("n_tokens") > 0)
-
-    // sequence(0, n-2) is DESCENDING for n < 2 (Spark fills stop < start
-    // with step -1), so the bigram list must be guarded, not clipped.
-    val bigrams = base
-      .filter(col("n_tokens") >= 2)
+    graft.functions.NativeTextExpressions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"), expr(s"token_profile($textCol)").as("__p"))
+      .filter(col("__p.n_tokens") > 0)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), col("n_tokens") - 2),
-          i => concat_ws(" ", slice(col("__t"), i + 1, lit(2))))).as("__gram"))
-    val topBigram = bigrams
-      .groupBy(col("doc_id"), col("__gram")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id")).agg(max(col("__c")).as("__top"))
-
-    base.join(topBigram, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        round(size(array_distinct(col("__t"))).cast("double") / col("n_tokens"), 4)
+        col("__p.n_tokens").as("n_tokens"),
+        round(col("__p.distinct_tokens").cast("double") / col("__p.n_tokens"), 4)
           .as("distinct_ratio"),
-        round(aggregate(col("__t"), lit(0L), (acc, x) => acc + length(x)).cast("double")
-          / col("n_tokens"), 4).as("mean_token_len"),
-        round(coalesce(col("__top") * 2, lit(0L)).cast("double") / col("n_tokens"), 4)
+        round(col("__p.sum_token_len").cast("double") / col("__p.n_tokens"), 4)
+          .as("mean_token_len"),
+        round((col("__p.top_bigram_count") * 2).cast("double") / col("__p.n_tokens"), 4)
           .as("top_bigram_frac"))
   }
 

@@ -39,4 +39,31 @@ class QualityRulesSpec extends SparkSpec {
     val b = QualityRules.repetitionReport(docs.repartition(5), "doc_id", "text")
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("native token_profile matches the relational formulation on real docs") {
+    // reference implementation: explode bigrams, count, max, join — the
+    // 2-scan relational shape the native single-pass expression replaced
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("__t"))
+      .withColumn("n_tokens", size(col("__t")))
+      .filter(col("n_tokens") > 0)
+    val topBigram = base.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n_tokens") - 2),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(2))))).as("__gram"))
+      .groupBy(col("doc_id"), col("__gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id")).agg(max(col("__c")).as("__top"))
+    val reference = base.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(size(array_distinct(col("__t"))).cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"),
+        round(aggregate(col("__t"), lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / col("n_tokens"), 4).as("mean_token_len"),
+        round(coalesce(col("__top") * 2, lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("top_bigram_frac"))
+    val native = QualityRules.repetitionReport(docs, "doc_id", "text")
+    assert(native.except(reference).isEmpty && reference.except(native).isEmpty)
+  }
 }
