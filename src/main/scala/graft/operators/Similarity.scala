@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -746,6 +746,66 @@ object Similarity extends org.apache.spark.internal.Logging {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfPqSearch(ivfPqBuild(corpus, numCentroids, m, ksub, trainIters, idCol, vecCol),
       corpus, queries, k, nprobe, rerankFactor, idCol, vecCol)
+
+  // ---- index persistence: build once, query across sessions ----
+  //
+  // The inverted lists are written PARTITIONED BY list_id, so a loaded
+  // index's probe join reads only the probed list directories: the probe
+  // side is small (broadcast), and Spark's dynamic partition pruning turns
+  // the join key into a scan-time partition filter. At 100 TB this is the
+  // difference between "touch nprobe/numCentroids of the bytes" holding on
+  // disk, not just in the plan.
+
+  private def centroidsToDf(spark: SparkSession, cents: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("list_id", "centroid")
+  }
+
+  private def centroidsFromDf(df: DataFrame): Seq[(Long, Array[Float])] =
+    df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+
+  private def codebooksToDf(spark: SparkSession, cbs: Array[Array[Array[Float]]]) = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+  }
+
+  private def codebooksFromDf(df: DataFrame): Array[Array[Array[Float]]] =
+    df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    centroidsToDf(index.assigned.sparkSession, index.centroids)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .withColumn("list_id", col("list_id").cast("long"))
+    IvfIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")), assigned)
+  }
+
+  def ivfPqSave(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    centroidsToDf(spark, index.centroids)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooksToDf(spark, index.codebooks)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
+    val codebooks = codebooksFromDf(spark.read.parquet(s"$dir/codebooks"))
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .withColumn("list_id", col("list_id").cast("long"))
+    IvfPqIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")),
+      codebooks, assigned, codebooks.map(_.head.length).sum)
+  }
 
   /** IVF-flat ANN: partition the corpus into inverted lists by nearest
     * coarse centroid, then search only the `nprobe` lists whose centroids
