@@ -272,26 +272,50 @@ object Dedup extends org.apache.spark.internal.Logging {
     // `spark.sparkContext.setCheckpointDir` + `.checkpoint()` if executor
     // loss during the loop must be recoverable; the result itself is
     // re-staged to parquet below either way.)
-    var labels = edges.select(col("src").as("id")).distinct()
+    val spark = pairs.sparkSession
+    // fresh attribute ids per round (createDataFrame over the checkpointed
+    // RDD): the loop's plans self-join and re-union the same table, and
+    // reusing one attribute lineage across rounds trips Catalyst's Union
+    // constraint rewrite (`key not found: id#N`) on some input shapes.
+    def freshWrap(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    var labelsCk = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    var labels = freshWrap(labelsCk)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(nbrMin)
+      // checkpointed BEFORE the self-join below: self-joining the live
+      // union+agg subtree trips Catalyst's Union constraint rewrite
+      // (unresolved attribute ids), and the flat table is what we want to
+      // join against anyway
+      val prop = labels.select(col("id"), col("label")).union(nbrMin)
         .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint(true)
+      // pointer jumping: L(v) ← L(L(v)). Every label IS a vertex id (mins
+      // of ids, self included), so the lookup join is total, and
+      // L(L(v)) ≤ L(v) by construction. Halves the remaining distance to
+      // the component minimum each round ⇒ rounds ≈ log₂(diameter), which
+      // is what keeps deep chain-shaped components (temporal near-dup
+      // chains) from costing a round per hop.
+      val next = prop.as("a")
+        .join(freshWrap(prop).select(col("id").as("__lid"), col("label").as("__l2")),
+          col("a.label") === col("__lid"))
+        .select(col("a.id").as("id"), col("__l2").as("label"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "__prev"), "id")
         .filter(col("label") =!= col("__prev")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      prop.unpersist(blocking = false)
+      labelsCk.unpersist(blocking = false)
+      labelsCk = next
+      labels = freshWrap(next)
       rounds += 1
     }
     if (changed > 0)
       logWarning(s"connectedComponents: not converged after $maxIter rounds; " +
         "labels are an upper approximation (raise maxIter for deep chains)")
     val out = stage(labels.withColumnRenamed("label", "cluster_id"), "cc-labels")
-    labels.unpersist(blocking = false)
+    labelsCk.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
   }
