@@ -790,6 +790,31 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic per-stratum cap ([[graft.operators.Sampling
+    * .capPerStratum]]): at most 30 documents per language, chosen by hash
+    * order — the crawl-balancing "cap the dominant domains" op, fully
+    * reproducible so the oracle replays the exact survivor set.
+    */
+  def domainCap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerStratum(
+        t(spark, dir, "documents"), "doc_id", "lang", cap = 30)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Exact suppression vs a reference corpus
+    * ([[graft.operators.Dedup.suppressExact]]): the operator anti-joins on
+    * 128-bit content keys; the oracle anti-joins on the text itself —
+    * id-set equality verifies the hashed path.
+    */
+  def exactSuppress(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val reference = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    graft.operators.Dedup.suppressExact(corpus, reference, "text", "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal E2E: binary payload → byte-histogram features
     * ([[Multimodal.byteHistogram]], the partition-wise decode seam) →
     * exact cosine near-dup pairs — the full "media dedup" pipeline loop in

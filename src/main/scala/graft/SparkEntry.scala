@@ -124,7 +124,10 @@ object SparkEntry {
     // IVF-PQ ANN (coarse pruning × compressed scan; rows-only + recall gate)
     "q74_ivfpq_topk"         -> Queries.ivfPqTopkSimilar _,
     // multimodal E2E: binary → histogram features → near-dup pairs
-    "q75_media_near_dups"    -> Queries.mediaNearDups _
+    "q75_media_near_dups"    -> Queries.mediaNearDups _,
+    // per-stratum cap + exact reference suppression
+    "q76_domain_cap"         -> Queries.domainCap _,
+    "q77_exact_suppress"     -> Queries.exactSuppress _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -630,6 +633,28 @@ object SparkEntry {
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  list_cosine_similarity(CAST(a.h AS DOUBLE[]), CAST(b.h AS DOUBLE[])) AS c
         | FROM hist a JOIN hist b ON a.doc_id < b.doc_id)
-        |WHERE c >= 0.99999 ORDER BY id_a, id_b""".stripMargin
+        |WHERE c >= 0.99999 ORDER BY id_a, id_b""".stripMargin,
+    // Same q65 mix (salt 42), ranked within each language partition — the
+    // survivor set is a pure function of (id, lang), replayed exactly.
+    "q76_domain_cap" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY xor(m2, m2 >> 13), doc_id) AS INTEGER) AS rk
+        | FROM (
+        |  SELECT doc_id, lang, (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2 FROM (
+        |   SELECT doc_id, lang,
+        |     (((doc_id + 42) % 2147483648) * 2654435761) % 2147483648 AS m1
+        |   FROM documents)))
+        |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+    // The operator anti-joins on 128-bit content hashes; the oracle
+    // anti-joins on the text — identical id sets verify the hashed path.
+    "q77_exact_suppress" ->
+      """SELECT doc_id FROM documents d
+        |WHERE doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |   SELECT 1 FROM documents r
+        |   WHERE r.doc_id % 10 = 0 AND r.text = d.text)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -91,6 +91,25 @@ object Dedup extends org.apache.spark.internal.Logging {
   def exactRows(docs: DataFrame, keys: Seq[String]): DataFrame =
     docs.dropDuplicates(keys)
 
+  /** Exact suppression against a reference corpus: drop rows of `df`
+    * whose content appears verbatim in `reference` — the exact sibling of
+    * [[suppressNearDups]] (same anti-join shape, 128-bit content keys
+    * instead of simhash chunks), and the batch mirror of the streaming
+    * [[graft.streaming.EventStreams.dedupedByContent]]. Stateless and
+    * stream-static-safe; the shuffle carries 16-byte hashes, never
+    * documents.
+    */
+  def suppressExact(df: DataFrame, reference: DataFrame,
+                    textCol: String, refTextCol: String): DataFrame = {
+    val refKeys = reference.select(
+      xxhash64(col(refTextCol)).as("__r1"),
+      xxhash64(lit("g2#"), col(refTextCol)).as("__r2")).distinct()
+    df.join(refKeys,
+        xxhash64(col(textCol)) === col("__r1") &&
+          xxhash64(lit("g2#"), col(textCol)) === col("__r2"),
+        "left_anti")
+  }
+
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *

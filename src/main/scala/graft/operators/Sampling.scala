@@ -81,6 +81,26 @@ object Sampling {
     df.filter(bucketOf(col(idCol), buckets, salt) < lit(math.round(fraction * buckets)))
   }
 
+  /** Deterministic per-stratum cap: keep at most `cap` rows per stratum,
+    * chosen by hash order (mix, id) — the "at most N documents per domain"
+    * crawl-balancing op, reproducible across runs and re-layout like every
+    * Sampling op. One shuffle on the stratum key + a rank window. For
+    * power-law strata where one domain dwarfs an executor, pre-thin the
+    * hot strata with [[hashSample]] (membership is hash-ordered, so a
+    * pre-filter at fraction f keeps exactly the future survivors as long
+    * as f·|stratum| ≥ cap) before ranking.
+    */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    cap: Int, salt: Long = 42L): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(mixOf(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Per-stratum deterministic sampling: each row keeps membership by its
     * id-bucket, with the threshold chosen by the row's stratum (e.g.
     * down-sample boilerplate-heavy languages, keep all of a rare one).

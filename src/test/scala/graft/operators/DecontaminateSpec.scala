@@ -37,6 +37,18 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept + hit == n)
   }
 
+  test("suppressExact drops only verbatim content matches") {
+    val reference = Seq((100L, "exactly this text")).toDF("rid", "rtext")
+    val corpus = Seq(
+      (1L, "exactly this text"),          // verbatim → dropped
+      (2L, "Exactly This Text"),          // case differs → kept (exact means exact)
+      (3L, "exactly this text plus more") // superstring → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.suppressExact(corpus, reference, "text", "rtext")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("short docs collide via the clipped whole-doc gram") {
     // wordNgrams clips the slice when the doc is shorter than n: a doc with
     // < n tokens emits exactly one gram — the whole doc. An exact short

@@ -59,6 +59,23 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("id").except(rows.select("id")).isEmpty)
   }
 
+  test("capPerStratum keeps at most cap rows per stratum, deterministically") {
+    val rows = ids.withColumn("lang",
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de").otherwise("fr"))
+    val capped = Sampling.capPerStratum(rows, "id", "lang", cap = 100)
+    val counts = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 100), s"got $counts")
+    // survivors are a pure function of (id, lang): stable under re-layout
+    val again = Sampling.capPerStratum(rows.repartition(11), "id", "lang", cap = 100)
+    assert(capped.select("id").except(again.select("id")).isEmpty)
+    // a smaller cap selects a prefix of the larger cap's survivors
+    val capped10 = Sampling.capPerStratum(rows, "id", "lang", cap = 10)
+    assert(capped10.select("id").except(capped.select("id")).isEmpty)
+    // strata below the cap pass through whole
+    val tiny = rows.filter(col("id") < 30)
+    assert(Sampling.capPerStratum(tiny, "id", "lang", cap = 100).count() == 30)
+  }
+
   test("mixOf is a total deterministic shuffle key: no collisions on a dense range") {
     val keys = ids.select(Sampling.mixOf(col("id")).as("k"))
     assert(keys.distinct().count() == 10000, "mix must be injective on 31-bit ids")
