@@ -747,6 +747,118 @@ object Similarity extends org.apache.spark.internal.Logging {
     ivfPqSearch(ivfPqBuild(corpus, numCentroids, m, ksub, trainIters, idCol, vecCol),
       corpus, queries, k, nprobe, rerankFactor, idCol, vecCol)
 
+  // ---- residual IVF-PQ: codebooks over (vector − coarse centroid) ----
+
+  /** Per-list centroid vectors as an inline map literal (list_id → vec). */
+  private def centroidMapLit(cents: Seq[(Long, Array[Float])]) =
+    map_from_arrays(
+      array(cents.map(c => lit(c._1)): _*),
+      array(cents.map(c => typedLit(c._2)): _*))
+
+  /** Residual-encoded IVF-PQ: same index shape as [[ivfPqBuild]], but the
+    * PQ codebooks are trained on and encode r = v − c(list) — residuals
+    * cluster much tighter than raw vectors, so the same m×ksub code budget
+    * reconstructs v = c + r̂ more precisely (the FAISS IVFPQ recipe). The
+    * residual subtraction is a scan-local zip_with against the inlined
+    * centroid map; build stays one pass, no shuffle.
+    */
+  def ivfPqBuildResidual(corpus: DataFrame,
+                         numCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+                         trainIters: Int = 3,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cents = trainCentroidsLocal(corpus, numCentroids, trainIters, idCol, vecCol)
+    val sample = corpus.select(col(vecCol)).limit(1024).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfPqBuildResidual: empty corpus")
+    val dim = sample.head.length
+    // driver-side residuals for codebook training (sample is bounded)
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val residSample = sample.map { v =>
+      val c = cents.maxBy { case (cid, cv) => (cosLocal(v, cv), -cid) }._2
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val codebooks = pqTrainLocal(residSample, m, ksub, trainIters)
+    val sub = dim / m
+    val withList = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+      nearestCentroid(col(vecCol), cents).as("list_id"))
+    val resid = zip_with(col("__v"),
+      element_at(centroidMapLit(cents), col("list_id")), (a, b) => a - b)
+    val codes = array((0 until m).map { j =>
+      nearestCode(slice(resid, j * sub + 1, sub), codebooks(j))
+    }: _*)
+    val assigned = withList.select(col("neighbor_id"), col("list_id"), codes.as("codes"))
+    IvfPqIndex(cents, codebooks, assigned, dim)
+  }
+
+  /** Search a residual-encoded index. ADC reconstructs
+    * dot(q, v) ≈ dot(q, c) + Σⱼ LUT[j][codeⱼ] and
+    * ‖v‖² ≈ ‖c‖² + 2·Σⱼ dot(c_subⱼ, cbⱼ[codeⱼ]) + Σⱼ ‖cbⱼ[codeⱼ]‖²;
+    * dot(q, c) is computed per probe row and every per-list constant rides
+    * in as an inline map literal (k·m·ksub doubles — driver-small), so the
+    * compressed scan is still m lookups + a handful of adds per vector,
+    * all scan-local. Exact rerank unchanged.
+    */
+  def ivfPqSearchResidual(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                          k: Int, nprobe: Int = 4, rerankFactor: Int = 4,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val cMap = centroidMapLit(index.centroids)
+    // per-list ‖c‖² map literal
+    val cNorm2Map = map_from_arrays(
+      array(index.centroids.map(c => lit(c._1)): _*),
+      array(index.centroids.map(c => lit(c._2.map(x => x.toDouble * x).sum)): _*))
+    // per-list, per-subspace, per-code dot(c_sub_j, cb_j[code]) literal:
+    // list_id → array<array<double>> (m × ksub)
+    val sub = index.dim / index.m
+    val cDotMap = map_from_arrays(
+      array(index.centroids.map(c => lit(c._1)): _*),
+      array(index.centroids.map { case (_, cv) =>
+        array(index.codebooks.zipWithIndex.map { case (cb, j) =>
+          typedLit(cb.map { code =>
+            var s = 0.0; var i = 0
+            while (i < sub) { s += cv(j * sub + i).toDouble * code(i); i += 1 }
+            s
+          })
+        }.toIndexedSeq: _*)
+      }: _*))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      pqQueryLut(index.codebooks, index.dim, vecCol).as("lut"),
+      queryNorm(vecCol).as("q_norm"),
+      explode(probeLists(col(vecCol), index.centroids, nprobe)).as("list_id"))
+      .withColumn("qc_dot", aggregate(
+        zip_with(col("query_vec"), element_at(cMap, col("list_id")), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("c_norm2", element_at(cNorm2Map, col("list_id")))
+      .withColumn("c_dots", element_at(cDotMap, col("list_id")))
+    val adcDot = col("qc_dot") + aggregate(
+      zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val cDotSum = aggregate(
+      zip_with(col("codes"), col("c_dots"), (c, arr) => element_at(arr, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val rNorm2 = aggregate(
+      zip_with(col("codes"), pqCodeNorms(index.codebooks), (c, arr) => element_at(arr, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val vNorm2 = col("c_norm2") + lit(2.0d) * cDotSum + rNorm2
+    val shortlistW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+    val shortlist = index.assigned
+      .join(maybeBroadcast(probes, queries.count(), maxBroadcastQueries), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cosine",
+        when(vNorm2 > 0.0d && col("q_norm") > 0.0d,
+          adcDot / (col("q_norm") * sqrt(vNorm2))).otherwise(lit(0.0d)))
+      .withColumn("srk", row_number().over(shortlistW))
+      .filter(col("srk") <= k * math.max(rerankFactor, 1))
+    rerankExact(shortlist, corpus, k, idCol, vecCol)
+  }
+
   // ---- index persistence: build once, query across sessions ----
   //
   // The inverted lists are written PARTITIONED BY list_id, so a loaded

@@ -364,6 +364,38 @@ class OperatorsSpec extends SparkSpec {
     assert(allProbe == plainPq, "nprobe=all must reduce IVF-PQ to plain PQ")
   }
 
+  test("residual IVF-PQ: ADC-only recall beats raw encoding on clustered data") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val clustered = (0 until 400).map { i =>
+      val c = centers(i / 50)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" % 50 < 2)
+    val exact = Similarity.bruteForceTopK(clustered, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val raw = Similarity.ivfPqBuild(clustered, numCentroids = 8, m = 8, ksub = 16)
+    val res = Similarity.ivfPqBuildResidual(clustered, numCentroids = 8, m = 8, ksub = 16)
+    // rerankFactor=1 isolates the ADC scan quality: no exact-rerank rescue
+    val rawAdc = recallOf(Similarity.ivfPqSearch(raw, clustered, queries,
+      k = 5, nprobe = 3, rerankFactor = 1))
+    val resAdc = recallOf(Similarity.ivfPqSearchResidual(res, clustered, queries,
+      k = 5, nprobe = 3, rerankFactor = 1))
+    assert(resAdc >= rawAdc - 0.02,
+      s"residual ADC recall $resAdc must not trail raw $rawAdc")
+    assert(resAdc >= 0.5, s"residual ADC-only recall $resAdc")
+    // with the standard rerank the full pipeline clears the usual gate
+    val full = recallOf(Similarity.ivfPqSearchResidual(res, clustered, queries,
+      k = 5, nprobe = 3))
+    assert(full >= 0.8, s"residual IVF-PQ recall $full")
+  }
+
   test("lshTopK/ivfSearch shuffle path: identical results, no forced broadcast") {
     val queries = plantedCorpus.filter($"vec_id" < 10)
     val viaBroadcast = Similarity.lshTopK(plantedCorpus, queries, k = 5,
