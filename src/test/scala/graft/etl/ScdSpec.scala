@@ -57,6 +57,39 @@ class ScdSpec extends SparkSpec {
     assert(k4 == Seq((4L, Some("d"), 2L, None, true)))
   }
 
+  test("merge composes with foreachBatch: streaming dimension maintenance") {
+    // the standard shape: a stream of snapshot updates folds into the
+    // dimension one micro-batch at a time; versions advance per batch.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    var dim = Seq((1L, Some("a"), 0L, None: Option[Long], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val q = in.toDS().toDF("k", "attr")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // localCheckpoint: the dimension accumulates across batches; without
+        // truncation each batch's plan would embed all previous merges
+        dim = Scd.merge(dim, batch, "k", Seq("attr"), newVersion = batchId + 1)
+          .localCheckpoint(true)
+      }.start()
+    try {
+      in.addData((1L, "a2"), (9L, "fresh"))
+      q.processAllAvailable()
+      in.addData((1L, "a3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val k1 = dim.filter(col("k") === 1).orderBy("valid_from")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSeq
+    assert(k1 == Seq(
+      (1L, Some("a"), 0L, Some(1L), false),
+      (1L, Some("a2"), 1L, Some(2L), false),
+      (1L, Some("a3"), 2L, None, true)))
+    val k9 = dim.filter(col("k") === 9)
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSeq
+    assert(k9 == Seq((9L, Some("fresh"), 1L, None, true)))
+  }
+
   test("exactly one current row per live key after merge") {
     val dupCurrent = merged.filter(col("is_current"))
       .groupBy("k").count().filter(col("count") > 1).count()
