@@ -85,10 +85,12 @@ object Sampling {
     * chosen by hash order (mix, id) — the "at most N documents per domain"
     * crawl-balancing op, reproducible across runs and re-layout like every
     * Sampling op. One shuffle on the stratum key + a rank window. For
-    * power-law strata where one domain dwarfs an executor, pre-thin the
-    * hot strata with [[hashSample]] (membership is hash-ordered, so a
-    * pre-filter at fraction f keeps exactly the future survivors as long
-    * as f·|stratum| ≥ cap) before ranking.
+    * power-law strata where one domain dwarfs an executor, pre-thin with a
+    * mix-MAGNITUDE filter — `df.filter(mixOf(col(id), salt) < t)` keeps
+    * exactly the rank-order prefix, so any `t` with ≥ cap survivors per hot
+    * stratum leaves the final survivor set unchanged. ([[hashSample]] does
+    * NOT have this property: it buckets by mix mod B, which is uncorrelated
+    * with the mix-magnitude rank order used here.)
     */
   def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
                     cap: Int, salt: Long = 42L): DataFrame = {

@@ -76,6 +76,19 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerStratum(tiny, "id", "lang", cap = 100).count() == 30)
   }
 
+  test("mix-magnitude pre-thinning preserves capPerStratum survivors") {
+    // the documented skew-mitigation recipe: filtering on the raw mix value
+    // keeps exactly the rank-order prefix, so the capped survivor set is
+    // unchanged as long as enough rows clear the threshold per stratum
+    val rows = ids.withColumn("lang",
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de").otherwise("fr"))
+    val full = Sampling.capPerStratum(rows, "id", "lang", cap = 50)
+    val thinned = Sampling.capPerStratum(
+      rows.filter(Sampling.mixOf(col("id")) < (1L << 30)), "id", "lang", cap = 50)
+    assert(full.select("id").except(thinned.select("id")).isEmpty &&
+      thinned.select("id").except(full.select("id")).isEmpty)
+  }
+
   test("mixOf is a total deterministic shuffle key: no collisions on a dense range") {
     val keys = ids.select(Sampling.mixOf(col("id")).as("k"))
     assert(keys.distinct().count() == 10000, "mix must be injective on 31-bit ids")
