@@ -815,6 +815,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language corpus health report: doc counts, token volume, mean and
+    * median document length — the "what's in this corpus" summary every
+    * curation run starts from. Token counting is the native single-pass
+    * expression; the groupBy has |languages| groups.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    NativeTextExpressions.register(spark)
+    t(spark, dir, "documents")
+      .select(col("lang"), expr("token_count_native(text)").as("__n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        round(avg(col("__n")), 4).as("mean_tokens"),
+        round(expr("percentile(__n, 0.5)"), 4).as("median_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Multimodal E2E: binary payload → byte-histogram features
     * ([[Multimodal.byteHistogram]], the partition-wise decode seam) →
     * exact cosine near-dup pairs — the full "media dedup" pipeline loop in

@@ -127,7 +127,9 @@ object SparkEntry {
     "q75_media_near_dups"    -> Queries.mediaNearDups _,
     // per-stratum cap + exact reference suppression
     "q76_domain_cap"         -> Queries.domainCap _,
-    "q77_exact_suppress"     -> Queries.exactSuppress _
+    "q77_exact_suppress"     -> Queries.exactSuppress _,
+    // per-language corpus health report
+    "q78_corpus_report"      -> Queries.corpusReport _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -655,6 +657,18 @@ object SparkEntry {
         |  AND NOT EXISTS (
         |   SELECT 1 FROM documents r
         |   WHERE r.doc_id % 10 = 0 AND r.text = d.text)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // Tokenizer parity established by q32–q34; quantile_cont ≡ Spark
+    // percentile (linear interpolation) established by q47.
+    "q78_corpus_report" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS total_tokens,
+        | round(avg(n), 4) AS mean_tokens,
+        | round(quantile_cont(n, 0.5), 4) AS median_tokens
+        |FROM (
+        | SELECT lang, len(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS n
+        | FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
