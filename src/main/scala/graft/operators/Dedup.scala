@@ -265,15 +265,16 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** Connected components over a duplicate-pair table — the step that
     * turns LSH/verify PAIRS into dedup CLUSTERS so each group keeps one
     * canonical document (min id = the cluster label). Min-label
-    * propagation: each vertex repeatedly takes the minimum label among
-    * itself and its neighbors; converges in O(component diameter)
-    * rounds — near-dup clusters are shallow (dups of a common source), so
-    * a handful of rounds suffices at any corpus size. Every round is one
-    * edge⋈label join + one min-aggregation, both shuffle-partitioned on
+    * propagation with pointer jumping: each round every vertex takes the
+    * minimum label among itself and its neighbors, then follows its label's
+    * label (L(v) ← L(L(v))) — rounds ≈ log₂(component diameter), so even
+    * deep chain-shaped components converge in a handful of rounds at any
+    * corpus size. Every round is one edge⋈label join, one
+    * min-aggregation, and one label self-join, all shuffle-partitioned on
     * the vertex id; the only driver-side value is the per-round changed
     * count (the convergence test, an aggregate — standard for iterative
-    * distributed algorithms). Labels are cached per round and the previous
-    * round unpersisted, so peak storage is two label tables.
+    * distributed algorithms). Labels are checkpointed per round and the
+    * previous round unpersisted, so peak storage is two label tables.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
