@@ -815,6 +815,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-level dedup: chunk every document (50/40 windows), then keep
+    * one canonical chunk per identical chunk text — the packing-stage
+    * "dedupe repeated passages across documents" step, composing
+    * [[graft.operators.Chunking]] with [[graft.operators.Dedup
+    * .exactCanonical]]. Chunk identity is doc_id·1000 + chunk_idx (chunk
+    * counts here are ≪ 1000; a composite key works identically at scale).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunking.tokenWindows(
+        t(spark, dir, "documents"), "doc_id", "text", size = 50, stride = 40)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+        col("chunk_text"))
+    Dedup.exactCanonical(chunks, "chunk_id", "chunk_text")
+      .orderBy(col("chunk_id"))
+  }
+
   /** Per-language corpus health report: doc counts, token volume, mean and
     * median document length — the "what's in this corpus" summary every
     * curation run starts from. Token counting is the native single-pass

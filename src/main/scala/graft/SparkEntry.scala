@@ -129,7 +129,9 @@ object SparkEntry {
     "q76_domain_cap"         -> Queries.domainCap _,
     "q77_exact_suppress"     -> Queries.exactSuppress _,
     // per-language corpus health report
-    "q78_corpus_report"      -> Queries.corpusReport _
+    "q78_corpus_report"      -> Queries.corpusReport _,
+    // chunk-level passage dedup (chunking ∘ exact dedup)
+    "q79_chunk_dedup"        -> Queries.chunkDedup _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -669,6 +671,20 @@ object SparkEntry {
         | SELECT lang, len(list_filter(string_split_regex(lower(text), '\s+'),
         |   x -> len(x) > 0)) AS n
         | FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q79_chunk_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |starts AS (
+        | SELECT doc_id, t, unnest(range(0, len(t), 40)) AS s
+        | FROM toks WHERE len(t) > 0),
+        |chunks AS (
+        | SELECT doc_id * 1000 + s // 40 AS chunk_id,
+        |   array_to_string(t[s + 1 : s + 50], ' ') AS chunk_text
+        | FROM starts)
+        |SELECT min(chunk_id) AS chunk_id, count(*) AS dup_cnt
+        |FROM chunks GROUP BY chunk_text ORDER BY chunk_id""".stripMargin
   )
 }
