@@ -309,9 +309,18 @@ object Dedup extends org.apache.spark.internal.Logging {
       // checkpointed BEFORE the self-join below: self-joining the live
       // union+agg subtree trips Catalyst's Union constraint rewrite
       // (unresolved attribute ids), and the flat table is what we want to
-      // join against anyway
-      val prop = labels.select(col("id"), col("label")).union(nbrMin)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint(true)
+      // join against anyway. __prev (the vertex's incoming label) rides
+      // through the aggregation — exactly one labels row per id, so
+      // max() selects it past nbrMin's nulls — making the convergence
+      // test a narrow filter-count over this round's checkpoint instead
+      // of an extra shuffle join against the previous labels.
+      val lblType = labels.schema("label").dataType
+      val prop = labels.select(col("id"), col("label"), col("label").as("__prev"))
+        .union(nbrMin.select(col("id"), col("label"),
+          lit(null).cast(lblType).as("__prev")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("__prev")).as("__prev"))
+        .localCheckpoint(true)
       // pointer jumping: L(v) ← L(L(v)). Every label IS a vertex id (mins
       // of ids, self included), so the lookup join is total, and
       // L(L(v)) ≤ L(v) by construction. Halves the remaining distance to
@@ -321,14 +330,15 @@ object Dedup extends org.apache.spark.internal.Logging {
       val next = prop.as("a")
         .join(freshWrap(prop).select(col("id").as("__lid"), col("label").as("__l2")),
           col("a.label") === col("__lid"))
-        .select(col("a.id").as("id"), col("__l2").as("label"))
+        .select(col("a.id").as("id"), col("__l2").as("label"),
+          col("a.__prev").as("__prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "__prev"), "id")
-        .filter(col("label") =!= col("__prev")).count()
+      changed = next.filter(col("label") =!= col("__prev")).count()
+      println(f"CCROUND $rounds changed=$changed t=${System.nanoTime}")
       prop.unpersist(blocking = false)
       labelsCk.unpersist(blocking = false)
       labelsCk = next
-      labels = freshWrap(next)
+      labels = freshWrap(next).select(col("id"), col("label"))
       rounds += 1
     }
     if (changed > 0)
