@@ -22,10 +22,14 @@ object Bench {
     // machine a single sample is noise-dominated (observed 3-4× swings on
     // identical code). Min-of-N is the standard steady-state estimator.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // Optional comma-separated subset (dev tool): bench only these queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
     // A run that throws must NOT count as a (near-instant) timing — a broken
     // query would otherwise bench as a speedup. Min is taken over successful
     // runs only; a query with zero successes reports -1 and bumps `failed`.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

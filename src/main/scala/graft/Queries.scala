@@ -766,7 +766,11 @@ object Queries {
         when(pmod(col("c_custkey"), lit(7)) === 0, (col("c_nationkey") + 1) % 25)
           .otherwise(col("c_nationkey")))
       .unionByName(customer.filter(col("c_custkey") < 50)
-        .select((col("c_custkey") + 100000).as("c_custkey"), lit(0L).as("c_nationkey")))
+        // offset by max(c_custkey) so synthetic "brand-new" keys can never
+        // collide with real keys at any scale factor (1-row broadcast join)
+        .crossJoin(broadcast(customer.agg(max(col("c_custkey")).as("__maxkey"))))
+        .select((col("c_custkey") + col("__maxkey") + 1).as("c_custkey"),
+          lit(0L).as("c_nationkey")))
     graft.etl.Scd.merge(dimension, snapshot, "c_custkey", Seq("c_nationkey"), newVersion = 1L)
       // open-ended validity surfaces as -1 so the hash compare never rides
       // on engine NULL canonicalization; booleans as 0/1 for the same reason

@@ -576,7 +576,8 @@ object SparkEntry {
         | SELECT c_custkey, (c_nationkey + 1) % 25, 1, -1, 1 FROM base
         | WHERE c_custkey % 7 = 0
         | UNION ALL
-        | SELECT c_custkey + 100000, 0, 1, -1, 1 FROM base WHERE c_custkey < 50)
+        | SELECT c_custkey + 1 + (SELECT max(c_custkey) FROM base), 0, 1, -1, 1
+        | FROM base WHERE c_custkey < 50)
         |ORDER BY c_custkey, valid_from""".stripMargin,
     // Recursive min-label reachability = connected components; min over all
     // reachable labels is the component's min id — exactly the cluster_id

@@ -334,7 +334,7 @@ object Dedup extends org.apache.spark.internal.Logging {
           col("a.__prev").as("__prev"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("__prev")).count()
-      println(f"CCROUND $rounds changed=$changed t=${System.nanoTime}")
+      logDebug(s"connectedComponents round=$rounds changed=$changed")
       prop.unpersist(blocking = false)
       labelsCk.unpersist(blocking = false)
       labelsCk = next
