@@ -889,4 +889,64 @@ object Queries {
     graft.operators.QualityRules.repetitionReport(
         t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** EXACT n-gram Jaccard near-dup pairs ([[Dedup.ngramJaccardAllPairs]]):
+    * inverted-index join on trigram hashes, exact |A∩B|/|A∪B| from the
+    * group counts — recall 1.0 by construction, hash-checked against a
+    * DuckDB oracle that rebuilds the gram sets from the STRINGS (so the
+    * hashed join is verified end-to-end, same stance as q66). The Jaccard
+    * value is a single IEEE division of exact integers → bit-identical.
+    */
+  def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardAllPairs(t(spark, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.1)
+      .withColumn("ngram_jaccard", round(col("ngram_jaccard"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Bloom-filter reference suppression ([[Dedup.suppressBloom]]): the
+    * shuffle-free scale path of q77 — reference reduces to a broadcast
+    * Bloom filter, corpus side filters scan-locally. At fpp 1e-9 on a
+    * 500-doc corpus the expected false-positive count is ~5e-7, so the
+    * result equals exact suppression and the q77-style oracle applies
+    * verbatim (no-false-negative is structural; the fp rate bound is
+    * separately gated in OperatorsSpec on a planted corpus).
+    */
+  def bloomSuppress(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val reference = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    Dedup.suppressBloom(corpus, reference, "text", "text",
+        expectedRefDocs = 100000L, fpp = 1e-9)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSONL interchange roundtrip ([[graft.etl.Ingest.roundtripJsonLines]]):
+    * documents → JSON-lines files → read back with the pinned schema →
+    * hash-compared against the parquet original. Exercises the writer's
+    * newline/quote/unicode escaping on real document text — the lossless
+    * contract an LLM corpus depends on when it ships as JSONL.
+    */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    val base = spark.conf.getOption("spark.graft.stagingDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val out = s"$base/graft-jsonl-${java.util.UUID.randomUUID()}"
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    graft.etl.Ingest.roundtripJsonLines(docs, out)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Compression-ratio quality report ([[graft.operators.QualityRules
+    * .compressionReport]]) — the Gopher/CCNet "gzip rule". Rows-only at
+    * the oracle (DuckDB has no deflate); the expression itself is
+    * fixture-tested in NativeTextExpressionsSpec (repetitive ≪ random,
+    * determinism, zlib round-trip identity).
+    */
+  def compressionQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.compressionReport(
+        t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
 }

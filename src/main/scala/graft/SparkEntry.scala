@@ -131,7 +131,15 @@ object SparkEntry {
     // per-language corpus health report
     "q78_corpus_report"      -> Queries.corpusReport _,
     // chunk-level passage dedup (chunking ∘ exact dedup)
-    "q79_chunk_dedup"        -> Queries.chunkDedup _
+    "q79_chunk_dedup"        -> Queries.chunkDedup _,
+    // exact n-gram Jaccard dedup (inverted-index form, recall 1.0)
+    "q80_ngram_jaccard"      -> Queries.ngramJaccardDups _,
+    // Bloom-filter reference suppression (shuffle-free scale path of q77)
+    "q81_bloom_suppress"     -> Queries.bloomSuppress _,
+    // JSONL sink → source roundtrip (lossless interchange contract)
+    "q82_jsonl_roundtrip"    -> Queries.jsonlRoundtrip _,
+    // compression-ratio quality rule (deflate; rows-only at the oracle)
+    "q83_compression_quality" -> Queries.compressionQuality _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -686,6 +694,47 @@ object SparkEntry {
         |   array_to_string(t[s + 1 : s + 50], ' ') AS chunk_text
         | FROM starts)
         |SELECT min(chunk_id) AS chunk_id, count(*) AS dup_cnt
-        |FROM chunks GROUP BY chunk_text ORDER BY chunk_id""".stripMargin
+        |FROM chunks GROUP BY chunk_text ORDER BY chunk_id""".stripMargin,
+    // Gram construction identical to q66's recipe (same tokenizer, same
+    // short-doc clipping); the oracle joins on gram STRINGS, verifying the
+    // Spark side's hashed inverted index end-to-end. The Jaccard is one
+    // IEEE division of exact integers — bit-identical across engines.
+    "q80_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 3, 0) + 2),
+        |   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        | FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS ngram_jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // The exact-suppression oracle applies verbatim: at fpp 1e-9 over 500
+    // docs the deterministic Bloom filter admits no false positive (and
+    // false negatives are structurally impossible).
+    "q81_bloom_suppress" ->
+      """SELECT doc_id FROM documents d
+        |WHERE doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |   SELECT 1 FROM documents r
+        |   WHERE r.doc_id % 10 = 0 AND r.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
+    // Roundtrip identity: the JSONL write→read must reproduce the parquet
+    // original bit-for-bit, so the oracle is simply the original rows.
+    "q82_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

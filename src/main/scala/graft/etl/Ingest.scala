@@ -73,6 +73,26 @@ object Ingest {
   def readJsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** JSON-lines sink — the interchange format LLM-pipeline corpora ship in
+    * (one JSON object per line, newline-safe: Spark's JSON writer escapes
+    * embedded newlines/quotes/unicode, so arbitrary document text
+    * round-trips losslessly). Plain distributed write — one file per
+    * partition, no driver materialization.
+    */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Write `df` as JSONL and read it back with the ORIGINAL schema pinned
+    * (no inference round-trip: JSON cannot distinguish int widths, and a
+    * column that is all-null in some shard would otherwise infer away).
+    * This is the lossless-interchange contract the roundtrip query (q80
+    * family) hash-checks end-to-end against the parquet original.
+    */
+  def roundtripJsonLines(df: DataFrame, path: String): DataFrame = {
+    writeJsonLines(df, path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
   /** F2 — manifest-driven file list (`files.list`, vertica_upload.py:334–339).
     * One small text file read driver-side; blank lines and `#` comments
     * skipped.

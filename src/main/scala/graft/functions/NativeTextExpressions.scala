@@ -386,6 +386,45 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** DEFLATE-compressed byte length of the input string's UTF-8 bytes
+    * (raw deflate, no zlib/gzip header, fixed compression level). The
+    * compression-ratio quality signal of the Gopher/CCNet family: highly
+    * repetitive machine-generated text compresses far below natural
+    * language, and near-random strings don't compress at all — so
+    * `deflate_len(text) / octet_length(text)` separates the two ends with
+    * a single scan-local number. One Deflater per (thread, expression),
+    * reset per row — no per-row allocation; output depends only on the
+    * input bytes and level, so the signal is deterministic and cacheable.
+    */
+  case class DeflateLen(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "deflate_len"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"deflate_len expects string, got ${child.dataType.simpleString}")
+
+    @transient private lazy val deflater: ThreadLocal[java.util.zip.Deflater] =
+      ThreadLocal.withInitial(() => new java.util.zip.Deflater(level, true))
+    @transient private lazy val outBuf: ThreadLocal[Array[Byte]] =
+      ThreadLocal.withInitial(() => new Array[Byte](16 * 1024))
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val d = deflater.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = outBuf.get()
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private[graft] val stopwordSet: java.util.Set[String] = {
     val s = new java.util.HashSet[String]()
     TextFunctions.stopwords.foreach(s.add)
@@ -413,5 +452,6 @@ object NativeTextExpressions {
     add("token_profile", c => TokenProfile(c.head))
     add("stopword_count_native", c => StopwordCount(c.head))
     add("punct_ratio_native", c => PunctRatio(c.head))
+    add("deflate_len", c => DeflateLen(c.head, litInt(c(1), "level")))
   }
 }

@@ -110,6 +110,37 @@ object Dedup extends org.apache.spark.internal.Logging {
         "left_anti")
   }
 
+  /** Bloom-filter suppression against a reference corpus — the
+    * shuffle-free scale path of [[suppressExact]]. The reference side
+    * reduces to a Bloom filter over 64-bit content hashes (distributed
+    * build via `stat.bloomFilter`'s treeAggregate; bit-array OR-merge is
+    * order-independent, so the filter — and therefore the result — is
+    * deterministic for a given input). The corpus side is then a
+    * SCAN-LOCAL filter against the broadcast filter: the 100 TB side never
+    * shuffles at all, which is the entire point — `suppressExact`'s
+    * anti-join shuffles both sides on the content key.
+    *
+    * Error direction: a Bloom filter has NO false negatives, so every
+    * reference document is always suppressed (the direction that matters
+    * for contamination); false positives OVER-suppress at rate ≤ `fpp`
+    * (asserted ≤ 3×fpp on a planted corpus in OperatorsSpec). Sizing: the
+    * filter needs ~1.44·log₂(1/fpp) bits per reference doc — 10⁹ reference
+    * docs at fpp 1e-3 is ~1.7 GB, broadcastable; at larger reference
+    * corpora shard the filter by hash prefix and probe the matching shard.
+    * The driver holds the merged filter once (same budget as a broadcast
+    * hash join build side).
+    */
+  def suppressBloom(df: DataFrame, reference: DataFrame,
+                    textCol: String, refTextCol: String,
+                    expectedRefDocs: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
+    val spark = df.sparkSession
+    val filter = reference.select(xxhash64(col(refTextCol)).as("__k"))
+      .stat.bloomFilter("__k", expectedRefDocs, fpp)
+    val bc = spark.sparkContext.broadcast(filter)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    df.filter(!mightContain(xxhash64(col(textCol))))
+  }
+
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -348,6 +379,59 @@ object Dedup extends org.apache.spark.internal.Logging {
     labelsCk.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
+  }
+
+  /** EXACT n-gram Jaccard dedup, inverted-index form: every pair of
+    * documents whose word-n-gram-set Jaccard similarity meets `threshold`,
+    * with the exact similarity — no LSH, no candidate loss.
+    *
+    * Correctness of the candidate generation: any pair with Jaccard > 0
+    * shares at least one n-gram, so grouping the inverted index
+    * (gram-hash → ids) by id-pair enumerates a superset of every
+    * qualifying pair; the common-gram COUNT produced by that same groupBy
+    * plus the two per-document distinct-gram sizes give the exact Jaccard
+    * (|A∩B| / (|A|+|B|−|A∩B|)) without ever materializing gram sets per
+    * pair. Grams ride the shuffle as 8-byte xxhash64 keys, never strings
+    * (a collision can only merge two grams — over-counts the intersection
+    * with probability ~grams²/2⁻⁶⁴ per doc, vanishing; same budget as the
+    * decontamination join, Decontaminate.scala:17–21).
+    *
+    * Scale posture: the inverted index is linear in corpus n-grams; the
+    * self-join fan-out is Σ_g df(g)² — bounded in practice by dropping
+    * nothing but *relying on AQE skew splitting* for boilerplate grams; a
+    * stop-gram df cap would bound it further but changes semantics, so it
+    * is deliberately NOT applied here. Compared to [[minhashNearDups]]
+    * this is the exact (recall-1.0) flavor; pick it when the corpus slice
+    * is bounded (per-bucket, per-domain) and the answer must be exact, and
+    * the MinHash path when it is not.
+    */
+  def ngramJaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    NativeTextExpressions.register(docs.sparkSession)
+    // `word_ngram_hashes` returns the DISTINCT gram set, so size(set) is
+    // |A| — carrying it through the explode (constant per id) lets the
+    // pair groupBy recover both set sizes with first(), eliminating the
+    // two per-document size joins; and because the self-join's two inputs
+    // are then the IDENTICAL subplan shuffled on the same key, Spark
+    // reuses one exchange for both sides (one corpus scan + one shuffle
+    // total — asserted in PlanShapeSpec).
+    // explode_outer, not explode: plain explode makes Catalyst push a
+    // `size(word_ngram_hashes(..)) > 0` pre-filter below the project,
+    // which evaluates the expensive native expression TWICE per row;
+    // the outer variant needs no pre-filter (a null text row surfaces as
+    // one null-gram row and is dropped by the join's null rejection).
+    val grams = docs
+      .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
+      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh"))
+    grams.as("a")
+      .join(grams.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
+      .withColumn("ngram_jaccard",
+        col("common").cast("double") / (col("__sza") + col("__szb") - col("common")))
+      .filter(col("ngram_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("ngram_jaccard"))
   }
 
   /** N-gram Jaccard similarity for given candidate id pairs (exact verify

@@ -39,6 +39,33 @@ object QualityRules {
           .as("top_bigram_frac"))
   }
 
+  /** Compression-ratio quality report (the Gopher/CCNet "gzip rule"):
+    * `deflate_len(text) / octet_length(text)` per document, one scan-local
+    * pass via the native [[graft.functions.NativeTextExpressions
+    * .DeflateLen]] expression. Low ratios flag repetitive boilerplate,
+    * ratios near (or above) 1.0 flag near-random strings — both ends are
+    * poor training text. The two cutoffs classify each document; the
+    * ratio itself is emitted so downstream filters can re-threshold
+    * without recomputing. No shuffle at all — at 100 TB this is a pure
+    * map over the corpus scan.
+    */
+  def compressionReport(docs: DataFrame, idCol: String, textCol: String,
+                        minRatio: Double = 0.2, maxRatio: Double = 0.95,
+                        level: Int = 6): DataFrame = {
+    graft.functions.NativeTextExpressions.register(docs.sparkSession)
+    docs
+      .filter(octet_length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        octet_length(col(textCol)).as("n_bytes"),
+        expr(s"deflate_len($textCol, $level)").as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        round(col("deflate_bytes").cast("double") / col("n_bytes"), 4))
+      .withColumn("quality_class",
+        when(col("compression_ratio") < minRatio, "repetitive")
+          .when(col("compression_ratio") > maxRatio, "random")
+          .otherwise("ok"))
+  }
+
   /** The filter built on the report: keep documents below the repetition
     * ceiling and above the diversity floor — the composable "drop the
     * keyword-stuffed and the copy-pasted" cleaning step.

@@ -57,4 +57,32 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected anti-join in:\n$plan")
   }
+
+  test("ngramJaccardAllPairs: one scan+shuffle reused for both self-join sides at scale") {
+    // the at-100TB regime is a shuffle join (no broadcastable side);
+    // force it so the identical-subplan exchange reuse is observable
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = operators.Dedup.ngramJaccardAllPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.1)
+      pairs.collect() // AQE finalizes reuse decisions at execution
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"the identical gram subplan must be shuffled once and reused:\n$plan")
+      // the native gram expression must appear once in the final plan (the
+      // AQE toString appends an "Initial Plan" rendering — cut it off),
+      // not doubled into a pushed size() pre-filter
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val evals = "word_ngram_hashes".r.findAllIn(finalPlan).length
+      assert(evals <= 1, s"word_ngram_hashes evaluated $evals times in:\n$finalPlan")
+      assert(scanColumns(pairs) == Set("doc_id", "text"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("compressionReport is a single pruned scan with no shuffle") {
+    val report = operators.QualityRules.compressionReport(docs, "doc_id", "text")
+    assert(exchangeCount(report) == 0, "deflate form must not shuffle")
+    assert(scanColumns(report) == Set("doc_id", "text"))
+  }
 }

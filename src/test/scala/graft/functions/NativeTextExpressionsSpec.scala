@@ -135,4 +135,44 @@ class NativeTextExpressionsSpec extends SparkSpec {
       assert(native(0) != native(2))
     }
   }
+
+  test("deflate_len: real deflate stream (inflates back), separates repetitive from random") {
+    withNative {
+      val repetitive = "spam ham " * 500
+      // xxhash-derived hex: incompressible but reproducible (no RNG in tests)
+      val random = (0 until 500).map(i =>
+        f"${scala.util.hashing.MurmurHash3.stringHash(i.toString)}%08x").mkString
+      val df = Seq(repetitive, random).toDF("t")
+        .select($"t", expr("deflate_len(t, 6)").as("dl"), octet_length($"t").as("n"))
+      val rows = df.collect()
+      val Seq(repRatio, rndRatio) =
+        rows.toSeq.map(r => r.getInt(1).toDouble / r.getInt(2))
+      assert(repRatio < 0.05, s"repetitive text should compress hard, got $repRatio")
+      assert(rndRatio > 0.5, s"random hex should not compress below half, got $rndRatio")
+
+      // the emitted length must be that of a genuine raw-deflate stream:
+      // re-compress with java.util.zip directly and compare byte counts
+      rows.foreach { r =>
+        val bytes = r.getString(0).getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6, true)
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](bytes.length + 1024)
+        var total = 0
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        assert(r.getInt(1) == total, "expression must equal a direct Deflater run")
+      }
+    }
+  }
+
+  test("deflate_len: null-safe, deterministic across evaluations, empty string") {
+    withNative {
+      val df = Seq(Some("abc abc abc"), None, Some("")).toDF("t")
+        .select(expr("deflate_len(t, 6)").as("a"), expr("deflate_len(t, 6)").as("b"))
+      val rows = df.collect()
+      assert(rows(0).getInt(0) == rows(0).getInt(1))
+      assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+      assert(rows(2).getInt(0) > 0, "empty string still emits a (tiny) deflate block")
+    }
+  }
 }
