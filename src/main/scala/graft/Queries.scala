@@ -949,4 +949,17 @@ object Queries {
     graft.operators.QualityRules.compressionReport(
         t(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** Token-budget shard packing ([[graft.operators.Packing
+    * .packByTokenBudget]]): global running token total via the two-level
+    * prefix-sum decomposition (never a single-partition window), shard id
+    * from integer division — every column exact integers, so the DuckDB
+    * oracle (which CAN afford the naive global window at sf0.01)
+    * hash-checks the distributed scan decomposition bit-for-bit.
+    */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packByTokenBudget(
+        t(spark, dir, "documents"), "doc_id", "text",
+        budget = 2048L, bucketWidth = 100L)
+      .orderBy(col("doc_id"))
 }

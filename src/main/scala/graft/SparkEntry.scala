@@ -139,7 +139,9 @@ object SparkEntry {
     // JSONL sink → source roundtrip (lossless interchange contract)
     "q82_jsonl_roundtrip"    -> Queries.jsonlRoundtrip _,
     // compression-ratio quality rule (deflate; rows-only at the oracle)
-    "q83_compression_quality" -> Queries.compressionQuality _
+    "q83_compression_quality" -> Queries.compressionQuality _,
+    // token-budget shard packing (distributed two-level prefix sum)
+    "q84_token_packing"      -> Queries.tokenPacking _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -735,6 +737,19 @@ object SparkEntry {
     // original bit-for-bit, so the oracle is simply the original rows.
     "q82_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, text FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // The oracle affords the naive single-partition global window at
+    // sf0.01; the Spark side computes the identical cumulative sum via the
+    // two-level decomposition. All-integer arithmetic, `//` ≡ Spark `div`
+    // on the non-negative values here.
+    "q84_token_packing" ->
+      """WITH tok AS (
+        | SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+        | CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048 AS BIGINT) AS bin_id
+        |FROM tok ORDER BY doc_id""".stripMargin
   )
 }
