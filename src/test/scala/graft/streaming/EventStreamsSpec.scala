@@ -146,6 +146,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("round-7 stateless ops compose on a stream: bloom suppress → compression gate") {
+    // suppressBloom's corpus side is a scan-local probe of a broadcast
+    // filter (built ONCE, batch-side, at plan time) and compressionReport
+    // is a pure map — both run unmodified on a streaming DataFrame, the
+    // stream-static "suppress the live crawl against the reference
+    // snapshot, gate on compressibility" shape. Stream ≡ batch asserted.
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((100L, "known reference document body")).toDF("rid", "rtext")
+    val docs = Seq(
+      (0L, "known reference document body"),              // suppressed by bloom
+      (1L, "spam ham " * 300),                            // gated: too compressible
+      (2L, "a genuinely novel document with ordinary natural language inside it"),
+      (3L, "another novel document that should survive both stages just fine"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.QualityRules.compressionReport(
+          graft.operators.Dedup.suppressBloom(df, reference, "text", "rtext",
+            expectedRefDocs = 1000L, fpp = 1e-9),
+          "doc_id", "text")
+        .filter(org.apache.spark.sql.functions.col("quality_class") === "ok")
+    val in = MemoryStream[(Long, String)]
+    val q = pipeline(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("r7_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("r7_stream").collect().map(_.getLong(0)).toSet
+      val batch = pipeline(docs.toDF("doc_id", "text")).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"stream/batch mismatch: $streamed vs $batch")
+      assert(batch == Set(2L, 3L), s"expected only the novel natural docs, got $batch")
+    } finally q.stop()
+  }
+
   test("in-stream near-dup dedup catches cross-batch near-dups exactly (planted corpus)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr}
