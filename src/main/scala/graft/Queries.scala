@@ -962,4 +962,21 @@ object Queries {
         t(spark, dir, "documents"), "doc_id", "text",
         budget = 2048L, bucketWidth = 100L)
       .orderBy(col("doc_id"))
+
+  /** Language-ID over the marker-word heuristic
+    * ([[graft.functions.TextFunctions.langId]]): per-language marker-hit
+    * scores plus the argmax prediction (first-wins ties, 'und' on all
+    * zero). Fully deterministic integer scoring, so unlike q35's bundled
+    * engine-specific hashes this one IS oracle-checkable — the DuckDB
+    * side replicates the tokenizer, marker lists, and tie-break order.
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langScores(col("text"))
+      .foldLeft(t(spark, dir, "documents")) { case (df, (lang, s)) =>
+        df.withColumn(s"s_$lang", s)
+      }
+    scored.select(col("doc_id") +: langId(col("text")).as("lang_pred") +:
+        langScores(col("text")).map { case (lang, _) => col(s"s_$lang") }: _*)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -141,7 +141,9 @@ object SparkEntry {
     // compression-ratio quality rule (deflate; rows-only at the oracle)
     "q83_compression_quality" -> Queries.compressionQuality _,
     // token-budget shard packing (distributed two-level prefix sum)
-    "q84_token_packing"      -> Queries.tokenPacking _
+    "q84_token_packing"      -> Queries.tokenPacking _,
+    // marker-heuristic language ID (deterministic scoring, oracle-checked)
+    "q85_language_id"        -> Queries.languageId _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -750,6 +752,33 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         | CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
         | CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048 AS BIGINT) AS bin_id
-        |FROM tok ORDER BY doc_id""".stripMargin
+        |FROM tok ORDER BY doc_id""".stripMargin,
+    // Marker lists and the first-wins tie-break replicate
+    // TextFunctions.langMarkers order (en, es, de, fr, zh).
+    "q85_language_id" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  len(list_filter(t, x -> list_contains(['the','and','of','is','to'], x))) AS s_en,
+        |  len(list_filter(t, x -> list_contains(['el','la','de','que','y'], x))) AS s_es,
+        |  len(list_filter(t, x -> list_contains(['der','und','die','das','ist'], x))) AS s_de,
+        |  len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+        |  len(list_filter(t, x -> list_contains(['de','shi','le','wo','ni'], x))) AS s_zh
+        | FROM (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents))
+        |SELECT doc_id,
+        | CASE
+        |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh
+        |   AND s_en > 0 THEN 'en'
+        |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+        |  WHEN s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+        |  WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |  WHEN s_zh > 0 THEN 'zh'
+        |  ELSE 'und' END AS lang_pred,
+        | CAST(s_en AS INTEGER) AS s_en, CAST(s_es AS INTEGER) AS s_es,
+        | CAST(s_de AS INTEGER) AS s_de, CAST(s_fr AS INTEGER) AS s_fr,
+        | CAST(s_zh AS INTEGER) AS s_zh
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }
