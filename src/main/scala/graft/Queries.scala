@@ -979,4 +979,17 @@ object Queries {
         langScores(col("text")).map { case (lang, _) => col(s"s_$lang") }: _*)
       .orderBy(col("doc_id"))
   }
+
+  /** Domain-mixture sampling ([[graft.operators.Sampling.mixtureSample]]):
+    * the largest corpus matching a 40/15/15/15/15 language recipe, each
+    * stratum's survivors chosen by deterministic hash order. Caps derive
+    * from counts via double arithmetic evaluated in the same order on both
+    * engines, and survivor selection is integer rank — hash-exact.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(
+        t(spark, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
 }

@@ -143,7 +143,9 @@ object SparkEntry {
     // token-budget shard packing (distributed two-level prefix sum)
     "q84_token_packing"      -> Queries.tokenPacking _,
     // marker-heuristic language ID (deterministic scoring, oracle-checked)
-    "q85_language_id"        -> Queries.languageId _
+    "q85_language_id"        -> Queries.languageId _,
+    // domain-mixture sampling to a target language recipe
+    "q86_mixture_sample"     -> Queries.mixtureSample _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -779,6 +781,29 @@ object SparkEntry {
         | CAST(s_en AS INTEGER) AS s_en, CAST(s_es AS INTEGER) AS s_es,
         | CAST(s_de AS INTEGER) AS s_de, CAST(s_fr AS INTEGER) AS s_fr,
         | CAST(s_zh AS INTEGER) AS s_zh
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Same mix recipe as q65; caps via DOUBLE arithmetic in the identical
+    // order as the Spark driver (min(c/w), floor(w*T)); survivor selection
+    // is pure integer rank over (mix, doc_id).
+    "q86_mixture_sample" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+        |  ('fr', 0.15), ('zh', 0.15)),
+        |c AS (SELECT lang, count(*) AS c FROM documents
+        |  WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
+        |t AS (SELECT min(CAST(c AS DOUBLE) / CAST(wt AS DOUBLE)) AS t
+        |  FROM c JOIN w USING (lang)),
+        |caps AS (SELECT lang,
+        |  CAST(floor(CAST(wt AS DOUBLE) * (SELECT t FROM t)) AS BIGINT) AS cap FROM w),
+        |mixed AS (
+        | SELECT doc_id, lang, xor(m2, m2 >> 13) AS mix FROM (
+        |  SELECT doc_id, lang, (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2 FROM (
+        |   SELECT doc_id, lang,
+        |     (((doc_id + 42) % 2147483648) * 2654435761) % 2147483648 AS m1
+        |   FROM documents WHERE lang IN (SELECT lang FROM w)))),
+        |ranked AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY mix, doc_id) AS rk
+        | FROM mixed)
+        |SELECT doc_id, lang FROM ranked JOIN caps USING (lang)
+        |WHERE rk <= cap ORDER BY doc_id""".stripMargin
   )
 }

@@ -103,6 +103,41 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Domain-mixture sampling: draw the LARGEST corpus whose stratum
+    * proportions exactly match `weights` (e.g. 40% en / 15% each of four
+    * others), limited by the scarcest stratum — the "mix to the target
+    * data recipe" stage of LLM corpus curation. Achievable total
+    * T = min_s(count_s / w_s); each stratum keeps its first
+    * floor(w_s · T) rows in deterministic (mix, id) hash order, so the
+    * result is exact-count, reproducible, and stable under re-layout
+    * (same guarantees as [[capPerStratum]], whose window shape this
+    * reuses — including the mix-magnitude pre-thinning recipe for
+    * power-law strata). The per-stratum counts ride the driver like the
+    * k-means codebook: |strata| rows, never data. Strata absent from
+    * `weights` are dropped; a stratum with weight > 0 but no rows makes
+    * T = 0 (empty result — the recipe is unsatisfiable, not silently
+    * rescaled).
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    weights: Map[String, Double], salt: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0), "weights must be >= 0")
+    require(weights.values.exists(_ > 0.0), "at least one positive weight")
+    val within = df.filter(col(stratumCol).isInCollection(weights.keys.toSeq))
+    val counts = within.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.collect { case (s, w) if w > 0 => counts.getOrElse(s, 0L) / w }.min
+    val caps = weights.map { case (s, w) => s -> math.floor(w * t).toLong }
+    val capCol = weights.keys.toSeq.sorted.foldRight(lit(0L): Column) { (s, acc) =>
+      when(col(stratumCol) === lit(s), lit(caps(s))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(mixOf(col(idCol), salt), col(idCol))
+    within.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= capCol)
+      .drop("__rk")
+  }
+
   /** Per-stratum deterministic sampling: each row keeps membership by its
     * id-bucket, with the threshold chosen by the row's stratum (e.g.
     * down-sample boilerplate-heavy languages, keep all of a rare one).

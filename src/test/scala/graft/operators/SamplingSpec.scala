@@ -89,6 +89,35 @@ class SamplingSpec extends SparkSpec {
       thinned.select("id").except(full.select("id")).isEmpty)
   }
 
+  test("mixtureSample hits the target recipe exactly, bounded by the scarcest stratum") {
+    // 400 a / 100 b / 50 c; recipe 50/25/25 → c is scarcest: T = 50/0.25 =
+    // 200 → caps 100/50/50
+    val rows = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (1000 until 1100).map(i => (i.toLong, "b")) ++
+      (2000 until 2050).map(i => (i.toLong, "c"))).toDF("id", "lang")
+    val out = Sampling.mixtureSample(rows, "id", "lang",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("a" -> 100L, "b" -> 50L, "c" -> 50L), s"got $byLang")
+    // deterministic: same survivors on a re-run over re-partitioned input
+    val again = Sampling.mixtureSample(rows.repartition(7), "id", "lang",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(out.select("id").except(again.select("id")).isEmpty &&
+      again.select("id").except(out.select("id")).isEmpty)
+  }
+
+  test("mixtureSample drops unweighted strata; empty weighted stratum empties the result") {
+    val rows = ((0 until 60).map(i => (i.toLong, "a")) ++
+      (100 until 160).map(i => (i.toLong, "x"))).toDF("id", "lang")
+    val out = Sampling.mixtureSample(rows, "id", "lang", Map("a" -> 1.0))
+    assert(out.filter(col("lang") =!= "a").count() == 0)
+    assert(out.count() == 60)
+    val unsat = Sampling.mixtureSample(rows, "id", "lang",
+      Map("a" -> 0.5, "missing" -> 0.5))
+    assert(unsat.count() == 0, "a positive-weight stratum with no rows makes the recipe unsatisfiable")
+  }
+
   test("mixOf is a total deterministic shuffle key: no collisions on a dense range") {
     val keys = ids.select(Sampling.mixOf(col("id")).as("k"))
     assert(keys.distinct().count() == 10000, "mix must be injective on 31-bit ids")
