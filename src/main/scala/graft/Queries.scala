@@ -992,4 +992,22 @@ object Queries {
         Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
+
+  /** PII scrubbing ([[graft.operators.Scrub.scrubPii]]) over text with
+    * deterministic planted identifiers (so the redaction is exercised on
+    * every row, not vacuously green): emails, IPv4s, and card-shaped digit
+    * runs → placeholder tokens, plus the per-doc hit count. Patterns are
+    * the dialect-portable subset, so the DuckDB oracle replays them
+    * exactly (with the 'g' flag — DuckDB redacts first-match by default).
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 card 4111111111111111")))
+    graft.operators.Scrub.scrubPii(planted, "text")
+      .select(col("doc_id"), col("pii_hits"), col("text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -145,7 +145,9 @@ object SparkEntry {
     // marker-heuristic language ID (deterministic scoring, oracle-checked)
     "q85_language_id"        -> Queries.languageId _,
     // domain-mixture sampling to a target language recipe
-    "q86_mixture_sample"     -> Queries.mixtureSample _
+    "q86_mixture_sample"     -> Queries.mixtureSample _,
+    // PII scrubbing (email/IPv4/digit-run redaction + hit counts)
+    "q87_pii_scrub"          -> Queries.piiScrub _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -804,6 +806,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY lang ORDER BY mix, doc_id) AS rk
         | FROM mixed)
         |SELECT doc_id, lang FROM ranked JOIN caps USING (lang)
-        |WHERE rk <= cap ORDER BY doc_id""".stripMargin
+        |WHERE rk <= cap ORDER BY doc_id""".stripMargin,
+    // Patterns restricted to the Java-regex/RE2-portable subset; 'g' flag
+    // because DuckDB's regexp_replace is first-match-only by default while
+    // Spark's replaces all occurrences.
+    "q87_pii_scrub" ->
+      """WITH planted AS (
+        | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |  || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |  || '.7 card 4111111111111111' AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |  + len(regexp_extract_all(text, '\b\d{13,16}\b')) AS INTEGER) AS pii_hits,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{13,16}\b', '<NUM>', 'g') AS text
+        |FROM planted ORDER BY doc_id""".stripMargin
   )
 }
