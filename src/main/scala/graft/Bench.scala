@@ -45,6 +45,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // The harness that captures this output keeps only a bounded tail of
+    // stdout; the full per-query line above is larger than that window, so
+    // its head (metric/value) gets truncated away. Emit a second, compact
+    // summary as the LAST line — total, failure count, and the slowest
+    // queries, rounded — small enough to always survive a tail capture.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"queries_n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
