@@ -1010,4 +1010,28 @@ object Queries {
       .select(col("doc_id"), col("pii_hits"), col("text"))
       .orderBy(col("doc_id"))
   }
+
+  /** EXACT n-gram containment pairs ([[Dedup.ngramContainmentPairs]]):
+    * the quote/embedding detector — asymmetric overlap at 0.5 over
+    * trigrams. Same string-joined oracle stance as q80; containments are
+    * single IEEE divisions of exact integers.
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(t(spark, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .withColumn("containment_a", round(col("containment_a"), 4))
+      .withColumn("containment_b", round(col("containment_b"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Cross-corpus segment dedup ([[Dedup.dedupSegments]]): aligned 3-token
+    * segments, first occurrence wins, documents reconstructed from the
+    * survivors — the CCNet/RefinedWeb boilerplate-removal shape. On this
+    * corpus ~18% of segments are cross-doc duplicates, so the result is
+    * meaningfully different from the input while staying bit-exact
+    * (pure string ops, integer counts).
+    */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSegments(t(spark, dir, "documents"), "doc_id", "text", window = 3)
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+      .orderBy(col("doc_id"))
 }

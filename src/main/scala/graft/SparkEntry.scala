@@ -147,7 +147,11 @@ object SparkEntry {
     // domain-mixture sampling to a target language recipe
     "q86_mixture_sample"     -> Queries.mixtureSample _,
     // PII scrubbing (email/IPv4/digit-run redaction + hit counts)
-    "q87_pii_scrub"          -> Queries.piiScrub _
+    "q87_pii_scrub"          -> Queries.piiScrub _,
+    // exact n-gram containment (quote/embedding detection)
+    "q88_ngram_containment"  -> Queries.ngramContainment _,
+    // cross-corpus segment dedup (CCNet-style boilerplate removal)
+    "q89_segment_dedup"      -> Queries.segmentDedup _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -824,6 +828,58 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{13,16}\b', '<NUM>', 'g') AS text
-        |FROM planted ORDER BY doc_id""".stripMargin
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    "q88_ngram_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 3, 0) + 2),
+        |   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        | FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(CAST(c AS DOUBLE) / sa.sz, 4) AS containment_a,
+        | round(CAST(c AS DOUBLE) / sb.sz, 4) AS containment_b
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE greatest(CAST(c AS DOUBLE) / sa.sz, CAST(c AS DOUBLE) / sb.sz) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q89_segment_dedup" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split(text, ' ') AS t,
+        |   CAST(floor(len(string_split(text, ' ')) / 3) AS INT) AS nseg
+        | FROM documents),
+        |segs AS (
+        | SELECT doc_id,
+        |   unnest(range(0, nseg)) AS idx,
+        |   unnest(list_transform(range(0, nseg),
+        |     i -> array_to_string(t[i*3+1 : i*3+3], ' '))) AS seg
+        | FROM base),
+        |ranked AS (
+        | SELECT doc_id, idx, seg,
+        |   row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+        | FROM segs),
+        |body AS (
+        | SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS b, count(*) AS kept
+        | FROM ranked WHERE rn = 1 GROUP BY 1),
+        |tails AS (
+        | SELECT doc_id, array_to_string(t[nseg*3+1 : len(t)], ' ') AS tl,
+        |   CAST(nseg AS BIGINT) AS total
+        | FROM base)
+        |SELECT t.doc_id,
+        | CASE WHEN coalesce(b, '') <> '' AND coalesce(tl, '') <> '' THEN b || ' ' || tl
+        |      WHEN coalesce(b, '') <> '' THEN b
+        |      ELSE coalesce(tl, '') END AS clean_text,
+        | total - coalesce(kept, 0) AS n_removed
+        |FROM tails t LEFT JOIN body USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

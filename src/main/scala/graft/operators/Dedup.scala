@@ -434,6 +434,99 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("id_a"), col("id_b"), col("ngram_jaccard"))
   }
 
+  /** EXACT n-gram containment pairs: pairs where the SMALLER document's
+    * gram set is mostly inside the larger's (max(|A∩B|/|A|, |A∩B|/|B|) ≥
+    * threshold) — the asymmetric overlap that catches a document quoted or
+    * embedded inside another, which symmetric Jaccard under-scores (a
+    * 100-gram doc fully contained in a 10 000-gram doc has Jaccard ≈ 0.01
+    * but containment 1.0). Same inverted-index/one-reused-exchange shape
+    * as [[ngramJaccardAllPairs]]; emits both directed containments plus
+    * the Jaccard for context.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    NativeTextExpressions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
+      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh"))
+    grams.as("a")
+      .join(grams.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
+      .withColumn("containment_a", col("common").cast("double") / col("__sza"))
+      .withColumn("containment_b", col("common").cast("double") / col("__szb"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
+  }
+
+  /** Cross-corpus SEGMENT dedup (the CCNet/RefinedWeb "paragraph dedup"
+    * shape): split every document into aligned `window`-token segments,
+    * drop every segment occurrence except its FIRST in the corpus (order =
+    * (doc_id, segment index) — deterministic, layout-independent), and
+    * reconstruct each document from its surviving segments. Boilerplate
+    * (headers, license blocks, navigation chrome) disappears from all but
+    * the first document carrying it, while the carrier doc keeps full text.
+    * The token tail shorter than `window` is always kept, so a corpus with
+    * no repeated segment reconstructs verbatim (asserted in spec).
+    *
+    * Output: (id, clean_text, n_removed) — one row per input document,
+    * empty-string clean_text when everything was removed.
+    *
+    * Scale posture: one scan computes all segments; the only shuffle is the
+    * groupBy on segment text finding each segment's first occurrence (at
+    * 100 TB: hash the segment to 128 bits first if segment strings are
+    * long — same collision budget as [[suppressExact]]); the winner set
+    * joins back to the exploded segments on (segment, id, idx) — Spark
+    * plans ONE segment subplan reused for both sides. Reassembly is a
+    * per-document sort inside `array_sort` (scan-local, no global sort).
+    * Hot segments skew the groupBy; min-aggregation is partial-combinable
+    * so map-side combine flattens the skew before the exchange.
+    */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = split(col(textCol), " ")
+    val nseg = (size(toks) / window).cast("int")
+    // aligned segments [i*window, (i+1)*window); sequence(1, 0) would
+    // descend, so guard the empty case explicitly
+    val segs = when(col("__nseg") > 0,
+      transform(sequence(lit(0), col("__nseg") - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * window + 1, lit(window)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = docs
+      .select(col(idCol).as("id"), toks.as("__toks"), nseg.as("__nseg"))
+      .select(col("id"), posexplode_outer(segs).as(Seq("idx", "seg")))
+      .filter(col("seg").isNotNull)
+    // first occurrence of each segment: min (doc_id, idx) — a plain
+    // aggregation (combinable, map-side partial), not a window over the
+    // segment partition
+    val winners = exploded
+      .groupBy(col("seg").as("wseg"))
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+      .select(col("wseg"), col("w.id").as("wid"), col("w.idx").as("widx"))
+    val kept = exploded.join(winners,
+        col("seg") === col("wseg") && col("id") === col("wid") && col("idx") === col("widx"),
+        "left_semi")
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+          s => s("seg")), " ").as("__body"),
+        count(col("seg")).as("__kept"))
+    // tail and total derive from the original text, so zero-segment docs
+    // (fewer than `window` tokens) keep their text without ever joining
+    docs.select(col(idCol).as("id"),
+        concat_ws(" ", slice(toks, nseg * window + 1,
+          size(toks) - nseg * window)).as("__tail"),
+        nseg.cast("long").as("__total"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ",
+          when(length(col("__body")) > 0, col("__body")),
+          when(length(col("__tail")) > 0, col("__tail"))).as("clean_text"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** N-gram Jaccard similarity for given candidate id pairs (exact verify
     * step; candidates come from LSH, never all-pairs).
     */

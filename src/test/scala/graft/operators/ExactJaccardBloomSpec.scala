@@ -56,6 +56,23 @@ class ExactJaccardBloomSpec extends SparkSpec {
     assert(disjoint.count() == 0, "disjoint gram sets must yield no pair at any threshold")
   }
 
+  test("ngramContainmentPairs catches a short doc embedded in a long one that Jaccard misses") {
+    val embedded = Seq(
+      (1L, "alpha beta gamma delta"), // fully contained in doc 2's gram set
+      (2L, "intro words first alpha beta gamma delta and then lots of " +
+        "additional unrelated trailing content follows here for a while longer"),
+      (3L, "completely different text with nothing shared at all present")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(embedded, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.keySet == Set((1L, 2L)), s"got ${cont.keySet}")
+    assert(cont((1L, 2L)) == 1.0, "doc 1's grams are all inside doc 2")
+    // symmetric Jaccard on the same pair is far below the containment
+    val jac = Dedup.ngramJaccardAllPairs(embedded, "doc_id", "text", n = 3, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) < 0.2, s"jaccard should be small: ${jac((1L, 2L))}")
+  }
+
   test("suppressBloom has no false negatives: every reference text is dropped") {
     val reference = (0 until 200).map(i => (i.toLong, s"ref document number $i")).toDF("rid", "rtext")
     val corpus = (0 until 200).map(i => (1000L + i, s"ref document number $i"))
@@ -87,6 +104,37 @@ class ExactJaccardBloomSpec extends SparkSpec {
     val first = run()
     assert(first == exact, "at fpp 1e-9 on 350 probes the bloom result must equal exact")
     assert(run() == first, "the filter build must be deterministic across runs")
+  }
+
+  test("dedupSegments removes later duplicate segments and keeps the carrier verbatim") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),            // segs: "a b c","d e f"; tail "g h"
+      (2L, "x y z d e f p q r"),          // "d e f" is a dup of doc 1's
+      (3L, "m n")                         // shorter than one window: all tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(corpus, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a b c d e f g h", 0L), "first carrier keeps full text")
+    assert(out(2L) == ("x y z p q r", 1L), "duplicate middle segment removed")
+    assert(out(3L) == ("m n", 0L), "sub-window doc survives as pure tail")
+  }
+
+  test("dedupSegments: within-doc repeats collapse to the first occurrence") {
+    val corpus = Seq((7L, "x y z x y z x y")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(corpus, "doc_id", "text", window = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "x y z x y", s"got '${out.head.getString(1)}'")
+    assert(out.head.getLong(2) == 1L)
+  }
+
+  test("dedupSegments is the identity on a corpus with no repeated segment") {
+    val corpus = (0 until 40)
+      .map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(corpus, "doc_id", "text", window = 3)
+    val joined = corpus.join(out, corpus("doc_id") === out("id"))
+    assert(joined.filter(col("clean_text") =!= col("text") || col("n_removed") =!= 0).count() == 0,
+      "no-dup corpus must reconstruct verbatim")
   }
 
   test("suppressBloom keeps the corpus side shuffle-free (scan-local filter)") {
