@@ -1034,4 +1034,85 @@ object Queries {
     Dedup.dedupSegments(t(spark, dir, "documents"), "doc_id", "text", window = 3)
       .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
       .orderBy(col("doc_id"))
+
+  /** BM25 top-10 documents for a fixed 3-term query (k1=1.2, b=0.75,
+    * Lucene idf ln(1+(N−df+0.5)/(df+0.5))). Term stats are the standard
+    * two aggregations (tf per doc×term, df per term); df and the 1-row
+    * (N, avgdl) corpus stats ride broadcasts, so the only large-side
+    * shuffles are the tf/dl groupBys. Ranking sorts by the ROUNDED score
+    * with doc_id tiebreak — `ln` differs by ≤1 ulp across engines, and
+    * rounding before ranking makes the order (and the hash compare)
+    * immune to that.
+    */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "vector", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Bucketed co-located join: both sides written as 4-bucket tables on
+    * the join key, then sort-merge joined with ZERO exchanges — the scan's
+    * bucket layout IS the join partitioning (asserted in BucketedJoinSpec).
+    * This is the 100 TB lever for a fact table joined on the same key
+    * every day: pay the bucketing shuffle once at write time, never again
+    * at read time. The aggregate mirrors q02's shape so the oracle is a
+    * plain join — bucketing must not change the answer.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-bucketed").getAbsolutePath
+    Seq("graft_orders_bkt", "graft_customer_bkt").foreach(tn =>
+      spark.sql(s"DROP TABLE IF EXISTS $tn"))
+    t(spark, dir, "orders")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/graft_orders_bkt").saveAsTable("graft_orders_bkt")
+    t(spark, dir, "customer")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/graft_customer_bkt").saveAsTable("graft_customer_bkt")
+    spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** End-to-end EXACT fuzzy-dedup of the corpus: trigram-Jaccard pairs at
+    * 0.5 ([[Dedup.ngramJaccardAllPairs]], recall 1.0) → connected
+    * components (distributed min-label propagation) → keep each cluster's
+    * min doc_id → surviving corpus. Every stage is exact, so the whole
+    * pipeline — candidate generation, clustering, canonical selection,
+    * suppression — hash-checks against a recursive-CTE oracle. This is the
+    * full "dedup the crawl" operator; the MinHash path (q36→q72) is the
+    * same pipeline with approximate candidates for when exact fan-out is
+    * too hot.
+    */
+  def fuzzyDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardAllPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id"))
+    docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

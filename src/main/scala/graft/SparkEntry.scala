@@ -151,7 +151,13 @@ object SparkEntry {
     // exact n-gram containment (quote/embedding detection)
     "q88_ngram_containment"  -> Queries.ngramContainment _,
     // cross-corpus segment dedup (CCNet-style boilerplate removal)
-    "q89_segment_dedup"      -> Queries.segmentDedup _
+    "q89_segment_dedup"      -> Queries.segmentDedup _,
+    // BM25 ranked retrieval (Lucene idf, rounded-rank determinism)
+    "q90_bm25_topk"          -> Queries.bm25TopDocs _,
+    // bucketed co-located join: zero-exchange SMJ from bucket layout
+    "q91_bucketed_join"      -> Queries.bucketedJoin _,
+    // E2E exact fuzzy dedup: pairs -> components -> surviving corpus
+    "q92_fuzzy_dedup_corpus" -> Queries.fuzzyDedupCorpus _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -880,6 +886,64 @@ object SparkEntry {
         |      ELSE coalesce(tl, '') END AS clean_text,
         | total - coalesce(kept, 0) AS n_removed
         |FROM tails t LEFT JOIN body USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+    // Rounding BEFORE ranking makes the order immune to the <=1-ulp ln()
+    // difference between engines; doc_id breaks rounded ties.
+    "q90_bm25_topk" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS tok
+        | FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT t.doc_id,
+        |   ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |     (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS c
+        | FROM tf t JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(c), 4) AS bm25 FROM scored GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    // Bucketing must not change the answer: the oracle is the plain join.
+    "q91_bucketed_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q80's pair CTE at 0.5 + q72's recursive component CTE: the whole
+    // exact fuzzy-dedup pipeline hash-checks end-to-end.
+    "q92_fuzzy_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 3, 0) + 2),
+        |   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) j
+        | JOIN sizes sa ON sa.doc_id = id_a
+        | JOIN sizes sb ON sb.doc_id = id_b
+        | WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |cc(id, label) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst),
+        |losers AS (
+        | SELECT id FROM (SELECT id, min(label) AS cl FROM cc GROUP BY id)
+        | WHERE id <> cl)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin
   )
 }

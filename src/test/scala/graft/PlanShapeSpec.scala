@@ -85,4 +85,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangeCount(report) == 0, "deflate form must not shuffle")
     assert(scanColumns(report) == Set("doc_id", "text"))
   }
+
+  test("bucketed join: no exchange below the sort-merge join; plain-join parity") {
+    // AQE off so the static executed plan is a plain tree we can walk —
+    // the no-shuffle property being asserted is decided by
+    // EnsureRequirements either way
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Queries.bucketedJoin(spark, sf0001)
+      val exec = joined.queryExecution.executedPlan
+      val smjs = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$exec")
+      val shufflesBelow = smjs.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shufflesBelow.isEmpty,
+        s"bucket layout must satisfy the join partitioning, found shuffle:\n${smjs.head}")
+      val rows = joined.collect()
+      val plain = spark.read.parquet(s"$sf0001/orders.parquet")
+        .join(spark.read.parquet(s"$sf0001/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment")).collect()
+      assert(rows.toSeq == plain.toSeq, "bucketing must not change the answer")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
 }
