@@ -1115,4 +1115,36 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
+
+  /** SemDeDup ([[Similarity.semanticDedup]]): k-means clusters scope the
+    * near-dup search, exact cosine verifies every drop. Approximate
+    * (cluster-boundary pairs missed) → rows-only; precision-1.0 and
+    * planted-duplicate recall are gated in SemanticDedupSpec.
+    */
+  def semanticDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(spark, dir, "embeddings"), threshold = 0.45,
+        numCentroids = 16)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+
+  /** Partitioned write + partition-pruned read: events land partitioned by
+    * day, and a one-day query reads ONLY that day's directory (gate:
+    * PartitionFilters in the scan, PlanShapeSpec). At 100 TB this is the
+    * first-order scan-cost lever — a day query over a year of data touches
+    * 1/365th of the files before a single row is decoded. The day is the
+    * corpus min date (one tiny driver-side lookup), so the query is
+    * self-contained at any SF.
+    */
+  def partitionPrunedDay(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-events-by-day").getAbsolutePath
+    val ev = t(spark, dir, "events").withColumn("d", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("d").parquet(out)
+    val minDay = ev.agg(min(col("d"))).first().getDate(0)
+    spark.read.parquet(out)
+      .filter(col("d") === lit(minDay))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
 }

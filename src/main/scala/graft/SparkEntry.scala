@@ -157,7 +157,11 @@ object SparkEntry {
     // bucketed co-located join: zero-exchange SMJ from bucket layout
     "q91_bucketed_join"      -> Queries.bucketedJoin _,
     // E2E exact fuzzy dedup: pairs -> components -> surviving corpus
-    "q92_fuzzy_dedup_corpus" -> Queries.fuzzyDedupCorpus _
+    "q92_fuzzy_dedup_corpus" -> Queries.fuzzyDedupCorpus _,
+    // SemDeDup: cluster-scoped semantic dedup over embeddings
+    "q93_semantic_dedup"     -> Queries.semanticDedupSurvivors _,
+    // partitioned write + partition-pruned one-day read
+    "q94_partition_prune"    -> Queries.partitionPrunedDay _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -944,6 +948,15 @@ object SparkEntry {
         | WHERE id <> cl)
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q93 is approximate (cluster-boundary pairs) -> rows-only; gates in
+    // SemanticDedupSpec.
+    // Partition layout must not change the answer: the oracle filters the
+    // original unpartitioned events by the same min-day predicate.
+    "q94_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

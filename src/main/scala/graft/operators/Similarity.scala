@@ -931,4 +931,39 @@ object Similarity extends org.apache.spark.internal.Logging {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfSearch(ivfBuild(corpus, numCentroids, trainIters, idCol, vecCol),
       queries, k, nprobe, idCol, vecCol)
+
+  /** SemDeDup-style semantic dedup: cluster the corpus (k-means over the
+    * codebook machinery above), then drop every vector that has a
+    * SMALLER-ID near-dup (exact cosine ≥ threshold) within its cluster.
+    * Survivors are the deterministic min-id representatives; the rule is
+    * "any smaller-id near-dup kills you", evaluated independently per
+    * vector — no transitive chaining (that is [[graft.operators.Dedup
+    * .connectedComponents]]'s job when cluster semantics are wanted).
+    *
+    * Exactness: candidate generation is approximate (pairs straddling a
+    * cluster boundary are missed — recall gated in spec), but every DROP
+    * is exact-verified cosine, so precision is 1.0 structurally:
+    * identical vectors always land in the same cluster (same argmax), so
+    * true duplicates are always caught.
+    *
+    * Scale: the only all-pairs work is within-cluster (Σ_c n_c² — size k
+    * to bound it, ~n/avg_cluster_size); assignment is one scan-local pass
+    * against the inlined codebook; the self-join shuffles on cluster id
+    * with AQE handling uneven clusters. This is the standard embedding
+    * dedup at 100 TB: brute force is n², LSH ignores cluster structure,
+    * SemDeDup pays n²/k.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    numCentroids: Int = 16, trainIters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cents = trainCentroidsLocal(corpus, numCentroids, trainIters, idCol, vecCol)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nearestCentroid(col(vecCol), cents).as("cid"))
+    val losers = assigned.as("a")
+      .join(assigned.as("b"), col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(call_function("cosine_sim", col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("loser")).distinct()
+    corpus.join(losers, corpus(idCol) === losers("loser"), "left_anti")
+  }
 }

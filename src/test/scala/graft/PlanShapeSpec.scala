@@ -86,6 +86,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanColumns(report) == Set("doc_id", "text"))
   }
 
+  test("one-day query over the partitioned layout prunes to one partition") {
+    // AQE off: its wrapper nodes hide the scan from plan.collect, and
+    // partition pruning is decided at planning time anyway
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = Queries.partitionPrunedDay(spark, sf0001)
+      pruned.collect()
+      val scans = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths.exists(
+        _.toString.contains("graft-events-by-day")) => s
+    }
+      assert(scans.nonEmpty, "expected a scan over the partitioned layout")
+      val scan = scans.head
+      assert(scan.partitionFilters.nonEmpty,
+        s"day predicate must reach the scan as a partition filter:\n$scan")
+      val days = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      assert(days.size == 1,
+        s"one-day predicate must select exactly one partition, got ${days.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("bucketed join: no exchange below the sort-merge join; plain-join parity") {
     // AQE off so the static executed plan is a plain tree we can walk —
     // the no-shuffle property being asserted is decided by
