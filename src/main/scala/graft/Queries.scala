@@ -1147,4 +1147,63 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("event_type"))
   }
+
+  /** ORC sink + scan roundtrip: the columnar interchange format Spark
+    * ships beside parquet, exercised end-to-end (write, re-read, full
+    * identity vs the source — the oracle reads the original parquet, so a
+    * single lost or mangled value breaks the hash). Strings and fixed
+    * types are lossless in ORC; at 100 TB ORC vs parquet is a storage
+    * policy choice, and an engine must read both.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-docs-orc").getAbsolutePath
+    t(spark, dir, "documents").write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Schema-evolution read: two batches written with DIFFERENT schemas
+    * (an old writer without `lang`, a new one without `text`), read back
+    * as one DataFrame via mergeSchema with null-fill — the "the pipeline
+    * added a column last March" reality of any long-lived lake. The
+    * oracle reconstructs the same union with explicit NULLs, so the
+    * null-fill semantics are hash-checked, not assumed.
+    */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-evolving").getAbsolutePath
+    val docs = t(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$base/old")
+    docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$base/new")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/old", s"$base/new")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-weight logistic quality classifier over the oracle-proven q32
+    * features — the "fasttext-style quality model" slot in a training-data
+    * pipeline, with deterministic weights instead of a learned blob. The
+    * keep decision is z >= 0: z is products/sums of correctly-rounded IEEE
+    * doubles evaluated in the same order in both engines, so the flag is
+    * bit-deterministic; only the sigmoid value needs rounding (exp is the
+    * one <=1-ulp op). Single scan, zero shuffle until the final sort.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    NativeTextExpressions.register(spark)
+    val z = lit(-1.0) +
+      lit(0.02) * expr("token_count_native(text)") +
+      lit(4.0) * (expr("stopword_count_native(text)").cast("double") /
+        expr("token_count_native(text)")) -
+      lit(6.0) * round(expr("punct_ratio_native(text)"), 4)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), z.as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("quality"),
+        (col("z") >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

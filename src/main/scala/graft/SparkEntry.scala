@@ -161,7 +161,13 @@ object SparkEntry {
     // SemDeDup: cluster-scoped semantic dedup over embeddings
     "q93_semantic_dedup"     -> Queries.semanticDedupSurvivors _,
     // partitioned write + partition-pruned one-day read
-    "q94_partition_prune"    -> Queries.partitionPrunedDay _
+    "q94_partition_prune"    -> Queries.partitionPrunedDay _,
+    // ORC sink + scan, full-identity roundtrip
+    "q95_orc_roundtrip"      -> Queries.orcRoundtrip _,
+    // mergeSchema read over two batches with different schemas
+    "q96_schema_evolution"   -> Queries.schemaEvolutionRead _,
+    // fixed-weight logistic quality score + keep flag
+    "q97_quality_classifier" -> Queries.qualityClassifier _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -957,6 +963,41 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events
         |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // A single mangled value anywhere breaks the hash: the oracle is the
+    // untouched source table.
+    "q95_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q96_schema_evolution" ->
+      """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR), lang
+        |FROM documents WHERE doc_id % 2 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // z reproduces bit-exactly (correctly-rounded IEEE mul/add/div in the
+    // same order); exp() is <=1 ulp different across engines, absorbed by
+    // round(4). keep = z >= 0 is therefore deterministic.
+    "q97_quality_classifier" ->
+      """WITH feats AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0),
+        |    x -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on'], x)))
+        |    AS INTEGER) AS n_stopwords,
+        |  round(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+        |    END, 4) AS punct
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id,
+        |   -1.0 + 0.02 * n_tokens + 4.0 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
+        |     - 6.0 * punct AS z
+        | FROM feats)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality, z >= 0 AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }
