@@ -1206,4 +1206,41 @@ object Queries {
         (col("z") >= 0).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Count-min-sketch term counts: the sketch merges distributively
+    * (commutative counter sums — one treeAggregate-shaped agg, no term
+    * shuffle), then a handful of probe terms are estimated driver-side —
+    * the standard CMS usage at 100 TB, where exact per-term groupBy counts
+    * of a hot vocabulary are the thing being avoided. Seeded, so the
+    * estimates are deterministic; overestimate-only and ε·N error bounds
+    * are gated in QueriesSpec against exact counts.
+    */
+  def cmsTermCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Seq("spark", "table", "query", "vector", "stream", "the")
+    val sketchBytes = t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    probes.map(term => (term, cms.estimateCount(term)))
+      .toDF("term", "est_count").orderBy(col("term"))
+  }
+
+  /** Incremental dedup ([[Dedup.incrementalDedup]]): docs ≥ 250 are "the
+    * new batch", keyed on (source, lang) — the URL-dedup analog. Batch
+    * rows with a key the corpus already has are suppressed; within the
+    * batch the min-doc_id row per new key survives. Pure set logic →
+    * bit-exact oracle.
+    */
+  def incrementalDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250),
+        Seq("source", "lang"), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -167,7 +167,11 @@ object SparkEntry {
     // mergeSchema read over two batches with different schemas
     "q96_schema_evolution"   -> Queries.schemaEvolutionRead _,
     // fixed-weight logistic quality score + keep flag
-    "q97_quality_classifier" -> Queries.qualityClassifier _
+    "q97_quality_classifier" -> Queries.qualityClassifier _,
+    // count-min sketch probe-term estimates (rows-only; gated in spec)
+    "q98_cms_term_counts"    -> Queries.cmsTermCounts _,
+    // incremental batch-vs-corpus dedup on (source, lang)
+    "q99_incremental_dedup"  -> Queries.incrementalDedupBatch _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -998,6 +1002,17 @@ object SparkEntry {
         |     - 6.0 * punct AS z
         | FROM feats)
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality, z >= 0 AS keep
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    // q98 is a sketch (no DuckDB CMS) -> rows-only; overestimate-only and
+    // eps*N bounds gated in QueriesSpec.
+    "q99_incremental_dedup" ->
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id >= 250),
+        |unseen AS (
+        | SELECT b.* FROM batch b
+        | WHERE NOT EXISTS (SELECT 1 FROM documents c
+        |   WHERE c.doc_id < 250 AND c.source = b.source AND c.lang = b.lang)),
+        |winners AS (
+        | SELECT source, lang, min(doc_id) AS doc_id FROM unseen GROUP BY 1, 2)
+        |SELECT doc_id, source, lang FROM winners ORDER BY doc_id""".stripMargin
   )
 }

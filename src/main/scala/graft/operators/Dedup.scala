@@ -527,6 +527,28 @@ object Dedup extends org.apache.spark.internal.Logging {
         (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Incremental dedup: the daily-crawl shape — a NEW batch arrives and
+    * must be deduped (a) against the already-deduped corpus and (b) within
+    * itself, keyed on `keyCols` (content hash, URL, (source, lang), …),
+    * keeping the min-id row per previously-unseen key. The corpus is never
+    * rewritten — union the survivors onto it downstream.
+    *
+    * Scale: the corpus side reduces to a DISTINCT key set before the
+    * anti-join (combinable, map-side partials), so the join carries keys,
+    * not documents; the within-batch canonical pick is one min-aggregation
+    * plus an id semi-join. Both shuffles are on the dedup key. At 100 TB
+    * run it per ingest batch; the corpus key set can also be a Bloom probe
+    * first ([[suppressBloom]]) to make the common drop path scan-local.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       keyCols: Seq[String], idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val unseen = batch.join(corpus.select(keys: _*).distinct(), keyCols, "left_anti")
+    val winners = unseen.groupBy(keys: _*).agg(min(col(idCol)).as("__wid"))
+    unseen.join(winners.select(col("__wid")),
+      unseen(idCol) === col("__wid"), "left_semi")
+  }
+
   /** N-gram Jaccard similarity for given candidate id pairs (exact verify
     * step; candidates come from LSH, never all-pairs).
     */

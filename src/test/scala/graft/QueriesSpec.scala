@@ -39,4 +39,23 @@ class QueriesSpec extends SparkSpec {
     val relErr = math.abs(approx - exact) / exact
     assert(relErr <= 0.15, s"HLL rel error $relErr (approx=$approx exact=$exact)")
   }
+
+  test("q98 CMS estimates are overestimate-only and within eps*N of exact") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val est = Queries.cmsTermCounts(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val total = toks.count()
+    val exact = toks.filter(col("tok").isin(est.keys.toSeq: _*))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (term, e) =>
+      val ex = exact.getOrElse(term, 0L)
+      assert(e >= ex, s"CMS must never underestimate: $term est=$e exact=$ex")
+      assert(e <= ex + math.ceil(0.001 * total).toLong,
+        s"CMS $term est=$e exceeds exact=$ex + eps*N")
+    }
+  }
 }

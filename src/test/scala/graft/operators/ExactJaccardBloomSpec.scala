@@ -137,6 +137,22 @@ class ExactJaccardBloomSpec extends SparkSpec {
       "no-dup corpus must reconstruct verbatim")
   }
 
+  test("incrementalDedup suppresses seen keys and keeps min-id per new key") {
+    val corpus = Seq(
+      (1L, "seen.example", "en"),
+      (2L, "seen.example", "de")
+    ).toDF("doc_id", "source", "lang")
+    val batch = Seq(
+      (10L, "seen.example", "en"),  // key already in corpus → dropped
+      (11L, "fresh.example", "en"), // new key, min id → kept
+      (12L, "fresh.example", "en"), // same new key, larger id → dropped
+      (13L, "seen.example", "fr")   // same source but new (source, lang) → kept
+    ).toDF("doc_id", "source", "lang")
+    val out = Dedup.incrementalDedup(batch, corpus, Seq("source", "lang"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L), s"got $out")
+  }
+
   test("suppressBloom keeps the corpus side shuffle-free (scan-local filter)") {
     val reference = Seq((1L, "a ref")).toDF("rid", "rtext")
     val corpus = Seq((2L, "a doc")).toDF("doc_id", "text")
