@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
+  /** Per-application scratch path for queries that materialize a layout
+    * (bucketed tables, partitioned dirs, format roundtrips). Keyed by
+    * applicationId: a fixed path corrupts results the moment two engine
+    * processes run on one machine (observed: a concurrent bench and
+    * verify interleaving writes under the same dir). Within one
+    * application the path is stable, so repeated runs overwrite cleanly.
+    */
+  private def scratch(spark: SparkSession, tag: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-${spark.sparkContext.applicationId}").getAbsolutePath
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
@@ -1075,8 +1086,7 @@ object Queries {
     * plain join — bucketing must not change the answer.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val wh = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-bucketed").getAbsolutePath
+    val wh = scratch(spark, "bucketed")
     Seq("graft_orders_bkt", "graft_customer_bkt").foreach(tn =>
       spark.sql(s"DROP TABLE IF EXISTS $tn"))
     t(spark, dir, "orders")
@@ -1136,8 +1146,7 @@ object Queries {
     * self-contained at any SF.
     */
   def partitionPrunedDay(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-events-by-day").getAbsolutePath
+    val out = scratch(spark, "events-by-day")
     val ev = t(spark, dir, "events").withColumn("d", to_date(col("ts")))
     ev.write.mode("overwrite").partitionBy("d").parquet(out)
     val minDay = ev.agg(min(col("d"))).first().getDate(0)
@@ -1156,8 +1165,7 @@ object Queries {
     * policy choice, and an engine must read both.
     */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-docs-orc").getAbsolutePath
+    val out = scratch(spark, "docs-orc")
     t(spark, dir, "documents").write.mode("overwrite").orc(out)
     spark.read.orc(out)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
@@ -1172,8 +1180,7 @@ object Queries {
     * null-fill semantics are hash-checked, not assumed.
     */
   def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-evolving").getAbsolutePath
+    val base = scratch(spark, "evolving")
     val docs = t(spark, dir, "documents")
     docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$base/old")
@@ -1241,6 +1248,27 @@ object Queries {
         docs.filter(col("doc_id") < 250),
         Seq("source", "lang"), "doc_id")
       .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram-LM cross-entropy per document — the CCNet/KenLM "LM quality
+    * filter" shape with an honest in-engine model: p(tok) = corpus count /
+    * corpus total, doc score = avg(−ln p(tok)). Low = stereotypical text,
+    * high = rare-token text; both tails get filtered in a real pipeline.
+    * One groupBy builds the LM; the vocabulary rides a broadcast here (at
+    * 100 TB vocab it becomes a plain shuffle join on tok — same plan
+    * minus the hint); the per-doc avg absorbs the ≤1-ulp ln() divergence
+    * and round(4) pins the hash.
+    */
+  def unigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(lm), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(col("c").cast("double") / col("n"))), 4).as("xent"))
       .orderBy(col("doc_id"))
   }
 }

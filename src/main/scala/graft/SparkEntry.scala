@@ -171,7 +171,9 @@ object SparkEntry {
     // count-min sketch probe-term estimates (rows-only; gated in spec)
     "q98_cms_term_counts"    -> Queries.cmsTermCounts _,
     // incremental batch-vs-corpus dedup on (source, lang)
-    "q99_incremental_dedup"  -> Queries.incrementalDedupBatch _
+    "q99_incremental_dedup"  -> Queries.incrementalDedupBatch _,
+    // unigram-LM cross-entropy per doc (CCNet LM-filter analog)
+    "q100_unigram_xent"      -> Queries.unigramCrossEntropy _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1013,6 +1015,17 @@ object SparkEntry {
         |   WHERE c.doc_id < 250 AND c.source = b.source AND c.lang = b.lang)),
         |winners AS (
         | SELECT source, lang, min(doc_id) AS doc_id FROM unseen GROUP BY 1, 2)
-        |SELECT doc_id, source, lang FROM winners ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, source, lang FROM winners ORDER BY doc_id""".stripMargin,
+    // avg() absorbs the <=1-ulp ln() divergence; round(4) pins the hash.
+    "q100_unigram_xent" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS tok
+        | FROM documents),
+        |lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS xent
+        |FROM toks JOIN lm USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
