@@ -327,6 +327,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink partitioned by day: layout + content") {
+    // the streaming twin of q94's batch layout: events land under d=<day>/
+    // directories as they arrive, so downstream day queries partition-prune
+    // data that was written by a stream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = java.nio.file.Files.createTempDirectory("stream-by-day").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-by-day").toString
+    val q = in.toDF()
+      .withColumn("d", org.apache.spark.sql.functions.to_date($"ts"))
+      .writeStream.format("parquet")
+      .partitionBy("d")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-02 09:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-02 23:00:00")) // second batch, existing day
+      q.processAllAvailable()
+      val days = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_ == "_spark_metadata").toSet
+      assert(days == Set("d=2024-01-01", "d=2024-01-02"), s"got $days")
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      assert(back.filter($"d" === "2024-01-02").count() == 2,
+        "appends to an existing day must accumulate, not overwrite")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val batch = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
