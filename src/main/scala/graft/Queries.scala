@@ -1271,4 +1271,37 @@ object Queries {
       .agg(round(avg(-log(col("c").cast("double") / col("n"))), 4).as("xent"))
       .orderBy(col("doc_id"))
   }
+
+  /** Unpivot/melt: the wide q32 feature row → long (doc_id, feature,
+    * value) triples via `Dataset.unpivot` — the shape feature stores and
+    * plotting/training exports want. Scan-local (a generator, no
+    * shuffle); values unify to double.
+    */
+  def unpivotFeatures(spark: SparkSession, dir: String): DataFrame = {
+    NativeTextExpressions.register(spark)
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("token_count_native(text)").cast("double").as("n_tokens"),
+        expr("stopword_count_native(text)").cast("double").as("n_stopwords"),
+        round(expr("punct_ratio_native(text)"), 4).as("punct_ratio"))
+      .unpivot(Array(col("doc_id")), "feature", "value")
+      .orderBy(col("doc_id"), col("feature"))
+  }
+
+  /** The remaining rank family over one window: ntile(4), percent_rank,
+    * cume_dist on customers by account balance within market segment
+    * (c_custkey tiebreak makes every rank deterministic). One shuffle on
+    * the partition key; all four functions share a single sort.
+    */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -173,7 +173,11 @@ object SparkEntry {
     // incremental batch-vs-corpus dedup on (source, lang)
     "q99_incremental_dedup"  -> Queries.incrementalDedupBatch _,
     // unigram-LM cross-entropy per doc (CCNet LM-filter analog)
-    "q100_unigram_xent"      -> Queries.unigramCrossEntropy _
+    "q100_unigram_xent"      -> Queries.unigramCrossEntropy _,
+    // unpivot/melt wide features to long triples
+    "q101_unpivot_features"  -> Queries.unpivotFeatures _,
+    // ntile / percent_rank / cume_dist over one window
+    "q102_window_ranks"      -> Queries.windowRanks _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1026,6 +1030,30 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM toks)
         |SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / n)), 4) AS xent
         |FROM toks JOIN lm USING (tok) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q101_unpivot_features" ->
+      """WITH feats AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS DOUBLE) AS n_tokens,
+        |  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0),
+        |    x -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on'], x)))
+        |    AS DOUBLE) AS n_stopwords,
+        |  round(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+        |    END, 4) AS punct_ratio
+        | FROM documents)
+        |SELECT doc_id, feature, value
+        |FROM feats UNPIVOT (value FOR feature IN (n_tokens, n_stopwords, punct_ratio))
+        |ORDER BY doc_id, feature""".stripMargin,
+    "q102_window_ranks" ->
+      """SELECT c_custkey, c_mktsegment,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cume
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

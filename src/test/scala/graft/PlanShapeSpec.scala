@@ -86,6 +86,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanColumns(report) == Set("doc_id", "text"))
   }
 
+  test("bm25 and unigram-LM ride broadcasts for stats, never shuffle them") {
+    // df/(N,avgdl) in q90 and the LM/total in q100 are the small sides —
+    // they must broadcast so only the corpus-side aggregations shuffle
+    val bm25 = Queries.bm25TopDocs(spark, sf0001)
+    bm25.collect()
+    val p90 = bm25.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p90).length >= 2, s"expected broadcast stats joins:\n$p90")
+    val xent = Queries.unigramCrossEntropy(spark, sf0001)
+    xent.collect()
+    val p100 = xent.queryExecution.executedPlan.toString
+    assert(p100.contains("Broadcast"), s"LM join must broadcast:\n$p100")
+  }
+
+  test("unpivot is scan-local: no exchange below the generator") {
+    // the query's trailing orderBy shuffles by design; the melt itself
+    // (same projection, no sort) must be a single pass
+    val melted = docs
+      .select(col("doc_id"),
+        col("n_chars").cast("double").as("n_chars"),
+        length(col("text")).cast("double").as("len"))
+      .unpivot(Array(col("doc_id")), "feature", "value")
+    assert(exchangeCount(melted) == 0, "unpivot must not shuffle")
+  }
+
   test("one-day query over the partitioned layout prunes to one partition") {
     // AQE off: its wrapper nodes hide the scan from plan.collect, and
     // partition pruning is decided at planning time anyway
