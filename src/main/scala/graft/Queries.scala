@@ -1293,6 +1293,20 @@ object Queries {
     * (c_custkey tiebreak makes every rank deterministic). One shuffle on
     * the partition key; all four functions share a single sort.
     */
+  /** Cross-table fuzzy join ([[Dedup.textFuzzyJoin]]): match the "new"
+    * half of the corpus against the "known" half on exact trigram Jaccard
+    * — record linkage with scored pairs, recall 1.0 at the threshold.
+    */
+  def fuzzyJoinHalves(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.textFuzzyJoin(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("id_l"), col("id_r"))
+  }
+
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

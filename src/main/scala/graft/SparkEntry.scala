@@ -177,7 +177,9 @@ object SparkEntry {
     // unpivot/melt wide features to long triples
     "q101_unpivot_features"  -> Queries.unpivotFeatures _,
     // ntile / percent_rank / cume_dist over one window
-    "q102_window_ranks"      -> Queries.windowRanks _
+    "q102_window_ranks"      -> Queries.windowRanks _,
+    // cross-table fuzzy join (record linkage on trigram Jaccard)
+    "q103_fuzzy_join"        -> Queries.fuzzyJoinHalves _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1054,6 +1056,29 @@ object SparkEntry {
         | round(cume_dist() OVER w, 4) AS cume
         |FROM customer WHERE c_custkey <= 300
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q103_fuzzy_join" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 3, 0) + 2),
+        |   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS c
+        | FROM grams a JOIN grams b ON a.g = b.g
+        |   AND a.doc_id < 250 AND b.doc_id >= 250
+        | GROUP BY 1, 2)
+        |SELECT id_l, id_r,
+        | round(CAST(c AS DOUBLE) / (sl.sz + sr.sz - c), 4) AS jaccard
+        |FROM common
+        |JOIN sizes sl ON sl.doc_id = id_l
+        |JOIN sizes sr ON sr.doc_id = id_r
+        |WHERE CAST(c AS DOUBLE) / (sl.sz + sr.sz - c) >= 0.5
+        |ORDER BY id_l, id_r""".stripMargin
   )
 }

@@ -527,6 +527,35 @@ object Dedup extends org.apache.spark.internal.Logging {
         (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Fuzzy JOIN between two different tables on text similarity — the
+    * record-linkage / entity-resolution shape ("which incoming docs match
+    * something we already have, and how well"), returning scored pairs
+    * rather than suppressing rows. Same exact inverted-index plan as
+    * [[ngramJaccardAllPairs]] but two-sided: each table is scanned once
+    * and shuffled once on the gram hash; candidates are only gram-sharing
+    * cross pairs (never a cross join), and the Jaccard on distinct-gram
+    * counts is exact — recall 1.0 at the threshold. At 100 TB the same
+    * skew note applies: boilerplate grams fan out as df_L(g)·df_R(g),
+    * handled by AQE skew splitting.
+    */
+  def textFuzzyJoin(left: DataFrame, right: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    NativeTextExpressions.register(left.sparkSession)
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
+      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh"))
+    grams(left).as("a")
+      .join(grams(right).as("b"), col("a.gh") === col("b.gh"))
+      .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.sz")).as("__szl"), first(col("b.sz")).as("__szr"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("__szl") + col("__szr") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
   /** Incremental dedup: the daily-crawl shape — a NEW batch arrives and
     * must be deduped (a) against the already-deduped corpus and (b) within
     * itself, keyed on `keyCols` (content hash, URL, (source, lang), …),

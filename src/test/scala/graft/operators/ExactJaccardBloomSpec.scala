@@ -137,6 +137,28 @@ class ExactJaccardBloomSpec extends SparkSpec {
       "no-dup corpus must reconstruct verbatim")
   }
 
+  test("textFuzzyJoin matches brute-force cross-table pairs exactly") {
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, "alpha beta gamma delta epsilon eta"),
+      (11L, "eight nine ten eleven twelve thirteen"),
+      (12L, "one two three four five six extra")).toDF("doc_id", "text")
+    val threshold = 0.3
+    val got = Dedup.textFuzzyJoin(left, right, "doc_id", "text", n = 3, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lrows = left.collect().map(r => (r.getLong(0), r.getString(1)))
+    val rrows = right.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (la, ta) <- lrows; (rb, tb) <- rrows
+      j = bruteJaccard(ta, tb, 3) if j >= threshold
+    } yield (la, rb) -> j).toMap
+    assert(got.keySet == brute.keySet, s"got ${got.keySet}, brute ${brute.keySet}")
+    brute.foreach { case (pair, j) =>
+      assert(math.abs(got(pair) - j) < 1e-12, s"$pair: got ${got(pair)}, brute $j") }
+  }
+
   test("incrementalDedup suppresses seen keys and keeps min-id per new key") {
     val corpus = Seq(
       (1L, "seen.example", "en"),
