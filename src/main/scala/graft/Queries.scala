@@ -1307,6 +1307,22 @@ object Queries {
       .orderBy(col("id_l"), col("id_r"))
   }
 
+  /** Small-file compaction ([[graft.etl.Compaction]]): fragment the
+    * corpus into 32 tiny files, compact to the byte-derived target (1
+    * here), and report the contract — files before/after and the row
+    * count surviving the rewrite. The oracle pins exactly that contract;
+    * content identity and swap atomicity are gated in CompactionSpec.
+    */
+  def compactionRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val work = scratch(spark, "compact-docs")
+    t(spark, dir, "documents").repartition(32)
+      .write.mode("overwrite").parquet(work)
+    val r = graft.etl.Compaction.compactParquet(spark, work, targetBytes = Long.MaxValue)
+    Seq((r.filesBefore, r.filesAfter, r.rows))
+      .toDF("files_before", "files_after", "n_rows")
+  }
+
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

@@ -179,7 +179,9 @@ object SparkEntry {
     // ntile / percent_rank / cume_dist over one window
     "q102_window_ranks"      -> Queries.windowRanks _,
     // cross-table fuzzy join (record linkage on trigram Jaccard)
-    "q103_fuzzy_join"        -> Queries.fuzzyJoinHalves _
+    "q103_fuzzy_join"        -> Queries.fuzzyJoinHalves _,
+    // small-file compaction: 32 fragments -> 1 file, all rows survive
+    "q104_compaction"        -> Queries.compactionRun _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1079,6 +1081,11 @@ object SparkEntry {
         |JOIN sizes sl ON sl.doc_id = id_l
         |JOIN sizes sr ON sr.doc_id = id_r
         |WHERE CAST(c AS DOUBLE) / (sl.sz + sr.sz - c) >= 0.5
-        |ORDER BY id_l, id_r""".stripMargin
+        |ORDER BY id_l, id_r""".stripMargin,
+    // The compaction CONTRACT: 32 input fragments, 1 output file, and not
+    // one row lost in the rewrite (row count from the rewritten data).
+    "q104_compaction" ->
+      """SELECT CAST(32 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+        | (SELECT count(*) FROM documents) AS n_rows""".stripMargin
   )
 }
