@@ -1323,6 +1323,20 @@ object Queries {
       .toDF("files_before", "files_after", "n_rows")
   }
 
+  /** Predicate delete ([[graft.etl.Compaction.deleteWhere]]): stage the
+    * corpus, delete every non-English doc, report (deleted, remaining)
+    * from the REWRITTEN data. The oracle recomputes both counts from the
+    * source table, so a delete that dropped too much or too little — or a
+    * swap that lost rows — breaks the hash.
+    */
+  def deleteWhereRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val work = scratch(spark, "delete-docs")
+    t(spark, dir, "documents").write.mode("overwrite").parquet(work)
+    val r = graft.etl.Compaction.deleteWhere(spark, work, "lang <> 'en'")
+    Seq((r.rowsDeleted, r.rowsRemaining)).toDF("rows_deleted", "rows_remaining")
+  }
+
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

@@ -181,7 +181,9 @@ object SparkEntry {
     // cross-table fuzzy join (record linkage on trigram Jaccard)
     "q103_fuzzy_join"        -> Queries.fuzzyJoinHalves _,
     // small-file compaction: 32 fragments -> 1 file, all rows survive
-    "q104_compaction"        -> Queries.compactionRun _
+    "q104_compaction"        -> Queries.compactionRun _,
+    // predicate delete with atomic rewrite (GDPR shape)
+    "q105_delete_where"      -> Queries.deleteWhereRun _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1086,6 +1088,13 @@ object SparkEntry {
     // one row lost in the rewrite (row count from the rewritten data).
     "q104_compaction" ->
       """SELECT CAST(32 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
-        | (SELECT count(*) FROM documents) AS n_rows""".stripMargin
+        | (SELECT count(*) FROM documents) AS n_rows""".stripMargin,
+    // Both counts recomputed from the source: a delete that dropped too
+    // much/little or a swap that lost rows breaks the hash.
+    "q105_delete_where" ->
+      """SELECT
+        | (SELECT count(*) FROM documents WHERE lang <> 'en') AS rows_deleted,
+        | (SELECT count(*) FROM documents WHERE NOT coalesce(lang <> 'en', false))
+        |   AS rows_remaining""".stripMargin
   )
 }

@@ -72,4 +72,37 @@ object Compaction extends org.apache.spark.internal.Logging {
     import spark.implicits._
     Seq(compactParquet(spark, dir, targetBytes)).toDS().toDF()
   }
+
+  /** Report of one delete run. */
+  case class DeleteReport(path: String, rowsDeleted: Long, rowsRemaining: Long)
+
+  /** Predicate DELETE over a parquet directory — the GDPR / right-to-be-
+    * forgotten shape on an immutable lake: rewrite the directory without
+    * the matching rows and atomically swap it in (same staging + rename +
+    * rollback discipline as [[compactParquet]]). Counts come from the
+    * REWRITTEN data, so the report cannot claim a delete that did not
+    * land. At 100 TB, pair with partition pruning: rewrite only the
+    * partitions the predicate can touch, not the whole table — here the
+    * directory is the unit for the same reason.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String): DeleteReport = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = spark.read.parquet(dir).count()
+    val tmp = new Path(p.getParent, p.getName + ".delete")
+    // delete ONLY rows where the predicate is TRUE: a NULL predicate must
+    // keep the row (bare NOT(pred) would silently delete null-valued rows)
+    spark.read.parquet(dir).filter(s"NOT coalesce(($predicate), false)")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val remaining = spark.read.parquet(tmp.toString).count()
+    val old = new Path(p.getParent, p.getName + ".predelete")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"delete: cannot stage $p")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p)
+      throw new java.io.IOException(s"delete: cannot swap $tmp into place")
+    }
+    fs.delete(old, true)
+    DeleteReport(dir, total - remaining, remaining)
+  }
 }

@@ -35,6 +35,20 @@ class CompactionSpec extends SparkSpec {
       s"staging dirs must not survive the swap: ${parent.mkString(",")}")
   }
 
+  test("deleteWhere removes exactly the matching rows; null predicate keeps the row") {
+    val dir = freshDir("delete")
+    Seq((1L, Some("en")), (2L, Some("de")), (3L, None), (4L, Some("en")))
+      .toDF("id", "lang").write.parquet(dir)
+    val r = Compaction.deleteWhere(spark, dir, "lang <> 'en'")
+    assert(r.rowsDeleted == 1 && r.rowsRemaining == 3,
+      s"only the 'de' row matches (null must be kept): $r")
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L))
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.endsWith(".delete") || n.endsWith(".predelete")),
+      s"staging dirs must not survive: ${parent.mkString(",")}")
+  }
+
   test("an already-compact directory is a no-op") {
     val dir = freshDir("compact-noop")
     (0 until 100).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
