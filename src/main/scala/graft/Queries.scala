@@ -1337,6 +1337,21 @@ object Queries {
     Seq((r.rowsDeleted, r.rowsRemaining)).toDF("rows_deleted", "rows_remaining")
   }
 
+  /** Quantile SKETCH percentiles (`percentile_approx`, GK): the third
+    * sketch family next to HLL (q06) and CMS (q98) — at 100 TB exact
+    * percentiles mean a full sort per group; the sketch is one mergeable
+    * pass with rank error ≤ n/accuracy. Deterministic (GK is not
+    * randomized), rows-only (no DuckDB twin); the rank-error guarantee is
+    * gated in QueriesSpec against the exact data.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 4).as("p50"),
+        round(expr("percentile_approx(l_extendedprice, 0.95, 1000)"), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

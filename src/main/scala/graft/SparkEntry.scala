@@ -183,7 +183,9 @@ object SparkEntry {
     // small-file compaction: 32 fragments -> 1 file, all rows survive
     "q104_compaction"        -> Queries.compactionRun _,
     // predicate delete with atomic rewrite (GDPR shape)
-    "q105_delete_where"      -> Queries.deleteWhereRun _
+    "q105_delete_where"      -> Queries.deleteWhereRun _,
+    // GK quantile-sketch percentiles (rows-only; rank-error gate in spec)
+    "q106_approx_percentiles" -> Queries.approxPercentiles _
   )
 
   def oracleSql: Map[String, String] = Map(

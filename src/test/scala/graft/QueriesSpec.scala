@@ -40,6 +40,27 @@ class QueriesSpec extends SparkSpec {
     assert(relErr <= 0.15, s"HLL rel error $relErr (approx=$approx exact=$exact)")
   }
 
+  test("q106 approx percentiles honor the GK rank-error bound per group") {
+    import org.apache.spark.sql.functions._
+    val approx = Queries.approxPercentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    approx.foreach { case (flag, (p50, p95)) =>
+      val vals = li.filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      val err = n / 1000 + 1 // accuracy=1000 ⇒ rank error ≤ n/1000
+      Seq((0.5, p50), (0.95, p95)).foreach { case (p, v) =>
+        val target = math.ceil(p * n).toInt
+        val below = vals.count(_ < v)
+        val atOrBelow = vals.count(_ <= v)
+        assert(below <= target + err && atOrBelow >= target - err,
+          s"$flag p$p=$v has rank [$below,$atOrBelow], target $target ± $err (n=$n)")
+      }
+    }
+  }
+
   test("q98 CMS estimates are overestimate-only and within eps*N of exact") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
