@@ -926,8 +926,12 @@ object Queries {
     val docs = t(spark, dir, "documents")
     val reference = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    // size the filter from the ACTUAL reference count (one cheap count
+    // job), not a constant: a fixed capacity saturates past its SF and
+    // the =exact oracle contract silently breaks at scale
+    val refDocs = math.max(1000L, reference.count())
     Dedup.suppressBloom(corpus, reference, "text", "text",
-        expectedRefDocs = 100000L, fpp = 1e-9)
+        expectedRefDocs = refDocs, fpp = 1e-9)
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
@@ -941,12 +945,10 @@ object Queries {
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
-    val base = spark.conf.getOption("spark.graft.stagingDir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val out = s"$base/graft-jsonl-${java.util.UUID.randomUUID()}"
-    val p = new org.apache.hadoop.fs.Path(out)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
-    graft.etl.Ingest.roundtripJsonLines(docs, out)
+    // per-application scratch (mode=overwrite inside the roundtrip): a
+    // fresh UUID dir per invocation leaks a corpus copy per run —
+    // deleteOnExit only fires on clean FileSystem close
+    graft.etl.Ingest.roundtripJsonLines(docs, scratch(spark, "jsonl"))
       .orderBy(col("doc_id"))
   }
 
@@ -1201,10 +1203,16 @@ object Queries {
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     NativeTextExpressions.register(spark)
+    // stopword ratio defined as 0 for an empty document: an unguarded
+    // 0/0 is NULL in Spark but NaN in DuckDB (and NaN >= 0 is true in
+    // DuckDB's ordering), so the guard is a correctness requirement for
+    // the oracle parity, not just taste
+    val stopRatio = when(expr("token_count_native(text)") === 0, lit(0.0))
+      .otherwise(expr("stopword_count_native(text)").cast("double") /
+        expr("token_count_native(text)"))
     val z = lit(-1.0) +
       lit(0.02) * expr("token_count_native(text)") +
-      lit(4.0) * (expr("stopword_count_native(text)").cast("double") /
-        expr("token_count_native(text)")) -
+      lit(4.0) * stopRatio -
       lit(6.0) * round(expr("punct_ratio_native(text)"), 4)
     t(spark, dir, "documents")
       .select(col("doc_id"), z.as("z"))
@@ -1288,11 +1296,6 @@ object Queries {
       .orderBy(col("doc_id"), col("feature"))
   }
 
-  /** The remaining rank family over one window: ntile(4), percent_rank,
-    * cume_dist on customers by account balance within market segment
-    * (c_custkey tiebreak makes every rank deterministic). One shuffle on
-    * the partition key; all four functions share a single sort.
-    */
   /** Cross-table fuzzy join ([[Dedup.textFuzzyJoin]]): match the "new"
     * half of the corpus against the "known" half on exact trigram Jaccard
     * — record linkage with scored pairs, recall 1.0 at the threshold.
@@ -1352,6 +1355,11 @@ object Queries {
         round(expr("percentile_approx(l_extendedprice, 0.95, 1000)"), 4).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** The remaining rank family over one window: ntile(4), percent_rank,
+    * cume_dist on customers by account balance within market segment
+    * (c_custkey tiebreak makes every rank deterministic). One shuffle on
+    * the partition key; all four functions share a single sort.
+    */
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

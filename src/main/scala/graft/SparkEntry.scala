@@ -830,8 +830,11 @@ object SparkEntry {
         |  ('fr', 0.15), ('zh', 0.15)),
         |c AS (SELECT lang, count(*) AS c FROM documents
         |  WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
-        |t AS (SELECT min(CAST(c AS DOUBLE) / CAST(wt AS DOUBLE)) AS t
-        |  FROM c JOIN w USING (lang)),
+        |-- LEFT join + coalesce(0): a weighted stratum ABSENT from the
+        |-- corpus makes T = 0 (empty result), matching the Spark operator's
+        |-- counts.getOrElse(s, 0L) contract
+        |t AS (SELECT min(CAST(coalesce(c, 0) AS DOUBLE) / CAST(wt AS DOUBLE)) AS t
+        |  FROM w LEFT JOIN c USING (lang)),
         |caps AS (SELECT lang,
         |  CAST(floor(CAST(wt AS DOUBLE) * (SELECT t FROM t)) AS BIGINT) AS cap FROM w),
         |mixed AS (
@@ -1012,7 +1015,9 @@ object SparkEntry {
         | FROM documents),
         |scored AS (
         | SELECT doc_id,
-        |   -1.0 + 0.02 * n_tokens + 4.0 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
+        |   -1.0 + 0.02 * n_tokens
+        |     + 4.0 * (CASE WHEN n_tokens = 0 THEN 0.0
+        |              ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END)
         |     - 6.0 * punct AS z
         | FROM feats)
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality, z >= 0 AS keep

@@ -43,7 +43,10 @@ object Compaction extends org.apache.spark.internal.Logging {
     require(targetBytes > 0, "targetBytes must be positive")
     val before = dataFiles(spark, dir)
     val totalBytes = before.map(_._2).sum
-    val want = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    // overflow-safe ceil division: totalBytes + targetBytes - 1 wraps for
+    // large targets (q104 passes Long.MaxValue)
+    val want = math.max(1L, totalBytes / targetBytes +
+      (if (totalBytes % targetBytes == 0) 0 else 1)).toInt
     val df = spark.read.parquet(dir)
     if (before.size <= want) {
       logInfo(s"compact: $dir already at ${before.size} files (target $want); no-op")

@@ -136,6 +136,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     val spark = df.sparkSession
     val filter = reference.select(xxhash64(col(refTextCol)).as("__k"))
       .stat.bloomFilter("__k", expectedRefDocs, fpp)
+    // the broadcast's lifetime is tied to the returned plan: once the
+    // caller drops the DataFrame, ContextCleaner reclaims the broadcast
+    // (weak-ref GC) — repeated invocations do not accumulate state beyond
+    // the live results that reference them
     val bc = spark.sparkContext.broadcast(filter)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
     df.filter(!mightContain(xxhash64(col(textCol))))

@@ -31,10 +31,17 @@ object Scrub {
         Ipv4Pattern, "<IP>"),
       DigitRunPattern, "<NUM>")
 
-  /** Scrub `textCol` in place, adding a `pii_hits` count (matches removed)
-    * so downstream quality filters can drop documents that were mostly
-    * identifiers. The count is computed on the SAME pass shape — two
-    * scan-local expressions per row, no shuffle.
+  /** Scrub `textCol` in place, adding a `pii_hits` count so downstream
+    * quality filters can drop documents that were mostly identifiers. The
+    * count is computed on the SAME pass shape — two scan-local
+    * expressions per row, no shuffle.
+    *
+    * Counting semantics: each pattern is counted INDEPENDENTLY on the
+    * original text, so a token matched by two patterns (an IPv4 inside an
+    * email local-part) counts twice even though sequential replacement
+    * redacts it once — `pii_hits` is "pattern matches found", an upper
+    * bound on redactions, not an exact redaction count. The q87 oracle
+    * replicates the same counting.
     */
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     val hits =
