@@ -196,6 +196,25 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a staleness TOLERANCE (pandas merge_asof
+    * `tolerance`): the most recent signup within 24h, else null — a quote
+    * older than the tolerance must not annotate the trade. Same
+    * one-shuffle union+window plan as q14; the bound is a post-window
+    * filter on the carried match time.
+    */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    AsOfJoin.backward(errors, signups, Seq("user_id"), "ts", "ts", Seq("ts"),
+        toleranceSeconds = Some(86400.0))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts_asof"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- windows (§2b) ----
 
   def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {

@@ -185,7 +185,9 @@ object SparkEntry {
     // predicate delete with atomic rewrite (GDPR shape)
     "q105_delete_where"      -> Queries.deleteWhereRun _,
     // GK quantile-sketch percentiles (rows-only; rank-error gate in spec)
-    "q106_approx_percentiles" -> Queries.approxPercentiles _
+    "q106_approx_percentiles" -> Queries.approxPercentiles _,
+    // as-of join with staleness tolerance (merge_asof tolerance)
+    "q107_asof_tolerance"    -> Queries.asofTolerance _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1096,6 +1098,14 @@ object SparkEntry {
     "q104_compaction" ->
       """SELECT CAST(32 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
         | (SELECT count(*) FROM documents) AS n_rows""".stripMargin,
+    "q107_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        | strftime((SELECT max(s.ts) FROM events s
+        |           WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |             AND s.ts < e.ts
+        |             AND s.ts >= e.ts - INTERVAL '86400' SECOND),
+        |   '%Y-%m-%d %H:%M:%S') AS asof_ts
+        |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
     // Both counts recomputed from the source: a delete that dropped too
     // much/little or a swap that lost rows breaks the hash.
     "q105_delete_where" ->

@@ -25,10 +25,15 @@ object AsOfJoin {
     * @param valueCols columns from `right` to carry (suffixed `_asof`)
     * @param strict    if true (default) right rows at exactly leftTime are
     *                  excluded (`<`); else included (`<=`)
+    * @param toleranceSeconds optional max staleness: a match further than
+    *                  this many seconds before leftTime yields null (the
+    *                  pandas merge_asof `tolerance` semantics); evaluated
+    *                  post-window, so the plan shape is unchanged
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, valueCols: Seq[String],
-               strict: Boolean = true): DataFrame = {
+               strict: Boolean = true,
+               toleranceSeconds: Option[Double] = None): DataFrame = {
     val keyCols = keys.map(col)
     // side ordering at equal timestamps decides strict vs inclusive:
     // strict  → left sorts before right (right at same t not yet visible)
@@ -39,10 +44,11 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(leftSide))
       .withColumn("__r", lit(null).cast(
-        right.select(struct(valueCols.map(col): _*)).schema.head.dataType))
+        right.select(struct((valueCols.map(col) :+ col(rightTime).as("__rt")): _*))
+          .schema.head.dataType))
     val rTagged = right
       .select((keyCols :+ col(rightTime).as("__t")) :+
-        struct(valueCols.map(col): _*).as("__r"): _*)
+        struct((valueCols.map(col) :+ col(rightTime).as("__rt")): _*).as("__r"): _*)
       .withColumn("__side", lit(rightSide))
 
     val unioned = lTagged.select(
@@ -61,7 +67,11 @@ object AsOfJoin {
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSide && col("__t").isNotNull)
 
-    val carried = valueCols.map(c => col("__asof").getField(c).as(s"${c}_asof"))
+    val within = toleranceSeconds.map(tol =>
+      (col("__t").cast("double") -
+        col("__asof").getField("__rt").cast("double")) <= tol).getOrElse(lit(true))
+    val carried = valueCols.map(c =>
+      when(within, col("__asof").getField(c)).as(s"${c}_asof"))
     annotated.select(left.columns.toSeq.map(col) ++ carried: _*)
   }
 
@@ -73,7 +83,8 @@ object AsOfJoin {
     */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTime: String, rightTime: String, valueCols: Seq[String],
-              strict: Boolean = true): DataFrame = {
+              strict: Boolean = true,
+              toleranceSeconds: Option[Double] = None): DataFrame = {
     val keyCols = keys.map(col)
     // descending time: at equal timestamps a strict forward join must not
     // see right rows, so they sort after left rows in the descending order.
@@ -83,10 +94,11 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(leftSide))
       .withColumn("__r", lit(null).cast(
-        right.select(struct(valueCols.map(col): _*)).schema.head.dataType))
+        right.select(struct((valueCols.map(col) :+ col(rightTime).as("__rt")): _*))
+          .schema.head.dataType))
     val rTagged = right
       .select((keyCols :+ col(rightTime).as("__t")) :+
-        struct(valueCols.map(col): _*).as("__r"): _*)
+        struct((valueCols.map(col) :+ col(rightTime).as("__rt")): _*).as("__r"): _*)
       .withColumn("__side", lit(rightSide))
 
     val unioned = lTagged.select(
@@ -105,7 +117,11 @@ object AsOfJoin {
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSide && col("__t").isNotNull)
 
-    val carried = valueCols.map(c => col("__asof").getField(c).as(s"${c}_asof"))
+    val within = toleranceSeconds.map(tol =>
+      (col("__asof").getField("__rt").cast("double") -
+        col("__t").cast("double")) <= tol).getOrElse(lit(true))
+    val carried = valueCols.map(c =>
+      when(within, col("__asof").getField(c)).as(s"${c}_asof"))
     annotated.select(left.columns.toSeq.map(col) ++ carried: _*)
   }
 }

@@ -546,4 +546,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getString(3) == "b")   // not "equal-ts": strict <
     assert(out(2).isNullAt(3))           // nothing prior for key 20
   }
+
+  test("asof tolerance nulls matches staler than the bound (both directions)") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // match 30 min prior: inside 1h
+      (2L, 10L, ts("2024-01-01 13:00:00")))  // match 2h prior: outside 1h
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), "a"),
+      (10L, ts("2024-01-01 11:00:00"), "b"))
+      .toDF("k", "t", "v")
+    val bwd = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceSeconds = Some(3600.0)).orderBy("id").collect()
+    assert(bwd(0).getString(3) == "a")
+    assert(bwd(1).isNullAt(3), "the 11:00 match is 2h stale, beyond tolerance")
+    // forward: id=1's next right row is 11:00 (+1h, inside); with a 30 min
+    // bound it must null out
+    val fwdTight = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceSeconds = Some(1800.0)).orderBy("id").collect()
+    assert(fwdTight(0).isNullAt(3), "+1h exceeds the 30 min forward bound")
+    val fwdLoose = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceSeconds = Some(3600.0)).orderBy("id").collect()
+    assert(fwdLoose(0).getString(3) == "b", "+1h is exactly at the bound (<=)")
+  }
 }
