@@ -196,6 +196,50 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Multiset set-ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
+    * multiplicity (the DISTINCT forms q19/q20 collapse) — Spark plans
+    * both as aggregate+generate over counts, one shuffle each. Customer
+    * nation keys vs supplier nation keys: a nation with 30 customers and
+    * 4 suppliers keeps 26 rows in EXCEPT ALL and 4 in INTERSECT ALL.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+    c.exceptAll(s).groupBy(col("nationkey")).agg(count(lit(1)).as("except_all_n"))
+      .join(
+        c.intersectAll(s).groupBy(col("nationkey")).agg(count(lit(1)).as("intersect_all_n")),
+        Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("except_all_n"), lit(0L)).as("except_all_n"),
+        coalesce(col("intersect_all_n"), lit(0L)).as("intersect_all_n"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Last-write-wins keyed upsert: apply a batch of changes to a
+    * dimension — matched keys take the batch row, unmatched batch keys
+    * insert, everything else carries over (the MERGE INTO shape without
+    * history; [[graft.etl.Scd]] is the history-keeping variant). One
+    * full-outer join on the key.
+    */
+  def upsertLastWriteWins(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    // the "change batch": every 10th customer gets a zeroed balance, plus
+    // two brand-new keys above the current max
+    val maxKey = dim.agg(max(col("c_custkey"))).first().getLong(0)
+    val changes = dim.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), lit(0.0).as("c_acctbal"))
+      .unionByName(spark.range(1, 3).select(
+        (col("id") + maxKey).as("c_custkey"),
+        concat(lit("Customer#new"), col("id")).as("c_name"),
+        lit(100.0).as("c_acctbal")))
+    dim.as("d").join(changes.as("u"), Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        coalesce(col("u.c_name"), col("d.c_name")).as("c_name"),
+        round(coalesce(col("u.c_acctbal"), col("d.c_acctbal")), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** As-of join with a staleness TOLERANCE (pandas merge_asof
     * `tolerance`): the most recent signup within 24h, else null — a quote
     * older than the tolerance must not annotate the trade. Same

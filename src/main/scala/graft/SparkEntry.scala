@@ -187,7 +187,11 @@ object SparkEntry {
     // GK quantile-sketch percentiles (rows-only; rank-error gate in spec)
     "q106_approx_percentiles" -> Queries.approxPercentiles _,
     // as-of join with staleness tolerance (merge_asof tolerance)
-    "q107_asof_tolerance"    -> Queries.asofTolerance _
+    "q107_asof_tolerance"    -> Queries.asofTolerance _,
+    // EXCEPT ALL / INTERSECT ALL multiplicity-preserving set ops
+    "q108_set_ops_all"       -> Queries.setOpsAll _,
+    // last-write-wins keyed upsert (MERGE INTO shape, no history)
+    "q109_upsert_lww"        -> Queries.upsertLastWriteWins _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1098,6 +1102,39 @@ object SparkEntry {
     "q104_compaction" ->
       """SELECT CAST(32 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
         | (SELECT count(*) FROM documents) AS n_rows""".stripMargin,
+    "q108_set_ops_all" ->
+      """WITH e AS (
+        | SELECT nationkey, count(*) AS except_all_n FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT CAST(s_nationkey AS INTEGER) FROM supplier)
+        | GROUP BY 1),
+        |i AS (
+        | SELECT nationkey, count(*) AS intersect_all_n FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT CAST(s_nationkey AS INTEGER) FROM supplier)
+        | GROUP BY 1)
+        |SELECT coalesce(e.nationkey, i.nationkey) AS nationkey,
+        | coalesce(except_all_n, 0) AS except_all_n,
+        | coalesce(intersect_all_n, 0) AS intersect_all_n
+        |FROM e FULL OUTER JOIN i ON e.nationkey = i.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q109_upsert_lww" ->
+      """WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |changes AS (
+        | SELECT c_custkey, c_name, 0.0 AS c_acctbal
+        | FROM customer WHERE c_custkey % 10 = 0
+        | UNION ALL
+        | SELECT m + 1, 'Customer#new1', 100.0 FROM mx
+        | UNION ALL
+        | SELECT m + 2, 'Customer#new2', 100.0 FROM mx),
+        |dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT coalesce(u.c_custkey, d.c_custkey) AS c_custkey,
+        | coalesce(u.c_name, d.c_name) AS c_name,
+        | round(coalesce(u.c_acctbal, d.c_acctbal), 2) AS c_acctbal
+        |FROM dim d FULL OUTER JOIN changes u ON d.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q107_asof_tolerance" ->
       """SELECT e.event_id, e.user_id,
         | strftime((SELECT max(s.ts) FROM events s
