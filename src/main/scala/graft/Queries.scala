@@ -1434,4 +1434,190 @@ object Queries {
         round(cume_dist().over(w), 4).as("cume"))
       .orderBy(col("c_custkey"))
   }
+
+  // ---- time-series regularization / DQ / training-order (round-7 batch 2) ----
+
+  /** Per-user daily resample with forward fill — the gap-filling step every
+    * time-series feature pipeline runs before windowed training. Daily
+    * totals per user, a per-user calendar spine (`sequence` between that
+    * user's min and max day, exploded) left-joined back, gaps filled with
+    * `last(..., ignoreNulls)` over a per-user ordered window.
+    *
+    * Scale: one shuffle on user_id serves the daily agg, the spine agg, the
+    * join, and the fill window. The fill is a per-user running window —
+    * linear per partition, never a global sort. Spine fan-out is bounded by
+    * the calendar span, not the row count.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(fill).as("filled_value"),
+        col("day_value").isNull.cast("int").as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Hopping (sliding) window aggregation — the batch mirror of a streaming
+    * `window(ts, "4 hours", "2 hours")`: each event lands in 2 overlapping
+    * windows. Spark's window() turns the overlap into a scan-local
+    * projection (one row per covering window) before a plain two-phase agg;
+    * the fan-out factor is windowDuration/slideDuration, constant per row.
+    */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "4 hours", "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Data-quality expectations report — the validation gate a pipeline runs
+    * before promoting a load (null rate, range, cross-field consistency,
+    * FK orphans, duplicate PKs). The per-table conditional checks share ONE
+    * scan per table (conditional sums in a single agg, unpivoted via
+    * stack); the referential checks are anti-joins that shuffle on the key
+    * (broadcastable when the parent is a dim); the dup-PK check is a
+    * combinable groupBy-count. Emits (check_name, violations).
+    */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val cust = t(spark, dir, "customer")
+    val orderChecks = orders.agg(
+      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("a"),
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("b"))
+      .selectExpr("stack(2, 'orders_nonpositive_totalprice', a, " +
+        "'orders_null_orderdate', b) AS (check_name, violations)")
+    val liChecks = li.agg(
+      sum(when(!col("l_quantity").between(1, 50), 1).otherwise(0)).as("a"),
+      sum(when(!col("l_discount").between(0, 1), 1).otherwise(0)).as("b"),
+      sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).as("c"))
+      .selectExpr("stack(3, 'lineitem_quantity_out_of_range', a, " +
+        "'lineitem_discount_out_of_range', b, " +
+        "'lineitem_nonpositive_price', c) AS (check_name, violations)")
+    val shipBeforeOrder = li.join(orders,
+        li("l_orderkey") === orders("o_orderkey"))
+      .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1).otherwise(0))
+        .as("violations"))
+      .select(lit("lineitem_ship_before_order").as("check_name"), col("violations"))
+    val orphanLi = li.join(orders.select(col("o_orderkey")),
+        li("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_orphan_orderkey").as("check_name"), col("violations"))
+    val orphanOrd = orders.join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_orphan_custkey").as("check_name"), col("violations"))
+    val dupPk = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0)).as("violations"))
+      .select(lit("lineitem_dup_pk").as("check_name"), col("violations"))
+    Seq(orderChecks, liChecks, shipBeforeOrder, orphanLi, orphanOrd, dupPk)
+      .map(_.select(col("check_name"), col("violations").cast("long")))
+      .reduce(_ unionByName _)
+      .orderBy(col("check_name"))
+  }
+
+  /** Deterministic seeded corpus shuffle + shard assignment — training-order
+    * randomization that is reproducible across runs and engines. A Knuth
+    * multiplicative mix of doc_id (exact 64-bit integer arithmetic, no
+    * engine-specific hash) orders docs pseudo-randomly; shard = mix % 8,
+    * position = row_number within shard. One shuffle on the shard key; the
+    * per-shard sort is Spark's normal partition sort, never a global one.
+    */
+  def seededShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        ((col("doc_id") * lit(2654435761L) + lit(40503L)) % lit(4294967296L)).as("mix"))
+      .withColumn("shard", (col("mix") % 8).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("mix"), col("doc_id"))
+    mixed.withColumn("position", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("position"))
+      .orderBy(col("shard"), col("position"))
+  }
+
+  /** Per-label mean-pooled, L2-normalized embedding centroid — the pooling
+    * step that turns chunk embeddings into document/class vectors. Emitted
+    * as (label, dim, pooled) rows so the oracle hash covers every
+    * component. posexplode is scan-local fan-out (×dim); the (label, dim)
+    * agg combines map-side; the norm is a per-label window over dim rows
+    * (bounded by the embedding width, not the corpus).
+    */
+  def embeddingPool(spark: SparkSession, dir: String): DataFrame = {
+    val mu = t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("mu"))
+    val perLabel = Window.partitionBy(col("label"))
+    mu.withColumn("nrm", sqrt(sum(col("mu") * col("mu")).over(perLabel)))
+      .select(col("label"), col("dim"), round(col("mu") / col("nrm"), 4).as("pooled"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  /** GPT-style regex pre-tokenizer over the corpus: contraction suffixes,
+    * space-prefixed letter/digit/punctuation runs (the lookahead-free core
+    * of the GPT-2 pattern, expressible identically in Java regex and RE2).
+    * Top token pieces by frequency — the vocabulary-shape profile a BPE
+    * trainer starts from. Scan-local extract + explode, one combinable
+    * count agg, top-k via global sort of the (piece, n) aggregate (small).
+    */
+  def pretokenize(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+    t(spark, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("piece"))
+      .filter(!col("piece").rlike("^[ \\t\\n\\r]+$"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece")).limit(40)
+  }
+
+  /** Per-group z-score outlier ranking — the numeric-column anomaly screen
+    * (data-cleaning before training). Group stats via one combinable agg,
+    * broadcast back (5 rows), score scan-local, global top-50 by |z|.
+    * No window over the fact table: stats-join beats a partition window
+    * when groups are few and rows are many.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val stats = t(spark, dir, "events").groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    t(spark, dir, "events")
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .orderBy(abs(col("z")).desc, col("event_id"))
+      .limit(50)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+  }
+
+  /** Ordered conversion-funnel counts: users who viewed, then clicked
+    * strictly after their first view, then purchased strictly after that
+    * first qualifying click. Three stage aggregations, each a groupBy on
+    * user_id reusing the same shuffle key; stage N+1 joins stage N's
+    * (user_id, min_ts) — at scale both sides are user-keyed so the join
+    * co-locates with the aggregation.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    Seq(("1_view", v), ("2_click_after_view", c), ("3_purchase_after_click", p))
+      .map { case (n, d) =>
+        d.agg(count(lit(1)).cast("long").as("users")).select(lit(n).as("stage"), col("users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
 }

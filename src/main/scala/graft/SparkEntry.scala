@@ -191,7 +191,23 @@ object SparkEntry {
     // EXCEPT ALL / INTERSECT ALL multiplicity-preserving set ops
     "q108_set_ops_all"       -> Queries.setOpsAll _,
     // last-write-wins keyed upsert (MERGE INTO shape, no history)
-    "q109_upsert_lww"        -> Queries.upsertLastWriteWins _
+    "q109_upsert_lww"        -> Queries.upsertLastWriteWins _,
+    // time-series gap fill (daily resample + forward fill)
+    "q110_gap_fill"          -> Queries.gapFill _,
+    // hopping-window aggregation (batch mirror of sliding stream windows)
+    "q111_sliding_windows"   -> Queries.slidingWindows _,
+    // data-quality expectations report (null/range/FK/dup-PK)
+    "q112_dq_report"         -> Queries.dqReport _,
+    // deterministic seeded shuffle + shard assignment (training order)
+    "q113_seeded_shuffle"    -> Queries.seededShuffle _,
+    // per-label mean-pooled L2-normalized embedding centroids
+    "q114_embedding_pool"    -> Queries.embeddingPool _,
+    // GPT-style regex pre-tokenizer: top vocabulary pieces
+    "q115_pretokenize"       -> Queries.pretokenize _,
+    // per-group z-score outlier ranking
+    "q116_zscore_outliers"   -> Queries.zscoreOutliers _,
+    // ordered conversion-funnel stage counts
+    "q117_funnel"            -> Queries.funnel _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1149,6 +1165,119 @@ object SparkEntry {
       """SELECT
         | (SELECT count(*) FROM documents WHERE lang <> 'en') AS rows_deleted,
         | (SELECT count(*) FROM documents WHERE NOT coalesce(lang <> 'en', false))
-        |   AS rows_remaining""".stripMargin
+        |   AS rows_remaining""".stripMargin,
+    "q110_gap_fill" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day,
+        |  round(sum(value),4) AS day_value
+        | FROM events GROUP BY 1, 2),
+        |spine AS (
+        | SELECT user_id,
+        |  unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        | FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |       FROM daily GROUP BY user_id)),
+        |j AS (
+        | SELECT s.user_id, s.day, d.day_value
+        | FROM spine s LEFT JOIN daily d
+        |   ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, day,
+        | last_value(day_value IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        | CAST(day_value IS NULL AS INT) AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    // Each event belongs to exactly windowDuration/slide = 2 hopping
+    // windows: the one starting at its 2h bucket and the one 2h earlier.
+    "q111_sliding_windows" ->
+      """WITH w AS (
+        | SELECT event_type, value,
+        |  time_bucket(INTERVAL '2 hours', ts) - k.k * INTERVAL '2 hours'
+        |    AS window_start
+        | FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value),4) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q112_dq_report" ->
+      """SELECT 'orders_nonpositive_totalprice' AS check_name,
+        |  count(*) FILTER (WHERE o_totalprice <= 0) AS violations FROM orders
+        |UNION ALL SELECT 'orders_null_orderdate',
+        |  count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+        |UNION ALL SELECT 'lineitem_quantity_out_of_range',
+        |  count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50) FROM lineitem
+        |UNION ALL SELECT 'lineitem_discount_out_of_range',
+        |  count(*) FILTER (WHERE l_discount NOT BETWEEN 0 AND 1) FROM lineitem
+        |UNION ALL SELECT 'lineitem_nonpositive_price',
+        |  count(*) FILTER (WHERE l_extendedprice <= 0) FROM lineitem
+        |UNION ALL SELECT 'lineitem_ship_before_order',
+        |  count(*) FILTER (WHERE l_shipdate < o_orderdate)
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL SELECT 'lineitem_orphan_orderkey',
+        |  count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'orders_orphan_custkey',
+        |  count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'lineitem_dup_pk', coalesce((
+        |  SELECT sum(n - 1) FROM (
+        |   SELECT count(*) AS n FROM lineitem
+        |   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), 0)
+        |ORDER BY check_name""".stripMargin,
+    "q113_seeded_shuffle" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  (doc_id * 2654435761 + 40503) % 4294967296 AS mix
+        | FROM documents)
+        |SELECT doc_id, CAST(mix % 8 AS INT) AS shard,
+        | row_number() OVER (PARTITION BY mix % 8 ORDER BY mix, doc_id)
+        |   AS position
+        |FROM m ORDER BY shard, position""".stripMargin,
+    // Parallel unnest zips value with its subscript in DuckDB, matching
+    // Spark's posexplode (0-based dim).
+    "q114_embedding_pool" ->
+      """WITH e AS (
+        | SELECT label, unnest(embedding) AS v,
+        |  unnest(generate_series(0, len(embedding) - 1)) AS dim
+        | FROM embeddings),
+        |mu AS (
+        | SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu
+        | FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, sqrt(sum(mu * mu)) AS nrm FROM mu GROUP BY 1)
+        |SELECT mu.label, CAST(mu.dim AS INT) AS dim,
+        | round(mu.mu / n.nrm, 4) AS pooled
+        |FROM mu JOIN n USING (label) ORDER BY label, dim""".stripMargin,
+    // RE2 and Java regex agree on this lookahead-free pattern; \s is
+    // spelled as an explicit class because the two dialects disagree on
+    // vertical tab.
+    "q115_pretokenize" ->
+      """WITH p AS (
+        | SELECT unnest(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+'))
+        |   AS piece
+        | FROM documents)
+        |SELECT piece, count(*) AS n FROM p
+        |WHERE NOT regexp_matches(piece, '^[ \t\n\r]+$')
+        |GROUP BY piece ORDER BY n DESC, piece LIMIT 40""".stripMargin,
+    "q116_zscore_outliers" ->
+      """WITH s AS (
+        | SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        | FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        | round((value - mu) / sd, 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY abs((value - mu) / sd) DESC, event_id LIMIT 50""".stripMargin,
+    "q117_funnel" ->
+      """WITH v AS (
+        | SELECT user_id, min(ts) AS t0 FROM events
+        | WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        | SELECT e.user_id, min(ts) AS t1 FROM events e JOIN v USING (user_id)
+        | WHERE event_type = 'click' AND ts > t0 GROUP BY 1),
+        |p AS (
+        | SELECT e.user_id, min(ts) AS t2 FROM events e JOIN c USING (user_id)
+        | WHERE event_type = 'purchase' AND ts > t1 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT '2_click_after_view', count(*) FROM c
+        |UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
+        |ORDER BY stage""".stripMargin
   )
 }

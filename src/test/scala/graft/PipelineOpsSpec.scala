@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the round-7 batch-2 operators (q110–q117): invariants
+  * the DuckDB hash can't see (spine contiguity, permutation properties,
+  * tokenizer completeness, planted DQ violations).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("q110 gapFill: per-user spine is contiguous and fill carries the last observation") {
+    val out = Queries.gapFill(spark, sf0001).collect()
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_.getDate(1).toLocalDate).sorted
+      // contiguous calendar: day count == span + 1
+      val span = java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last)
+      assert(days.length == span + 1, s"user $u spine has holes")
+      // first day is never a gap (spine starts at an observed day)
+      val first = rows.minBy(_.getDate(1).toLocalDate.toEpochDay)
+      assert(first.getInt(3) == 0, s"user $u first day marked gap")
+      // forward fill: value on a gap day equals the previous day's value
+      val sortedRows = rows.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      sortedRows.sliding(2).foreach {
+        case Array(prev, cur) if cur.getInt(3) == 1 =>
+          assert(cur.getDouble(2) == prev.getDouble(2),
+            s"user $u gap day ${cur.getDate(1)} not forward-filled")
+        case _ =>
+      }
+    }
+    assert(out.exists(_.getInt(3) == 1), "fixture has no gaps; test is vacuous")
+  }
+
+  test("q111 slidingWindows: every event is counted in exactly window/slide = 2 windows") {
+    val total = Queries.slidingWindows(spark, sf0001)
+      .agg(sum("n_events")).first().getLong(0)
+    val events = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(total == 2 * events, s"hop coverage: $total != 2 * $events")
+  }
+
+  test("q112 dqReport: planted violations are each counted exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val early = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    // customer 1 exists; order 99 references customer 42 (orphan).
+    Seq((1L, "c1", 0L, 0.0, "SEG")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq(
+      (1L, 1L, "O", 10.0, ts, "1-URGENT"),            // clean
+      (2L, 1L, "O", -5.0, ts, "1-URGENT"),            // nonpositive price
+      (3L, 1L, "O", 10.0, null.asInstanceOf[java.sql.Timestamp], "1-URGENT"), // null date
+      (99L, 42L, "O", 10.0, ts, "1-URGENT"))          // orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, 1L, 1L, 1L, 5.0, 100.0, 0.1, 0.0, "N", "O", ts),   // clean
+      (1L, 1L, 1L, 2L, 99.0, 100.0, 0.1, 0.0, "N", "O", ts),  // quantity range
+      (1L, 1L, 1L, 3L, 5.0, 100.0, 1.5, 0.0, "N", "O", ts),   // discount range
+      (1L, 1L, 1L, 4L, 5.0, -1.0, 0.1, 0.0, "N", "O", ts),    // nonpositive price
+      (1L, 1L, 1L, 5L, 5.0, 100.0, 0.1, 0.0, "N", "O", early),// ship before order
+      (1L, 1L, 1L, 5L, 5.0, 100.0, 0.1, 0.0, "N", "O", ts),   // dup PK (one extra)
+      (777L, 1L, 1L, 1L, 5.0, 100.0, 0.1, 0.0, "N", "O", ts)) // orphan orderkey
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Queries.dqReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      "orders_nonpositive_totalprice" -> 1L,
+      "orders_null_orderdate" -> 1L,
+      "orders_orphan_custkey" -> 1L,
+      "lineitem_quantity_out_of_range" -> 1L,
+      "lineitem_discount_out_of_range" -> 1L,
+      "lineitem_nonpositive_price" -> 1L,
+      "lineitem_ship_before_order" -> 1L,
+      "lineitem_orphan_orderkey" -> 1L,
+      "lineitem_dup_pk" -> 1L)
+    assert(got == expected, s"got $got")
+  }
+
+  test("q112 dqReport: splits the fixture's real dirt from its clean checks") {
+    // The synthetic generator reuses (l_orderkey, l_linenumber) and ships
+    // lines before their order date — the report surfaces exactly those two
+    // classes and nothing else. (Verified independently via DuckDB.)
+    val got = Queries.dqReport(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 9)
+    val dirty = Set("lineitem_dup_pk", "lineitem_ship_before_order")
+    dirty.foreach(c => assert(got(c) > 0, s"$c should flag the fixture's dirt"))
+    (got.keySet -- dirty).foreach(c => assert(got(c) == 0L, s"$c = ${got(c)}"))
+  }
+
+  test("q113 seededShuffle: shards partition the corpus, positions are 1..n per shard, deterministic") {
+    val a = Queries.seededShuffle(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(a.length == docs)
+    assert(a.map(_.getLong(0)).distinct.length == docs, "doc lost or duplicated")
+    a.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getInt(2)).sorted
+      assert(pos.toSeq == (1 to rows.length).toSeq, s"shard $shard positions not 1..n")
+    }
+    // deterministic across runs
+    val b = Queries.seededShuffle(spark, sf0001).collect()
+    assert(a.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq)
+    // and actually shuffled: within-shard order differs from doc_id order
+    val shard0 = a.filter(_.getInt(1) == 0).sortBy(_.getInt(2)).map(_.getLong(0))
+    assert(shard0.toSeq != shard0.sorted.toSeq, "mix left ids in insertion order")
+  }
+
+  test("q114 embeddingPool: pooled centroids are unit-norm per label") {
+    val rows = Queries.embeddingPool(spark, sf0001).collect()
+    val dim = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(size(col("embedding"))).first().getInt(0)
+    rows.groupBy(_.getInt(0)).foreach { case (label, rs) =>
+      assert(rs.length == dim, s"label $label missing dims")
+      val ss = rs.map(r => r.getDouble(2) * r.getDouble(2)).sum
+      // components are rounded to 4dp; norm error is bounded by dim * 1e-4
+      assert(math.abs(ss - 1.0) < dim * 1e-4, s"label $label norm^2 = $ss")
+    }
+  }
+
+  test("q115 pretokenize: the pattern partitions text completely (lossless concat)") {
+    val pat = java.util.regex.Pattern.compile(
+      "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+")
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").limit(25).collect().map(_.getString(0))
+    texts.foreach { txt =>
+      val m = pat.matcher(txt)
+      val sb = new StringBuilder
+      while (m.find()) sb.append(m.group())
+      assert(sb.toString == txt, "pre-tokenizer dropped or reordered characters")
+    }
+  }
+
+  test("q116 zscoreOutliers: returns the true global top-50 by |z|") {
+    val out = Queries.zscoreOutliers(spark, sf0001).collect()
+    assert(out.length == 50)
+    val cutoff = out.map(r => math.abs(r.getDouble(3))).min
+    // recompute z for all events; no excluded event may beat the cutoff
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sd"))
+    val all = ev.join(stats, "event_type")
+      .select(col("event_id"), abs((col("value") - col("mu")) / col("sd")).as("az"))
+      .collect()
+    val chosen = out.map(_.getLong(0)).toSet
+    val excludedMax = all.filter(r => !chosen(r.getLong(0))).map(_.getDouble(1)).max
+    assert(excludedMax <= cutoff + 1e-4,
+      s"excluded |z| $excludedMax beats included cutoff $cutoff")
+  }
+
+  test("q117 funnel: stages are monotonically shrinking and stage 1 is exact") {
+    val rows = Queries.funnel(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viewers = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows("1_view") == viewers)
+    assert(rows("1_view") >= rows("2_click_after_view"))
+    assert(rows("2_click_after_view") >= rows("3_purchase_after_click"))
+    assert(rows("3_purchase_after_click") > 0, "fixture has no full conversions")
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Self-check: replicate the driver's DuckDB oracle compare locally.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+SQL against DuckDB over the parquet tables in <sfDir>, and compares
+row count / column names / a column-name-sorted value hash against the
+Spark result parquet in <verifyOutDir>/<name>/.
+"""
+import sys, os, json, glob, hashlib
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                        if os.path.isdir(p) else
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = n_noorc = 0
+    fails = []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        tbl = pq.read_table(files[0]) if files else None
+        s_cols = sorted(tbl.column_names) if tbl is not None else []
+        s_rows = tbl.to_pylist() if tbl is not None else []
+        s_rows = [[r[c] for c in tbl.column_names] for r in s_rows] if tbl is not None else []
+        if name not in oracle:
+            n_noorc += 1
+            print(f"  {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            res = con.execute(oracle[name])
+            o_cols = [d0[0] for d0 in res.description]
+            o_rows = res.fetchall()
+        except Exception as e:
+            n_fail += 1
+            fails.append((name, f"oracle err: {e}"))
+            continue
+        ok_rows = len(s_rows) == len(o_rows)
+        ok_cols = s_cols == sorted(o_cols)
+        ok_hash = False
+        if ok_rows and ok_cols:
+            ok_hash = table_hash(tbl.column_names, s_rows) == table_hash(o_cols, o_rows)
+        if ok_rows and ok_cols and ok_hash:
+            n_pass += 1
+        else:
+            n_fail += 1
+            fails.append((name, f"rows {len(s_rows)}/{len(o_rows)} cols_ok={ok_cols} hash_ok={ok_hash} spark_cols={s_cols} oracle_cols={sorted(o_cols)}"))
+    print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noorc}")
+    for name, msg in fails:
+        print(f"FAIL {name}: {msg}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
