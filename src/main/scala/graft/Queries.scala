@@ -1532,11 +1532,15 @@ object Queries {
     * engine-specific hash) orders docs pseudo-randomly; shard = mix % 8,
     * position = row_number within shard. One shuffle on the shard key; the
     * per-shard sort is Spark's normal partition sort, never a global one.
+    * doc_id is pre-reduced mod 2^31 before the multiply so the mix stays
+    * inside 64-bit for any doc_id (the unreduced product overflows — and
+    * wraps vs raises differently across engines — from doc_id ≈ 3.47e9).
     */
   def seededShuffle(spark: SparkSession, dir: String): DataFrame = {
     val mixed = t(spark, dir, "documents")
       .select(col("doc_id"),
-        ((col("doc_id") * lit(2654435761L) + lit(40503L)) % lit(4294967296L)).as("mix"))
+        (((col("doc_id") % lit(2147483648L)) * lit(2654435761L) + lit(40503L))
+          % lit(4294967296L)).as("mix"))
       .withColumn("shard", (col("mix") % 8).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("mix"), col("doc_id"))
     mixed.withColumn("position", row_number().over(w))
@@ -1589,6 +1593,7 @@ object Queries {
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
     t(spark, dir, "events")
       .join(broadcast(stats), Seq("event_type"))
+      .filter(col("sd").isNotNull && col("sd") > 0)
       .withColumn("z", (col("value") - col("mu")) / col("sd"))
       .orderBy(abs(col("z")).desc, col("event_id"))
       .limit(50)

@@ -1217,15 +1217,15 @@ object SparkEntry {
         |UNION ALL SELECT 'orders_orphan_custkey',
         |  count(*) FROM orders o WHERE NOT EXISTS
         |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-        |UNION ALL SELECT 'lineitem_dup_pk', coalesce((
+        |UNION ALL SELECT 'lineitem_dup_pk', CAST(coalesce((
         |  SELECT sum(n - 1) FROM (
         |   SELECT count(*) AS n FROM lineitem
-        |   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), 0)
+        |   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), 0) AS BIGINT)
         |ORDER BY check_name""".stripMargin,
     "q113_seeded_shuffle" ->
       """WITH m AS (
         | SELECT doc_id,
-        |  (doc_id * 2654435761 + 40503) % 4294967296 AS mix
+        |  ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 AS mix
         | FROM documents)
         |SELECT doc_id, CAST(mix % 8 AS INT) AS shard,
         | row_number() OVER (PARTITION BY mix % 8 ORDER BY mix, doc_id)
@@ -1264,6 +1264,7 @@ object SparkEntry {
         |SELECT event_id, e.event_type, value,
         | round((value - mu) / sd, 4) AS z
         |FROM events e JOIN s USING (event_type)
+        |WHERE sd IS NOT NULL AND sd > 0
         |ORDER BY abs((value - mu) / sd) DESC, event_id LIMIT 50""".stripMargin,
     "q117_funnel" ->
       """WITH v AS (

@@ -9,6 +9,7 @@ Spark result parquet in <verifyOutDir>/<name>/.
 """
 import sys, os, json, glob, hashlib
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -56,11 +57,17 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(os.path.join(d, "*.parquet"))
-        tbl = pq.read_table(files[0]) if files else None
-        s_cols = sorted(tbl.column_names) if tbl is not None else []
-        s_rows = tbl.to_pylist() if tbl is not None else []
-        s_rows = [[r[c] for c in tbl.column_names] for r in s_rows] if tbl is not None else []
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        tbl = pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+        if tbl is None:
+            if name in oracle:
+                n_fail += 1
+                fails.append((name, "no parquet output for oracle-listed query"))
+            else:
+                print(f"  {name}: no parquet output (skipped)")
+            continue
+        s_cols = sorted(tbl.column_names)
+        s_rows = [[r[c] for c in tbl.column_names] for r in tbl.to_pylist()]
         if name not in oracle:
             n_noorc += 1
             print(f"  {name}: rows-only ({len(s_rows)} rows)")
