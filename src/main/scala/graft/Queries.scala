@@ -4,7 +4,7 @@ import graft.etl.TypeInference
 import graft.functions.NativeTextExpressions
 import graft.functions.TextFunctions._
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Dedup, Similarity}
+import graft.operators.{AsOfJoin, Bpe, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1625,4 +1625,46 @@ object Queries {
       .reduce(_ unionByName _)
       .orderBy(col("stage"))
   }
+
+  // ---- round-8 batch: BPE training / ANN maintenance / exact quantiles ----
+
+  /** Eight BPE merges learned from the corpus word profile — see
+    * [[graft.operators.Bpe]] for the algorithm and the cross-engine
+    * determinism contract that makes the merge table hash-checkable
+    * against a DuckDB replay (the oracle unrolls the same eight steps).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val profile = Bpe.wordProfile(t(spark, dir, "documents"))
+    Bpe.mergesDf(spark, Bpe.trainMerges(profile, numMerges = 8))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** ANN search on an incrementally maintained IVF index: train on the
+    * standing corpus (vec_id % 5 != 0), assign-only append the "new
+    * crawl" batch (vec_id % 5 == 0), search the merged index. Rows-only
+    * at the oracle (inverted-list search is approximate); OperatorsSpec
+    * gates merged-index recall against full retrain.
+    */
+  def ivfAppendTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val index = Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0))
+    val merged = Similarity.ivfAppend(index, emb.filter(col("vec_id") % 5 === 0))
+    Similarity.ivfSearch(merged, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Exact interpolated percentiles of l_extendedprice — the hash-checked
+    * twin of q106's GK sketch (same column, same probes): the sketch's
+    * rank-error gate in QueriesSpec is pinned to this oracle-proven exact
+    * baseline. One combinable percentile aggregation; at scale, exact
+    * quantiles pay a per-group sort buffer, which is exactly why q106
+    * exists — this query is the CI ground truth, not the 100 TB path.
+    */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
 }

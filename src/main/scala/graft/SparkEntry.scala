@@ -207,8 +207,53 @@ object SparkEntry {
     // per-group z-score outlier ranking
     "q116_zscore_outliers"   -> Queries.zscoreOutliers _,
     // ordered conversion-funnel stage counts
-    "q117_funnel"            -> Queries.funnel _
+    "q117_funnel"            -> Queries.funnel _,
+    // BPE merge-table training over the corpus word profile
+    "q118_bpe_merges"        -> Queries.bpeMerges _,
+    // assign-only IVF index append + search (rows-only; recall gate in spec)
+    "q119_ivf_append_topk"   -> Queries.ivfAppendTopk _,
+    // exact percentile twin pinning q106's GK sketch gate to an oracle
+    "q120_exact_percentiles" -> Queries.exactPercentiles _
   )
+
+  /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
+    * sequential (pair-count → excluded argmax → double-replace) stages.
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    * stage references its predecessor several times, so the lazy form
+    * re-expands the corpus scan exponentially.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """WITH prof AS MATERIALIZED (
+        | SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+        | GROUP BY word),
+        |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS repr, n FROM prof)""".stripMargin
+    val stages = (0 until k).map { i =>
+      val excl =
+        if (i == 0) ""
+        else "\n HAVING l||' '||r NOT IN (" +
+          (0 until i).map(j => s"SELECT l||' '||r FROM b$j").mkString(" UNION ALL ") + ")"
+      val rewrite =
+        if (i == k - 1) ""
+        else s""",
+          |w${i + 1} AS MATERIALIZED (SELECT replace(replace(repr,
+          |  (SELECT ' '||l||' '||r||' ' FROM b$i), (SELECT ' '||l||r||' ' FROM b$i)),
+          |  (SELECT ' '||l||' '||r||' ' FROM b$i), (SELECT ' '||l||r||' ' FROM b$i)) AS repr, n
+          | FROM w$i)""".stripMargin
+      s""",
+        |b$i AS MATERIALIZED (SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(list_slice(s, 1, len(s)-1)) AS l,
+        |         unnest(list_slice(s, 2, len(s))) AS r, n
+        |  FROM (SELECT str_split(trim(repr), ' ') AS s, n FROM w$i))
+        | GROUP BY l, r$excl
+        | ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin + rewrite
+    }.mkString
+    val sel = (0 until k).map(i =>
+      s"SELECT ${i + 1} AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    head + stages + "\n" + sel + "\nORDER BY merge_rank"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1279,6 +1324,12 @@ object SparkEntry {
         |SELECT '1_view' AS stage, count(*) AS users FROM v
         |UNION ALL SELECT '2_click_after_view', count(*) FROM c
         |UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+    "q118_bpe_merges" -> bpeOracleSql(8),
+    "q120_exact_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95),4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

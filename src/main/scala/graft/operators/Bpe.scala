@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training over a word-frequency profile —
+  * the merge-table learning step that follows the pre-tokenizer profile
+  * (Queries.pretokenize / q115). Classic BPE (Sennrich et al. 2016,
+  * arXiv:1508.07909) trains on the aggregated (word, count) vocabulary,
+  * not on the raw corpus, and that is the whole scale story here: the
+  * 100 TB corpus is scanned ONCE to build the profile (a map-side
+  * combinable word count whose result is vocabulary-sized, ~10⁶ rows at
+  * any corpus size); the iterative merge loop then runs over that compact
+  * table — per merge, one combinable pair-count aggregation, a one-row
+  * argmax collect (bounded driver data), and a scan-local string rewrite.
+  * localCheckpoint() every few merges truncates the growing expression
+  * lineage, the same pattern as Dedup.connectedComponents' pointer-
+  * jumping loop.
+  *
+  * Determinism contract (what makes the result hash-checkable against a
+  * DuckDB replay of the same algorithm): a word is represented as
+  * `' s1 s2 … sn '` — every symbol preceded by a space, trailing space
+  * terminal — and applying merge (l, r) is TWO leftmost non-overlapping
+  * `replace(repr, ' l r ', ' lr ')` passes. Spark's `replace`
+  * (UTF8String.replace) and DuckDB's `replace` implement the identical
+  * scan — find leftmost match, append replacement, continue AFTER the
+  * match — so both engines rewrite every word bit-identically. The
+  * two-pass form differs from textbook BPE only on runs of ≥5 identical
+  * symbols (textbook merges pairs left-to-right within one pass; the
+  * consumed trailing space makes one replace pass skip alternate
+  * occurrences in a run); chosen pairs are excluded from later argmaxes
+  * so the merge table always holds `numMerges` distinct pairs. Ties in
+  * the pair-count argmax break lexicographically on (left, right).
+  */
+object Bpe {
+
+  final case class BpeMerge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** One corpus scan → the (word, n) training profile. Words are the
+    * lowercase ASCII-letter runs of the text column (the [a-z]+ alphabet
+    * keeps every later symbol space-free, which the repr encoding needs).
+    */
+  def wordProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** `' w o r d '`: leading space, one space after every symbol. */
+  private def initialRepr(word: org.apache.spark.sql.Column) =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+
+  /** Adjacent-symbol pairs of every word, weighted by the word count. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(split(trim(col("repr")), " ").as("s"), col("n"))
+      .select(
+        slice(col("s"), lit(1), size(col("s")) - 1).as("ls"),
+        slice(col("s"), lit(2), size(col("s")) - 1).as("rs"),
+        col("n"))
+      .select(explode(arrays_zip(col("ls"), col("rs"))).as("p"), col("n"))
+      .select(col("p.ls").as("l"), col("p.rs").as("r"), col("n"))
+      .groupBy(col("l"), col("r"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Train `numMerges` merges over the profile. Stops early if the pair
+    * supply runs dry (tiny inputs); otherwise returns exactly `numMerges`
+    * distinct (left, right) pairs in learned order with the pair count
+    * each was chosen at.
+    */
+  def trainMerges(profile: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var words = profile
+      .select(initialRepr(col("word")).as("repr"), col("n").cast("long").as("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rank = 1
+    var dry = false
+    while (rank <= numMerges && !dry) {
+      val chosen = merges.map(m => s"${m.left} ${m.right}").toSeq
+      val cand = pairCounts(words)
+      val fresh =
+        if (chosen.isEmpty) cand
+        else cand.filter(!concat_ws(" ", col("l"), col("r")).isin(chosen: _*))
+      val top = fresh.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(rank, l, r, cnt)
+        words = applyMerge(words, l, r)
+        if (rank % 4 == 0) words = words.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Two leftmost non-overlapping replace passes — see the determinism
+    * contract above. Symbols are [a-z]+ so inlining them into the
+    * expression string is injection-safe.
+    */
+  private def applyMerge(words: DataFrame, l: String, r: String): DataFrame = {
+    val pat = s" $l $r "
+    val rep = s" $l$r "
+    words.select(
+      expr(s"replace(replace(repr, '$pat', '$rep'), '$pat', '$rep')").as("repr"),
+      col("n"))
+  }
+
+  /** The profile rewritten by a merge list, in order — (repr, n). Used by
+    * the compression spec (total symbol count must shrink with every
+    * merge) and by downstream tokenization.
+    */
+  def applyMerges(profile: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+    merges.foldLeft(
+      profile.select(initialRepr(col("word")).as("repr"), col("n").cast("long").as("n"))
+    )((df, m) => applyMerge(df, m.left, m.right))
+
+  /** Corpus-weighted symbol count of a rewritten profile — the quantity
+    * each merge must strictly reduce.
+    */
+  def totalSymbols(words: DataFrame): Long =
+    words
+      .select(sum(size(split(trim(col("repr")), " ")).cast("long") * col("n")).as("t"))
+      .collect()(0).getLong(0)
+
+  /** Merge table as a DataFrame for the driver contract. */
+  def mergesDf(spark: SparkSession, merges: Seq[BpeMerge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+}

@@ -901,6 +901,57 @@ object Similarity extends org.apache.spark.internal.Logging {
     IvfIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")), assigned)
   }
 
+  /** Assign-only append of a new vector batch to an existing index — the
+    * daily-crawl maintenance path: no retraining, one scan-local
+    * nearest-centroid pass over the BATCH only (the standing corpus is
+    * untouched — no join, no shuffle, no rescan). The trade is drift:
+    * appended vectors are quantized against yesterday's centroids, so
+    * recall degrades as the batch distribution diverges from the training
+    * distribution (gated vs full retrain in OperatorsSpec); watch
+    * [[ivfListStats]] and retrain when a list runs hot.
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    VectorFunctions.register(batch.sparkSession)
+    val appended = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
+      nearestCentroid(col(vecCol), index.centroids).as("list_id"))
+    IvfIndex(index.centroids,
+      index.assigned.select(col("neighbor_id"), col("corpus_vec"), col("list_id"))
+        .unionByName(appended))
+  }
+
+  /** [[ivfAppend]] against a persisted index: assign the batch against the
+    * saved centroids and append its rows into the partitioned `assigned`
+    * layout — existing list files are never rewritten, so the write cost
+    * is the batch, not the corpus.
+    */
+  def ivfAppendToSaved(spark: SparkSession, dir: String, batch: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    VectorFunctions.register(spark)
+    val cents = centroidsFromDf(spark.read.parquet(s"$dir/centroids"))
+    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
+        nearestCentroid(col(vecCol), cents).as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/assigned")
+  }
+
+  /** Inverted-list occupancy after builds/appends — |lists| rows (bounded
+    * by k, so the unpartitioned window is legal). `skewed` flags lists
+    * holding more than `skewFactor` × the mean: the retrain signal after
+    * repeated assign-only appends, and the probe-latency outlier either
+    * way (a probed list's scan cost is its size).
+    */
+  def ivfListStats(index: IvfIndex, skewFactor: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    index.assigned
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("mean_n", avg(col("n_vectors")).over(Window.partitionBy()))
+      .withColumn("skewed", col("n_vectors") > col("mean_n") * skewFactor)
+      .select(col("list_id"), col("n_vectors"), round(col("mean_n"), 2).as("mean_n"),
+        col("skewed"))
+      .orderBy(col("list_id"))
+  }
+
   def ivfPqSave(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.assigned.sparkSession
     centroidsToDf(spark, index.centroids)
