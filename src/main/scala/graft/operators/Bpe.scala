@@ -70,9 +70,14 @@ object Bpe {
     */
   def trainMerges(profile: DataFrame, numMerges: Int): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")
-    var words = profile
+    // Exactly one checkpoint is live at a time: each new one is eager, so
+    // the superseded one unpersists immediately — same storage discipline
+    // as Dedup.connectedComponents (peak = one repr table, released on
+    // return; the merge table itself is plain driver data).
+    var lastCk = profile
       .select(initialRepr(col("word")).as("repr"), col("n").cast("long").as("n"))
       .localCheckpoint()
+    var words = lastCk
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var rank = 1
     var dry = false
@@ -88,10 +93,16 @@ object Bpe {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += BpeMerge(rank, l, r, cnt)
         words = applyMerge(words, l, r)
-        if (rank % 4 == 0) words = words.localCheckpoint()
+        if (rank % 4 == 0) {
+          val ck = words.localCheckpoint()
+          Checkpoints.release(lastCk)
+          lastCk = ck
+          words = ck
+        }
         rank += 1
       }
     }
+    Checkpoints.release(lastCk)
     merges.toSeq
   }
 

@@ -370,8 +370,8 @@ object Dedup extends org.apache.spark.internal.Logging {
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("__prev")).count()
       logDebug(s"connectedComponents round=$rounds changed=$changed")
-      prop.unpersist(blocking = false)
-      labelsCk.unpersist(blocking = false)
+      Checkpoints.release(prop)
+      Checkpoints.release(labelsCk)
       labelsCk = next
       labels = freshWrap(next).select(col("id"), col("label"))
       rounds += 1
@@ -380,7 +380,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       logWarning(s"connectedComponents: not converged after $maxIter rounds; " +
         "labels are an upper approximation (raise maxIter for deep chains)")
     val out = stage(labels.withColumnRenamed("label", "cluster_id"), "cc-labels")
-    labelsCk.unpersist(blocking = false)
+    Checkpoints.release(labelsCk)
     edges.unpersist(blocking = false)
     out
   }

@@ -298,6 +298,70 @@ object EventStreams {
         graft.etl.TableLifecycle.publish(batch, table)
       }
 
+  /** Micro-batch expectation checks over the events shape — (check_name,
+    * violations), the same report shape as the batch DQ gate
+    * (graft.Queries.dqReport): null/empty type, null timestamp, negative
+    * value, duplicate event_id. One scan for the conditional checks plus a
+    * combinable groupBy-count for the dup check — both map-side
+    * combinable, so the per-batch cost stays scan-bound at any batch size.
+    */
+  def eventBatchChecks(batch: DataFrame): DataFrame = {
+    val conditional = batch.agg(
+      sum(when(col("event_type").isNull || length(col("event_type")) === 0, 1)
+        .otherwise(0)).as("a"),
+      sum(when(col("ts").isNull, 1).otherwise(0)).as("b"),
+      sum(when(col("value") < 0, 1).otherwise(0)).as("c"))
+      .selectExpr("stack(3, 'events_null_type', coalesce(a, 0), " +
+        "'events_null_ts', coalesce(b, 0), " +
+        "'events_negative_value', coalesce(c, 0)) AS (check_name, violations)")
+    val dup = batch.groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0)).as("violations"))
+      .select(lit("events_dup_event_id").as("check_name"), col("violations"))
+    conditional.select(col("check_name"), col("violations").cast("long"))
+      .unionByName(dup.select(col("check_name"), col("violations").cast("long")))
+  }
+
+  /** DQ-gated streaming publish — the streaming mirror of the reference's
+    * pre-publish record-count reconciliation (load_tables_daily.py:365–372):
+    * every micro-batch is validated BEFORE it can reach the prod table.
+    * A batch whose total violations exceed `maxViolations` is quarantined
+    * whole (`<table>_quarantine`, stamped with its batch_id) and the prod
+    * table is left untouched; a passing batch is appended through the
+    * write-commit protocol, so readers never see a partial or dirty batch.
+    * Every batch's full check report lands in `<table>_dq_log` either way
+    * — the audit trail that says WHY a batch was held back. The batch is
+    * persisted across its three uses (report, gate, publish) and released
+    * before the next trigger.
+    */
+  def dqGatedPublish(events: DataFrame, table: String, checkpointDir: String,
+                     maxViolations: Long = 0,
+                     checks: DataFrame => DataFrame = eventBatchChecks) =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val report = checks(batch)
+            .select(col("check_name"), col("violations").cast("long")).persist()
+          try {
+            val total = report
+              .agg(coalesce(sum(col("violations")), lit(0L))).first().getLong(0)
+            val passed = total <= maxViolations
+            report
+              .withColumn("batch_id", lit(batchId))
+              .withColumn("passed", lit(passed))
+              .write.mode("append").saveAsTable(s"${table}_dq_log")
+            if (passed)
+              batch.write.mode("append").saveAsTable(table)
+            else
+              batch.withColumn("batch_id", lit(batchId))
+                .write.mode("append").saveAsTable(s"${table}_quarantine")
+          } finally report.unpersist()
+        } finally batch.unpersist()
+      }
+
   /** File-source streaming read of an events-shaped parquet directory —
     * the nanos-timestamp handling mirrors [[graft.Tables.apply]].
     */

@@ -40,23 +40,30 @@ class QueriesSpec extends SparkSpec {
     assert(relErr <= 0.15, s"HLL rel error $relErr (approx=$approx exact=$exact)")
   }
 
-  test("q106 approx percentiles honor the GK rank-error bound per group") {
+  test("q106 approx percentiles stay within GK rank error of the exact twin (q120)") {
     import org.apache.spark.sql.functions._
+    // the exact baseline is the oracle-proven q120 result (hash-checked
+    // against DuckDB quantile_cont by the driver), not a hand-rolled sort:
+    // the sketch gate is pinned to CI ground truth
     val approx = Queries.approxPercentiles(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Queries.exactPercentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    approx.foreach { case (flag, (p50, p95)) =>
-      val vals = li.filter(col("l_returnflag") === flag)
-        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
-      val n = vals.length
-      val err = n / 1000 + 1 // accuracy=1000 ⇒ rank error ≤ n/1000
-      Seq((0.5, p50), (0.95, p95)).foreach { case (p, v) =>
-        val target = math.ceil(p * n).toInt
-        val below = vals.count(_ < v)
-        val atOrBelow = vals.count(_ <= v)
-        assert(below <= target + err && atOrBelow >= target - err,
-          s"$flag p$p=$v has rank [$below,$atOrBelow], target $target ± $err (n=$n)")
+    approx.foreach { case (flag, (a50, a95)) =>
+      val (e50, e95) = exact(flag)
+      val n = li.filter(col("l_returnflag") === flag).count()
+      // accuracy=1000 ⇒ GK rank error ≤ n/1000, +2 for the exact twin's
+      // linear interpolation landing between two data points
+      val err = n / 1000 + 2
+      Seq(("p50", a50, e50), ("p95", a95, e95)).foreach { case (p, a, e) =>
+        val between = li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") > math.min(a, e) &&
+          col("l_extendedprice") < math.max(a, e)).count()
+        assert(between <= err,
+          s"$flag $p: approx=$a exact=$e, $between values apart > rank err $err (n=$n)")
       }
     }
   }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE merge training: the classic toy vocabulary reproduces the known
+  * merge sequence, and every learned merge strictly shrinks the
+  * corpus-weighted symbol count (the quantity BPE greedily minimizes).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The standard BPE illustration vocabulary (Sennrich et al. 2016, §3.2).
+  private lazy val toyProfile =
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "n")
+
+  test("trainMerges reproduces the textbook merge sequence, ties lexicographic") {
+    // pair counts by hand: (e,s)=9 (newest 6 + widest 3) ties (s,t)=9 →
+    // lexicographic tie-break picks (e,s); then (es,t)=9; then (l,o)=7
+    // ties (o,w)=7 → (l,o); then (lo,w)=7.
+    val merges = Bpe.trainMerges(toyProfile, numMerges = 4)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4))
+  }
+
+  test("trainMerges stops early when the pair supply runs dry") {
+    val tiny = Seq(("ab", 3L)).toDF("word", "n")
+    val merges = Bpe.trainMerges(tiny, numMerges = 10)
+    // 'ab' has exactly one pair; after merging it there is nothing left
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+  }
+
+  test("every learned merge strictly shrinks the weighted symbol count") {
+    val profile = Bpe.wordProfile(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    val merges = Bpe.trainMerges(profile, numMerges = 6)
+    assert(merges.length == 6)
+    assert(merges.map(m => (m.left, m.right)).distinct.length == 6,
+      "merge table must hold distinct pairs")
+    val totals = (0 to merges.length).map(i =>
+      Bpe.totalSymbols(Bpe.applyMerges(profile, merges.take(i))))
+    totals.sliding(2).foreach { case Seq(before, after) =>
+      assert(after < before, s"merge did not compress: $totals")
+    }
+    // a two-pass leftmost replace rewrites at most pairCount occurrences
+    // (overlaps in symbol runs make it strictly fewer, never more)
+    merges.zipWithIndex.foreach { case (m, i) =>
+      val saved = totals(i) - totals(i + 1)
+      assert(saved <= m.pairCount, s"rank ${m.rank}: saved $saved > ${m.pairCount}")
+    }
+  }
+
+  test("merge counts are monotonically non-increasing (greedy argmax order)") {
+    val profile = Bpe.wordProfile(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    val merges = Bpe.trainMerges(profile, numMerges = 6)
+    merges.map(_.pairCount).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"pair counts not monotone: ${merges.map(_.pairCount)}")
+    }
+  }
+}

@@ -34,6 +34,39 @@ class IndexPersistenceSpec extends SparkSpec {
       s"expected one partition dir per list, got ${dirs.toSeq}")
   }
 
+  test("ivfAppendToSaved appends new rows without rewriting existing list files") {
+    val built = Similarity.ivfBuild(corpus, numCentroids = 8)
+    val dir = tmp("ivf-append")
+    Similarity.ivfSave(built, dir)
+    def partFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/assigned"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = partFiles()
+    // the batch duplicates corpus vectors 0..19 under new ids — each lands
+    // in the same list as its twin, so it is findable via the same probes
+    val batch = corpus.filter($"vec_id" < 20)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    Similarity.ivfAppendToSaved(spark, dir, batch)
+    val after = partFiles()
+    assert(before.toSet.subsetOf(after.toSet),
+      "append must only add files, never rewrite existing list parts")
+    assert(after.size > before.size)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.assigned.count() == 320)
+    val hits = Similarity.ivfSearch(loaded, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every query's identical twin (cosine 1.0) is among its neighbors
+    (0L until 4L).foreach { qid =>
+      assert(hits.contains((qid, qid + 1000L)),
+        s"appended twin of $qid not found: ${hits.filter(_._1 == qid).toSeq}")
+    }
+  }
+
   test("ivfPqSave/ivfPqLoad round-trips codebooks and codes exactly") {
     val built = Similarity.ivfPqBuild(corpus, numCentroids = 8, m = 8, ksub = 16)
     val dir = tmp("ivfpq")

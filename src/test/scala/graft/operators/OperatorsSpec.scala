@@ -570,4 +570,52 @@ class OperatorsSpec extends SparkSpec {
       toleranceSeconds = Some(3600.0)).orderBy("id").collect()
     assert(fwdLoose(0).getString(3) == "b", "+1h is exactly at the bound (<=)")
   }
+
+  test("ivfAppend: assign-only merged index within 0.1 recall of full retrain") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val all = (0 until 400).map { i =>
+      (i.toLong, centers(i % 8).map(x => (x + 0.3 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val standing = all.filter($"vec_id" % 5 =!= 0)
+    val batch = all.filter($"vec_id" % 5 === 0)
+    val queries = all.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(all, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ix: Similarity.IvfIndex): Double = {
+      val got = Similarity.ivfSearch(ix, queries, k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val merged =
+      Similarity.ivfAppend(Similarity.ivfBuild(standing, numCentroids = 8), batch)
+    assert(merged.assigned.count() == 400, "append must land every batch row")
+    val retrained = Similarity.ivfBuild(all, numCentroids = 8)
+    val (rm, rr) = (recallOf(merged), recallOf(retrained))
+    assert(rm >= rr - 0.1, s"merged recall $rm vs full-retrain recall $rr")
+    assert(rm >= 0.7, s"merged recall $rm")
+  }
+
+  test("ivfListStats flags a list running hot after a skewed append") {
+    val rnd = new scala.util.Random(37)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val corpus = (0 until 320).map { i =>
+      (i.toLong, centers(i % 8).map(x => (x + 0.2 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.ivfBuild(corpus, numCentroids = 8)
+    assert(Similarity.ivfListStats(index).filter($"skewed").count() == 0,
+      "a balanced build must not flag any list")
+    // a crawl batch whose vectors all sit near ONE center — assign-only
+    // append piles every row into a single list: the retrain signal
+    val hot = (1000 until 1400).map { i =>
+      (i.toLong, centers(0).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val after = Similarity.ivfListStats(Similarity.ivfAppend(index, hot))
+    val flagged = after.filter($"skewed").collect()
+    assert(flagged.length == 1,
+      s"exactly the hot list must flag: ${after.collect().toSeq}")
+    assert(flagged.head.getLong(1) >= 400)
+  }
 }

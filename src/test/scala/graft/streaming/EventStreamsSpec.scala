@@ -327,6 +327,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DQ gate: bad batch quarantined, prod untouched; good batches append") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-dq").toString
+    Seq("events_gated", "events_gated_quarantine", "events_gated_dq_log")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val q = dqGatedPublish(in.toDF(), "events_gated", ckpt).start()
+    // foreachBatch writes go through the stream's cloned session, so the
+    // test session's table-relation cache must be refreshed before reads
+    def freshCount(t: String): Long = {
+      spark.catalog.refreshTable(t); spark.table(t).count()
+    }
+    try {
+      // batch 0: clean → published
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      assert(freshCount("events_gated") == 2)
+      // batch 1: duplicate event_id + negative value → quarantined whole,
+      // prod table unchanged (not even the clean rows of the batch land)
+      in.addData(ev(3, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00"),
+        ev(4, "2024-01-01 10:04:00", v = -5.0))
+      q.processAllAvailable()
+      assert(freshCount("events_gated") == 2, "bad batch must not publish")
+      assert(freshCount("events_gated_quarantine") == 3)
+      // batch 2: clean again → appends on top of batch 0
+      in.addData(ev(5, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      assert(freshCount("events_gated") == 3)
+      assert(freshCount("events_gated_quarantine") == 3)
+      // the audit log explains the rejection: one failed batch, with the
+      // dup and negative-value checks carrying the violations
+      spark.catalog.refreshTable("events_gated_dq_log")
+      val log = spark.table("events_gated_dq_log")
+      val failed = log.filter(!$"passed").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(failed("events_dup_event_id") == 1L)
+      assert(failed("events_negative_value") == 1L)
+      assert(log.filter($"passed").select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming parquet sink partitioned by day: layout + content") {
     // the streaming twin of q94's batch layout: events land under d=<day>/
     // directories as they arrive, so downstream day queries partition-prune
