@@ -1667,4 +1667,16 @@ object Queries {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
       .orderBy(col("l_returnflag"))
+
+  /** Train → encode: the eight learned merges (q118) applied back to the
+    * corpus, per-document (n_words, n_tokens). The merge table is driver
+    * data inlined as plan literals, so encoding is one scan-local pass —
+    * see [[graft.operators.Bpe.encodeStats]]. Hash-checked against a
+    * DuckDB replay of the identical replace chain.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = Bpe.trainMerges(Bpe.wordProfile(docs), numMerges = 8)
+    Bpe.encodeStats(docs, merges).orderBy(col("doc_id"))
+  }
 }

@@ -213,7 +213,9 @@ object SparkEntry {
     // assign-only IVF index append + search (rows-only; recall gate in spec)
     "q119_ivf_append_topk"   -> Queries.ivfAppendTopk _,
     // exact percentile twin pinning q106's GK sketch gate to an oracle
-    "q120_exact_percentiles" -> Queries.exactPercentiles _
+    "q120_exact_percentiles" -> Queries.exactPercentiles _,
+    // BPE encode: learned merges applied to the corpus (train -> encode)
+    "q121_bpe_encode"        -> Queries.bpeEncode _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -222,7 +224,10 @@ object SparkEntry {
     * stage references its predecessor several times, so the lazy form
     * re-expands the corpus scan exponentially.
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** Shared CTE chain for the BPE oracles: the word profile, the k greedy
+    * merge choices b0..b(k-1), and the inter-merge profile rewrites.
+    */
+  private def bpeCtes(k: Int): String = {
     val head =
       """WITH prof AS MATERIALIZED (
         | SELECT word, count(*) AS n FROM (
@@ -249,10 +254,38 @@ object SparkEntry {
         | GROUP BY l, r$excl
         | ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin + rewrite
     }.mkString
+    head + stages
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val sel = (0 until k).map(i =>
       s"SELECT ${i + 1} AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b$i")
       .mkString("\nUNION ALL ")
-    head + stages + "\n" + sel + "\nORDER BY merge_rank"
+    bpeCtes(k) + "\n" + sel + "\nORDER BY merge_rank"
+  }
+
+  /** Replay of Bpe.encodeStats: the same two-pass replaces the trainer's
+    * rewrite CTEs use, applied per document word, then counted. The CAST
+    * keeps n_tokens BIGINT (DuckDB sum promotes to HUGEINT — the q112
+    * lesson).
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val encChain = (0 until k).map { i =>
+      s""",
+        |enc${i + 1} AS MATERIALIZED (SELECT doc_id, replace(replace(repr,
+        |  (SELECT ' '||l||' '||r||' ' FROM b$i), (SELECT ' '||l||r||' ' FROM b$i)),
+        |  (SELECT ' '||l||' '||r||' ' FROM b$i), (SELECT ' '||l||r||' ' FROM b$i)) AS repr
+        | FROM enc$i)""".stripMargin
+    }.mkString
+    bpeCtes(k) +
+      """,
+        |doc_words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        |enc0 AS MATERIALIZED (SELECT doc_id, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS repr FROM doc_words)""".stripMargin +
+      encChain +
+      s"""
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(str_split(trim(repr), ' '))) AS BIGINT) AS n_tokens
+        |FROM enc$k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1326,6 +1359,7 @@ object SparkEntry {
         |UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
+    "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q120_exact_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,

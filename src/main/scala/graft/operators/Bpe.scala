@@ -108,14 +108,37 @@ object Bpe {
 
   /** Two leftmost non-overlapping replace passes — see the determinism
     * contract above. Symbols are [a-z]+ so inlining them into the
-    * expression string is injection-safe.
+    * expression string is injection-safe. Rewrites `repr` in place,
+    * preserving every other column (the trainer carries `n`, the encoder
+    * carries the document id).
     */
   private def applyMerge(words: DataFrame, l: String, r: String): DataFrame = {
     val pat = s" $l $r "
     val rep = s" $l$r "
-    words.select(
-      expr(s"replace(replace(repr, '$pat', '$rep'), '$pat', '$rep')").as("repr"),
-      col("n"))
+    words.withColumn("repr",
+      expr(s"replace(replace(repr, '$pat', '$rep'), '$pat', '$rep')"))
+  }
+
+  /** Tokenize a corpus with a learned merge table: per document, every
+    * word is rewritten by the merges in rank order and the symbol counts
+    * aggregated to (id, n_words, n_tokens). The merges are k rows of
+    * driver data by construction, inlined into the plan as literals, so
+    * encoding is ONE scan-local pass over the corpus followed by a
+    * combinable per-doc aggregation — no joins, no broadcast, and the
+    * per-row cost is 2k string replaces regardless of corpus size.
+    */
+  def encodeStats(docs: DataFrame, merges: Seq[BpeMerge],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("word"))
+      .select(col(idCol), initialRepr(col("word")).as("repr"))
+    val rewritten = merges.foldLeft(words)((df, m) => applyMerge(df, m.left, m.right))
+    rewritten
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(trim(col("repr")), " ")).cast("long")).as("n_tokens"))
   }
 
   /** The profile rewritten by a merge list, in order — (repr, n). Used by

@@ -52,6 +52,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeStats tokenizes with the learned merges, hand-checked") {
+    val merges = Bpe.trainMerges(toyProfile, numMerges = 4)
+    val docs = Seq((7L, "Lowest, newest!")).toDF("doc_id", "text")
+    // lowest: l o w e s t →(e,s)→ l o w es t →(es,t)→ l o w est
+    //         →(l,o)→ lo w est →(lo,w)→ low est  = 2 tokens
+    // newest: n e w e s t →(e,s)→ n e w es t →(es,t)→ n e w est = 4 tokens
+    val row = Bpe.encodeStats(docs, merges).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (7L, 2L, 6L))
+  }
+
+  test("encoding with merges never yields more tokens than characters") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val merges = Bpe.trainMerges(Bpe.wordProfile(docs), numMerges = 4)
+    val enc = Bpe.encodeStats(docs, merges)
+    import org.apache.spark.sql.functions._
+    val bad = enc.join(docs, "doc_id")
+      .filter(col("n_tokens") > length(col("text")))
+      .count()
+    assert(bad == 0)
+    assert(enc.filter(col("n_tokens") < col("n_words")).count() == 0,
+      "a word is never fewer than one token")
+  }
+
   test("merge counts are monotonically non-increasing (greedy argmax order)") {
     val profile = Bpe.wordProfile(
       spark.read.parquet(s"$sf0001/documents.parquet"))
