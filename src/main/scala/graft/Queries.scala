@@ -1679,4 +1679,27 @@ object Queries {
     val merges = Bpe.trainMerges(Bpe.wordProfile(docs), numMerges = 8)
     Bpe.encodeStats(docs, merges).orderBy(col("doc_id"))
   }
+
+  /** Per-column content profile — null count + exact distinct count per
+    * column, the ANALYZE-style catalog statistics a pipeline keeps next to
+    * the schema report (the reference's dtype profiler, data-type-pandas.py,
+    * stops at types; these are the stats DQ baselines and planners consume).
+    * ONE table scan: null counts are conditional aggregates and the exact
+    * multi-column distincts share the scan via Catalyst's Expand. At 100 TB
+    * swap `count_distinct` for `approx_count_distinct` (HLL, q06) and the
+    * plan drops the Expand fan-out entirely — exact here because the oracle
+    * must hash-match.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cols = Seq("lang", "source", "n_chars")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}_nulls"),
+      count_distinct(col(c)).as(s"${c}_ndv")))
+    val stackArgs = cols.map(c => s"'$c', ${c}_nulls, ${c}_ndv").mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
+      .orderBy(col("column_name"))
+  }
 }

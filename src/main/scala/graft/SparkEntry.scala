@@ -215,7 +215,9 @@ object SparkEntry {
     // exact percentile twin pinning q106's GK sketch gate to an oracle
     "q120_exact_percentiles" -> Queries.exactPercentiles _,
     // BPE encode: learned merges applied to the corpus (train -> encode)
-    "q121_bpe_encode"        -> Queries.bpeEncode _
+    "q121_bpe_encode"        -> Queries.bpeEncode _,
+    // ANALYZE-style per-column null/ndv profile (one scan, Expand-shared)
+    "q122_column_profile"    -> Queries.columnProfile _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1360,6 +1362,16 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q122_column_profile" ->
+      """SELECT column_name, n_nulls, n_distinct FROM (
+        | SELECT 'lang' AS column_name,
+        |  CAST(count(*) - count(lang) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents
+        | UNION ALL SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        | UNION ALL SELECT 'n_chars', CAST(count(*) - count(n_chars) AS BIGINT),
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents)
+        |ORDER BY column_name""".stripMargin,
     "q120_exact_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,

@@ -44,6 +44,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanColumns(chunks) == Set("doc_id", "text"))
   }
 
+  test("BPE encode is one pruned scan; only the per-doc agg shuffles") {
+    val merges = Seq(operators.Bpe.BpeMerge(1, "e", "s", 9L),
+      operators.Bpe.BpeMerge(2, "es", "t", 9L))
+    val enc = operators.Bpe.encodeStats(docs, merges)
+    assert(scanColumns(enc) == Set("doc_id", "text"))
+    assert(exchangeCount(enc) <= 1, "merges are literals: no join, no broadcast")
+    assert(!enc.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("IVF assign-only append plans zero exchanges (scan-local assignment)") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = operators.Similarity.ivfBuild(
+      vecs.filter(col("vec_id") % 5 =!= 0), numCentroids = 4, trainIters = 0)
+    val merged = operators.Similarity.ivfAppend(
+      index, vecs.filter(col("vec_id") % 5 === 0))
+    assert(exchangeCount(merged.assigned) == 0,
+      "append = nearest-centroid projection over the batch + union; " +
+        "the standing corpus must not be rescanned through a shuffle")
+  }
+
+  test("column profile is a single scan shared by nulls and multi-distinct") {
+    val prof = Queries.columnProfile(spark, sf0001)
+    assert(scanColumns(prof) == Set("lang", "source", "n_chars"))
+    val scans = "Scan parquet".r
+      .findAllIn(prof.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected one shared scan, saw $scans")
+  }
+
   test("repetitionReport is a single pruned scan with no shuffle") {
     val report = operators.QualityRules.repetitionReport(docs, "doc_id", "text")
     assert(exchangeCount(report) == 0, "token_profile form must not shuffle")
