@@ -1702,4 +1702,50 @@ object Queries {
         s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
       .orderBy(col("column_name"))
   }
+
+  /** Equi-depth histogram WITHOUT a global sort — the ANALYZE histogram
+    * shape. The textbook `ntile(k) OVER (ORDER BY x)` forces every row
+    * through ONE partition (the q84 scale-killer); this runs as three
+    * combinable aggregations: count, then the k−1 bucket bounds as ONE
+    * exact `percentile` at integer-rank probabilities (p = r/(n−1), so no
+    * interpolation — each bound IS a data value), then a scan-local
+    * bucket assignment + count. Bounds are rounded to 4 dp on BOTH
+    * engines before comparing, so a ≤1-ulp interpolation wobble cannot
+    * flip a boundary row's bucket. Driver data = k−1 doubles.
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val k = 8
+    val n = li.count()
+    val ps = (1 until k).map(i => (i * (n - 1) / k).toDouble / (n - 1))
+    val bounds = li
+      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))"))
+      .first().getSeq[Double](0)
+      .map(b => math.rint(b * 10000) / 10000)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("l_extendedprice") > lit(b), 1).otherwise(0)
+    }
+    li.select(bucket.as("bucket"), col("l_extendedprice").as("x"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("x")), 4).as("lo"), round(max(col("x")), 4).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Z-order layout key over (customer, order-day) — multi-dimensional
+    * clustering for file-level pruning on either column; see
+    * [[graft.operators.ZOrder]] and the layout-benefit numbers in
+    * ZOrderSpec. At scale the key feeds `repartitionByRange(zval)` +
+    * sortWithinPartitions before the write; here the key itself is the
+    * oracle-checked surface (pure integer bit-interleave, bit-identical
+    * across engines).
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val day = datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+    o.select(col("o_orderkey"),
+        graft.operators.ZOrder.zvalue(col("o_custkey"), day).as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(1000)
+  }
 }

@@ -217,7 +217,11 @@ object SparkEntry {
     // BPE encode: learned merges applied to the corpus (train -> encode)
     "q121_bpe_encode"        -> Queries.bpeEncode _,
     // ANALYZE-style per-column null/ndv profile (one scan, Expand-shared)
-    "q122_column_profile"    -> Queries.columnProfile _
+    "q122_column_profile"    -> Queries.columnProfile _,
+    // equi-depth histogram via exact-rank percentile bounds (no global sort)
+    "q123_equidepth_hist"    -> Queries.equidepthHistogram _,
+    // z-order (Morton) layout key over (custkey, order-day)
+    "q124_zorder_layout"     -> Queries.zorderLayout _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1362,6 +1366,33 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q123_equidepth_hist" ->
+      """WITH ranked AS (
+        | SELECT l_extendedprice AS x,
+        |  row_number() OVER (ORDER BY l_extendedprice) - 1 AS r,
+        |  count(*) OVER () AS mx
+        | FROM lineitem),
+        |bounds AS (
+        | SELECT round(max(CASE WHEN r = (1*(mx-1))//8 THEN x END),4) AS b1,
+        | round(max(CASE WHEN r = (2*(mx-1))//8 THEN x END),4) AS b2,
+        | round(max(CASE WHEN r = (3*(mx-1))//8 THEN x END),4) AS b3,
+        | round(max(CASE WHEN r = (4*(mx-1))//8 THEN x END),4) AS b4,
+        | round(max(CASE WHEN r = (5*(mx-1))//8 THEN x END),4) AS b5,
+        | round(max(CASE WHEN r = (6*(mx-1))//8 THEN x END),4) AS b6,
+        | round(max(CASE WHEN r = (7*(mx-1))//8 THEN x END),4) AS b7
+        | FROM ranked)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        | round(min(x),4) AS lo, round(max(x),4) AS hi
+        |FROM (
+        | SELECT ((CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > b4 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > b5 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > b6 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > b7 THEN 1 ELSE 0 END)) AS bucket,
+        |  l_extendedprice AS x
+        | FROM lineitem, bounds)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q124_zorder_layout" ->
+      s"""SELECT o_orderkey,
+        | (${graft.operators.ZOrder.zvalueSql("o_custkey",
+             "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))")}) AS zval
+        |FROM orders ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin,
     "q122_column_profile" ->
       """SELECT column_name, n_nulls, n_distinct FROM (
         | SELECT 'lang' AS column_name,

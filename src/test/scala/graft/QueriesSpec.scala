@@ -68,6 +68,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q123 equi-depth buckets are balanced and non-overlapping") {
+    import org.apache.spark.sql.functions._
+    val h = Queries.equidepthHistogram(spark, sf0001).collect()
+    assert(h.length == 8)
+    val n = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(h.map(_.getLong(1)).sum == n, "every row lands in exactly one bucket")
+    // near-unique prices ⇒ each bucket within 2% of n/k
+    h.foreach { r =>
+      assert(math.abs(r.getLong(1) - n / 8.0) <= n * 0.02,
+        s"bucket ${r.getInt(0)} holds ${r.getLong(1)} of $n")
+    }
+    // [lo, hi] ranges are ordered and disjoint across buckets
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"overlap: bucket ${a.getInt(0)} hi ${a.getDouble(3)} vs next lo ${b.getDouble(2)}")
+    }
+  }
+
   test("q98 CMS estimates are overestimate-only and within eps*N of exact") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
