@@ -1748,4 +1748,22 @@ object Queries {
       .orderBy(col("zval"), col("o_orderkey"))
       .limit(1000)
   }
+
+  /** Per-user event-type transition matrix — the Markov-chain counterpart
+    * of the q117 funnel (which counts one fixed path; this counts every
+    * observed step). Sequencing is a user-partitioned window ordered by
+    * (ts, event_id) — the q42 convention, a partition-local sort, never a
+    * global one — and the matrix itself is a combinable count over
+    * (from, to): at most |types|² rows leave the shuffle.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

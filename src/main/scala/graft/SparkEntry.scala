@@ -221,7 +221,9 @@ object SparkEntry {
     // equi-depth histogram via exact-rank percentile bounds (no global sort)
     "q123_equidepth_hist"    -> Queries.equidepthHistogram _,
     // z-order (Morton) layout key over (custkey, order-day)
-    "q124_zorder_layout"     -> Queries.zorderLayout _
+    "q124_zorder_layout"     -> Queries.zorderLayout _,
+    // per-user event-type transition matrix (Markov path counts)
+    "q125_transitions"       -> Queries.eventTransitions _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1366,6 +1368,13 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q125_transitions" ->
+      """SELECT from_type, to_type, count(*) AS n_transitions FROM (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events)
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "q123_equidepth_hist" ->
       """WITH ranked AS (
         | SELECT l_extendedprice AS x,
