@@ -1766,4 +1766,22 @@ object Queries {
       .agg(count(lit(1)).as("n_transitions"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Join-key skew diagnosis — the detection half of the skew story whose
+    * mitigation half is the salted join (q58) and AQE skew splitting: the
+    * heaviest join keys with their size ratio over the mean group. Group
+    * sizes are a combinable count (|keys| rows leave the shuffle), the
+    * mean rides a broadcast 1-row cross join, and the top-10 is a
+    * TakeOrdered — no global sort materializes.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("group_size"))
+    val mean = sizes.agg(avg(col("group_size")).as("mean_size"))
+    sizes.crossJoin(broadcast(mean))
+      .select(col("l_orderkey"), col("group_size"),
+        round(col("group_size") / col("mean_size"), 4).as("skew_ratio"))
+      .orderBy(col("group_size").desc, col("l_orderkey"))
+      .limit(10)
+  }
 }

@@ -223,7 +223,9 @@ object SparkEntry {
     // z-order (Morton) layout key over (custkey, order-day)
     "q124_zorder_layout"     -> Queries.zorderLayout _,
     // per-user event-type transition matrix (Markov path counts)
-    "q125_transitions"       -> Queries.eventTransitions _
+    "q125_transitions"       -> Queries.eventTransitions _,
+    // join-key skew diagnosis (heavy keys + ratio over mean group size)
+    "q126_skew_report"       -> Queries.skewReport _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1368,6 +1370,14 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q126_skew_report" ->
+      """WITH sizes AS (
+        | SELECT l_orderkey, count(*) AS group_size FROM lineitem GROUP BY 1),
+        |m AS (SELECT avg(group_size) AS mean_size FROM sizes)
+        |SELECT l_orderkey, group_size,
+        | round(group_size / mean_size, 4) AS skew_ratio
+        |FROM sizes, m
+        |ORDER BY group_size DESC, l_orderkey LIMIT 10""".stripMargin,
     "q125_transitions" ->
       """SELECT from_type, to_type, count(*) AS n_transitions FROM (
         | SELECT event_type AS from_type,
