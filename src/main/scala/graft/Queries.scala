@@ -1784,4 +1784,30 @@ object Queries {
       .orderBy(col("group_size").desc, col("l_orderkey"))
       .limit(10)
   }
+
+  /** Materialized training sequences from the q84 packing assignment —
+    * the data-loader artifact: each shard's documents concatenated in
+    * doc_id order, the byte-identical ordering proven cross-engine via
+    * md5 of the concatenation. The ordered concat is a grouped
+    * sort_array(collect_list(...)) — per-shard memory is bounded by the
+    * token budget regardless of corpus size, shards parallelize the
+    * shuffle, and (unlike the assignment itself, q84) no window is
+    * involved at all.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val packed = graft.operators.Packing.packByTokenBudget(
+      docs, "doc_id", "text", budget = 2048L, bucketWidth = 100L)
+    packed.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"), col("text").as("t")))),
+          x => x.getField("t")), " ").cast("binary")).as("seq_md5"))
+      .orderBy(col("bin_id"))
+  }
 }

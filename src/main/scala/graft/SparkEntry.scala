@@ -225,7 +225,9 @@ object SparkEntry {
     // per-user event-type transition matrix (Markov path counts)
     "q125_transitions"       -> Queries.eventTransitions _,
     // join-key skew diagnosis (heavy keys + ratio over mean group size)
-    "q126_skew_report"       -> Queries.skewReport _
+    "q126_skew_report"       -> Queries.skewReport _,
+    // materialized packed sequences (ordered concat proven via md5)
+    "q127_pack_sequences"    -> Queries.packSequences _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1370,6 +1372,21 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q127_pack_sequences" ->
+      """WITH tok AS (
+        | SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |packed AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048 AS BIGINT) AS bin_id
+        | FROM tok)
+        |SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        | md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
+        |FROM packed JOIN documents USING (doc_id)
+        |GROUP BY bin_id ORDER BY bin_id""".stripMargin,
     "q126_skew_report" ->
       """WITH sizes AS (
         | SELECT l_orderkey, count(*) AS group_size FROM lineitem GROUP BY 1),
