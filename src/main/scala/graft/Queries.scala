@@ -1810,4 +1810,59 @@ object Queries {
           x => x.getField("t")), " ").cast("binary")).as("seq_md5"))
       .orderBy(col("bin_id"))
   }
+
+  /** CDC changelog apply — the general MERGE shape that the LWW upsert
+    * (q109) is a special case of: a change stream of (key, seq, op ∈
+    * {I,U,D}, payload) collapses to final table state. Latest op per key
+    * wins (row_number over seq desc); a terminal D deletes the key. One
+    * shuffle on the key — at 100 TB this is the nightly CDC merge: the
+    * changelog shuffles once, partial dedup happens map-side when the
+    * stream is log-ordered, and AQE handles hot keys. The changelog here
+    * is synthesized deterministically from orders (every key gets an I;
+    * keys ≡0 mod 3 an U re-pricing; keys ≡0 mod 7 a terminal D).
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+    val ins = o.select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_totalprice").as("v"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 10.0).as("v"))
+    val del = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    ins.unionAll(upd).unionAll(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("op").as("last_op"), col("v"))
+      .orderBy(col("k"))
+  }
+
+  /** Robust outlier detection by median absolute deviation — the
+    * companion to the z-score screen (q116) that survives heavy-tailed
+    * value distributions (a single extreme event inflates a stddev but
+    * not a median). Two exact-percentile aggregations with a broadcast
+    * join between them; at 100 TB swap `percentile` for the GK sketch
+    * (q106) and the passes stay identical. Emits the per-type robust
+    * stats plus the outlier count at the standard 3·1.4826·MAD cut.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        max(col("med")).as("med"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }

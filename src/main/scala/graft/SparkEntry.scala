@@ -227,7 +227,11 @@ object SparkEntry {
     // join-key skew diagnosis (heavy keys + ratio over mean group size)
     "q126_skew_report"       -> Queries.skewReport _,
     // materialized packed sequences (ordered concat proven via md5)
-    "q127_pack_sequences"    -> Queries.packSequences _
+    "q127_pack_sequences"    -> Queries.packSequences _,
+    // CDC changelog apply: latest-op-wins MERGE with delete semantics
+    "q128_cdc_apply"         -> Queries.cdcApply _,
+    // robust outliers by median absolute deviation (heavy-tail-safe q116)
+    "q129_mad_outliers"      -> Queries.madOutliers _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1372,6 +1376,30 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q128_cdc_apply" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, o_totalprice FROM orders WHERE o_orderkey % 10 = 0),
+        |log AS (
+        | SELECT k, 1 AS seq, 'I' AS op, o_totalprice AS v FROM base
+        | UNION ALL SELECT k, 2, 'U', o_totalprice + 10.0 FROM base WHERE k % 3 = 0
+        | UNION ALL SELECT k, 3, 'D', NULL FROM base WHERE k % 7 = 0),
+        |latest AS (
+        | SELECT k, op, v, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        | FROM log)
+        |SELECT k, op AS last_op, v FROM latest
+        |WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
+    "q129_mad_outliers" ->
+      """WITH med AS (
+        | SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |mad AS (
+        | SELECT e.event_type, median(abs(e.value - m.med)) AS mad, max(m.med) AS med
+        | FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(max(m.med), 4) AS med, round(max(m.mad), 4) AS mad,
+        | CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q127_pack_sequences" ->
       """WITH tok AS (
         | SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -165,4 +165,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows("2_click_after_view") >= rows("3_purchase_after_click"))
     assert(rows("3_purchase_after_click") > 0, "fixture has no full conversions")
   }
+
+  test("q128 cdcApply: deletes drop keys, updates win over inserts, payloads exact") {
+    val out = Queries.cdcApply(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(base.nonEmpty)
+    base.foreach { case (k, price) =>
+      if (k % 7 == 0) assert(!out.contains(k), s"key $k had a terminal D but survived")
+      else if (k % 3 == 0) assert(out(k) == ("U", price + 10.0), s"key $k update lost")
+      else assert(out(k) == ("I", price), s"key $k base insert mutated")
+    }
+    assert(out.keySet == base.keySet.filterNot(_ % 7 == 0), "extra keys materialized")
+    assert(base.keys.exists(_ % 7 == 0), "fixture has no deletes; test is vacuous")
+    assert(base.keys.exists(k => k % 3 == 0 && k % 7 != 0), "fixture has no surviving updates")
+  }
+
+  test("q129 madOutliers: med/mad are the true medians and the outlier count is exact") {
+    val out = Queries.madOutliers(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    def median(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    assert(out.nonEmpty && out.length == ev.size)
+    out.foreach { case (t, (n, med, mad, nOut)) =>
+      val xs = ev(t)
+      assert(n == xs.length)
+      val trueMed = median(xs)
+      val trueMad = median(xs.map(x => math.abs(x - trueMed)).sorted)
+      assert(math.abs(med - trueMed) <= 1e-4 + 5e-5 * math.abs(trueMed), s"$t med")
+      assert(math.abs(mad - trueMad) <= 1e-4 + 5e-5 * math.abs(trueMad), s"$t mad")
+      val expected = xs.count(x => math.abs(x - trueMed) > 3 * 1.4826 * trueMad)
+      assert(nOut == expected, s"$t outliers: got $nOut want $expected")
+    }
+    assert(out.map(_._2._4).sum > 0, "fixture has no MAD outliers; test is vacuous")
+  }
 }
