@@ -1839,6 +1839,53 @@ object Queries {
       .orderBy(col("k"))
   }
 
+  /** Corpus boilerplate suppression — drop every occurrence of any aligned
+    * 3-token segment present in more than 2 distinct documents (the
+    * CCNet-style frequency cut; q89 is the first-wins variant that always
+    * keeps a carrier copy). See [[graft.operators.Dedup.suppressBoilerplate]]
+    * for the broadcast-anti-join scale argument.
+    */
+  def boilerplateSuppress(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .suppressBoilerplate(t(spark, dir, "documents"), "doc_id", "text",
+        window = 3, maxDf = 2)
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+      .orderBy(col("doc_id"))
+
+  /** Interval-union coverage (sweep line) — merge overlapping per-user
+    * activity intervals and report how much wall-clock each user actually
+    * covered: the gaps-and-islands shape that sessionization (q42)
+    * approximates with a fixed gap, done exactly from explicit interval
+    * endpoints. Intervals are derived deterministically from events
+    * (start = event epoch-second, duration = (event_id mod 7 + 1)
+    * minutes). An interval opens a new island iff its start exceeds the
+    * running max end of everything before it (running max over a sort
+    * within the user partition — scan-local after ONE shuffle on
+    * user_id; every stage through the final per-user rollup reuses that
+    * partitioning, and integer epoch-seconds keep both engines bit-exact).
+    */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val iv = t(spark, dir, "events").select(
+      col("user_id"), col("event_id"),
+      col("ts").cast("long").as("s"),
+      (col("ts").cast("long") + (col("event_id") % 7 + 1) * 60).as("e"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("new_island",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("e")) - min(col("s"))).as("span"), count(lit(1)).as("n"))
+    islands.groupBy(col("user_id"))
+      .agg(
+        sum(col("n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("span")).as("covered_sec"))
+      .orderBy(col("user_id"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

@@ -231,7 +231,11 @@ object SparkEntry {
     // CDC changelog apply: latest-op-wins MERGE with delete semantics
     "q128_cdc_apply"         -> Queries.cdcApply _,
     // robust outliers by median absolute deviation (heavy-tail-safe q116)
-    "q129_mad_outliers"      -> Queries.madOutliers _
+    "q129_mad_outliers"      -> Queries.madOutliers _,
+    // boilerplate suppression: df-threshold segment cut (CCNet shape)
+    "q130_boilerplate"       -> Queries.boilerplateSuppress _,
+    // sweep-line interval union: merged coverage + island count per user
+    "q131_interval_coverage" -> Queries.intervalCoverage _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1376,6 +1380,60 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q131_interval_coverage" ->
+      """WITH iv AS (
+        | SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+        |  CAST(epoch_us(ts) // 1000000 + (event_id % 7 + 1) * 60 AS BIGINT) AS e
+        | FROM events),
+        |flagged AS (
+        | SELECT user_id, s, e, event_id,
+        |  CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |       THEN 1 ELSE 0 END AS new_island
+        | FROM iv
+        | WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |islands AS (
+        | SELECT user_id, s, e,
+        |  sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM flagged),
+        |per_island AS (
+        | SELECT user_id, island, max(e) - min(s) AS span, count(*) AS n
+        | FROM islands GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        | CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(span) AS BIGINT) AS covered_sec
+        |FROM per_island GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q130_boilerplate" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split(text, ' ') AS t,
+        |   CAST(floor(len(string_split(text, ' ')) / 3) AS INT) AS nseg
+        | FROM documents),
+        |segs AS (
+        | SELECT doc_id,
+        |   unnest(range(0, nseg)) AS idx,
+        |   unnest(list_transform(range(0, nseg),
+        |     i -> array_to_string(t[i*3+1 : i*3+3], ' '))) AS seg
+        | FROM base),
+        |hot AS (
+        | SELECT seg FROM (
+        |   SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+        | WHERE df > 2),
+        |body AS (
+        | SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS b, count(*) AS kept
+        | FROM segs WHERE seg NOT IN (SELECT seg FROM hot) GROUP BY 1),
+        |tails AS (
+        | SELECT doc_id, array_to_string(t[nseg*3+1 : len(t)], ' ') AS tl,
+        |   CAST(nseg AS BIGINT) AS total
+        | FROM base)
+        |SELECT t.doc_id,
+        | CASE WHEN coalesce(b, '') <> '' AND coalesce(tl, '') <> '' THEN b || ' ' || tl
+        |      WHEN coalesce(b, '') <> '' THEN b
+        |      ELSE coalesce(tl, '') END AS clean_text,
+        | total - coalesce(kept, 0) AS n_removed
+        |FROM tails t LEFT JOIN body USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q128_cdc_apply" ->
       """WITH base AS (
         | SELECT o_orderkey AS k, o_totalprice FROM orders WHERE o_orderkey % 10 = 0),

@@ -489,19 +489,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
                     window: Int = 3): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    val toks = split(col(textCol), " ")
-    val nseg = (size(toks) / window).cast("int")
-    // aligned segments [i*window, (i+1)*window); sequence(1, 0) would
-    // descend, so guard the empty case explicitly
-    val segs = when(col("__nseg") > 0,
-      transform(sequence(lit(0), col("__nseg") - 1),
-        i => concat_ws(" ", slice(col("__toks"), i * window + 1, lit(window)))))
-      .otherwise(array().cast("array<string>"))
-    val exploded = docs
-      .select(col(idCol).as("id"), toks.as("__toks"), nseg.as("__nseg"))
-      .select(col("id"), posexplode_outer(segs).as(Seq("idx", "seg")))
-      .filter(col("seg").isNotNull)
+    val exploded = explodedSegments(docs, idCol, textCol, window)
     // first occurrence of each segment: min (doc_id, idx) — a plain
     // aggregation (combinable, map-side partial), not a window over the
     // segment partition
@@ -512,6 +500,63 @@ object Dedup extends org.apache.spark.internal.Logging {
     val kept = exploded.join(winners,
         col("seg") === col("wseg") && col("id") === col("wid") && col("idx") === col("widx"),
         "left_semi")
+    rebuildFromSegments(docs, kept, idCol, textCol, window)
+  }
+
+  /** CCNet-style boilerplate suppression — the frequency-threshold sibling
+    * of [[dedupSegments]]: a segment occurring in MORE than `maxDf`
+    * distinct documents is boilerplate (headers, license blocks, nav
+    * chrome) and every occurrence of it is dropped — including the first,
+    * unlike first-wins segment dedup, which always keeps a carrier copy.
+    * Segments at or under the threshold keep all their occurrences
+    * (within-document repetition is untouched — that is q73's signal,
+    * not boilerplate).
+    *
+    * Output: (id, clean_text, n_removed), one row per input document.
+    *
+    * Scale posture: same single-scan explode as [[dedupSegments]]; the df
+    * count is a combinable countDistinct-style aggregate over (seg, id)
+    * pairs, and the hot set it produces is TINY by construction (only
+    * segments in > maxDf docs), so the suppression join broadcasts at any
+    * corpus size — the one shape where the skewed side of a dedup join is
+    * guaranteed small.
+    */
+  def suppressBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int = 3, maxDf: Long = 2): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val exploded = explodedSegments(docs, idCol, textCol, window)
+    val hot = exploded.select(col("seg"), col("id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("seg"))
+    val kept = exploded.join(broadcast(hot), Seq("seg"), "left_anti")
+    rebuildFromSegments(docs, kept, idCol, textCol, window)
+  }
+
+  /** One row per aligned `window`-token segment: (id, idx, seg). */
+  private def explodedSegments(docs: DataFrame, idCol: String,
+                               textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = split(col(textCol), " ")
+    val nseg = (size(toks) / window).cast("int")
+    // aligned segments [i*window, (i+1)*window); sequence(1, 0) would
+    // descend, so guard the empty case explicitly
+    val segs = when(col("__nseg") > 0,
+      transform(sequence(lit(0), col("__nseg") - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * window + 1, lit(window)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).as("id"), toks.as("__toks"), nseg.as("__nseg"))
+      .select(col("id"), posexplode_outer(segs).as(Seq("idx", "seg")))
+      .filter(col("seg").isNotNull)
+  }
+
+  /** Reassemble (id, clean_text, n_removed) from surviving segment rows. */
+  private def rebuildFromSegments(docs: DataFrame, kept: DataFrame,
+                                  idCol: String, textCol: String,
+                                  window: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nseg = (size(toks) / window).cast("int")
     val rebuilt = kept
       .groupBy(col("id"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("seg")))),

@@ -208,4 +208,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(out.map(_._2._4).sum > 0, "fixture has no MAD outliers; test is vacuous")
   }
+
+  test("q131 intervalCoverage matches a brute-force sweep per user") {
+    val out = Queries.intervalCoverage(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val iv = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts").cast("long").as("s"),
+        (col("ts").cast("long") + (col("event_id") % 7 + 1) * 60).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet == iv.keySet)
+    var sawMerge = false
+    iv.foreach { case (u, rows) =>
+      val sorted = rows.map(x => (x._2, x._3)).sortBy(identity)
+      // brute sweep: fold sorted intervals into disjoint islands
+      val islands = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc @ ((s0, e0) :: rest), (s, e)) =>
+          if (s <= e0) (s0, math.max(e0, e)) :: rest else (s, e) :: acc
+        case (Nil, x) => List(x)
+      }
+      val (n, nIsl, cov) = out(u)
+      assert(n == rows.size, s"user $u interval count")
+      assert(nIsl == islands.size, s"user $u islands: got $nIsl want ${islands.size}")
+      assert(cov == islands.map(i => i._2 - i._1).sum, s"user $u coverage")
+      if (islands.size < rows.size) sawMerge = true
+    }
+    assert(sawMerge, "fixture has no overlapping intervals; test is vacuous")
+  }
 }

@@ -137,6 +137,33 @@ class ExactJaccardBloomSpec extends SparkSpec {
       "no-dup corpus must reconstruct verbatim")
   }
 
+  test("suppressBoilerplate drops ALL occurrences of over-threshold segments, carrier included") {
+    val corpus = Seq(
+      (1L, "h d r a b c d e f"),  // "h d r" boilerplate; carrier of "a b c"/"d e f" dups
+      (2L, "h d r a b c p q r"),  // boilerplate + one dup segment (df=2, kept)
+      (3L, "h d r x y z w w w"),  // boilerplate + unique segments
+      (4L, "m n")                 // sub-window: pure tail, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.suppressBoilerplate(corpus, "doc_id", "text", window = 3, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // "h d r" is in 3 docs (> maxDf=2): removed everywhere, first doc included
+    assert(out(1L) == ("a b c d e f", 1L), "boilerplate must not keep a carrier")
+    // "a b c" df=2 <= maxDf: kept in BOTH docs (no first-wins collapse)
+    assert(out(2L) == ("a b c p q r", 1L))
+    assert(out(3L) == ("x y z w w w", 1L))
+    assert(out(4L) == ("m n", 0L), "sub-window doc survives as pure tail")
+  }
+
+  test("suppressBoilerplate is the identity when no segment exceeds the df threshold") {
+    val corpus = (0 until 30)
+      .map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"))
+      .toDF("doc_id", "text")
+    val out = Dedup.suppressBoilerplate(corpus, "doc_id", "text", window = 3, maxDf = 2)
+    val joined = corpus.join(out, corpus("doc_id") === out("id"))
+    assert(joined.filter(col("clean_text") =!= col("text") || col("n_removed") =!= 0).count() == 0,
+      "under-threshold corpus must reconstruct verbatim")
+  }
+
   test("textFuzzyJoin matches brute-force cross-table pairs exactly") {
     val left = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
