@@ -1886,6 +1886,24 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Damped PageRank (3 power-iteration steps) over the user
+    * co-occurrence graph: an edge u→v for each consecutive (u, v) pair in
+    * an event_type stream ordered by (ts, event_id). The edge builder is
+    * one window pass; the iteration is [[graft.operators.Graph.pageRank]]
+    * (two exchanges per superstep, checkpointed lineage). Hash-checked
+    * against a DuckDB replay of the identical synchronous update,
+    * dangling-mass redistribution included.
+    */
+  def linkRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val edges = t(spark, dir, "events")
+      .select(col("user_id").as("src"), lead(col("user_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+      .select(col("node").as("user_id"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("user_id"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

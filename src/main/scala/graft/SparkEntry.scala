@@ -235,7 +235,9 @@ object SparkEntry {
     // boilerplate suppression: df-threshold segment cut (CCNet shape)
     "q130_boilerplate"       -> Queries.boilerplateSuppress _,
     // sweep-line interval union: merged coverage + island count per user
-    "q131_interval_coverage" -> Queries.intervalCoverage _
+    "q131_interval_coverage" -> Queries.intervalCoverage _,
+    // damped PageRank over the user co-occurrence graph (3 supersteps)
+    "q132_link_rank"         -> Queries.linkRank _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -306,6 +308,42 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(len(str_split(trim(repr), ' '))) AS BIGINT) AS n_tokens
         |FROM enc$k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.pageRank]] over the
+    * q132 co-occurrence edges: one (dangling-mass, synchronous-update) CTE
+    * pair per iteration. The damping constants are interpolated from the
+    * same Scala doubles the Spark plan uses, so both engines evaluate
+    * bit-identical literals ((1 - 0.85) in DuckDB would be DECIMAL 0.15
+    * exactly, not the IEEE 0.15000000000000002 the Scala side folds in).
+    */
+  private def pageRankOracleSql(iters: Int, damping: Double = 0.85): String = {
+    val head =
+      """WITH edges AS MATERIALIZED (
+        | SELECT src, dst FROM (
+        |  SELECT user_id AS src,
+        |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+        |  FROM events)
+        | WHERE dst IS NOT NULL AND src <> dst),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s""",
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dm FROM r$i
+        | WHERE node NOT IN (SELECT src FROM deg)),
+        |r${i + 1} AS MATERIALIZED (
+        | SELECT n.node,
+        |  ${1 - damping}/(SELECT n FROM nn) + $damping *
+        |   (coalesce(c.inr, 0) + (SELECT dm FROM d$i)/(SELECT n FROM nn)) AS rank
+        | FROM nodes n LEFT JOIN (
+        |   SELECT e.dst AS node, sum(r.rank / d.deg) AS inr
+        |   FROM edges e JOIN r$i r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |   GROUP BY 1) c ON n.node = c.node)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT node AS user_id, round(rank, 8) AS rank FROM r$iters ORDER BY node"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1380,6 +1418,7 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q132_link_rank" -> pageRankOracleSql(3),
     "q131_interval_coverage" ->
       """WITH iv AS (
         | SELECT user_id, event_id,
