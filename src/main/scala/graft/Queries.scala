@@ -1904,6 +1904,45 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Zone-map manifest + skip decision — per-shard min/max stats over a
+    * range-clustered layout of the order-day key, with the scan/skip
+    * verdict for a fixed 3-month predicate and the per-shard matching-row
+    * count proving skipped shards lose nothing (n_match = 0 wherever
+    * scanned = 0 — the data-skipping soundness invariant, also asserted
+    * in ZoneMapSpec against a physically pruned read). See
+    * [[graft.operators.ZoneMap]] for the layout/scan machinery.
+    */
+  def zoneMapSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1992-01-01").cast("date")).cast("long")
+    val days = t(spark, dir, "orders").select(day.as("day"))
+    val sharded = graft.operators.ZoneMap.withShard(days, "day", 16)
+    val epoch = lit("1992-01-01").cast("date")
+    val lo = datediff(lit("1995-03-01").cast("date"), epoch).cast("long")
+    val hi = datediff(lit("1995-05-31").cast("date"), epoch).cast("long")
+    sharded.groupBy(col("zshard"))
+      .agg(
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("day").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("scanned", (col("max_day") >= lo && col("min_day") <= hi).cast("long"))
+      .orderBy(col("zshard"))
+  }
+
+  /** Weighted sampling without replacement — 20 documents per source,
+    * inclusion probability proportional to length (n_chars), via the
+    * deterministic A-Res ranking in
+    * [[graft.operators.Sampling.weightedSample]]. The DuckDB oracle
+    * replays the identical multiply–xorshift uniform and rounded rank
+    * key, so the exact sample membership hash-matches.
+    */
+  def weightedSampleTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars", k = 20)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"), col("skey"))
+      .orderBy(col("source"), col("rk"))
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

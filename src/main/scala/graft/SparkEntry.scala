@@ -237,7 +237,11 @@ object SparkEntry {
     // sweep-line interval union: merged coverage + island count per user
     "q131_interval_coverage" -> Queries.intervalCoverage _,
     // damped PageRank over the user co-occurrence graph (3 supersteps)
-    "q132_link_rank"         -> Queries.linkRank _
+    "q132_link_rank"         -> Queries.linkRank _,
+    // zone-map manifest + range-predicate skip decision (data skipping)
+    "q133_zone_map"          -> Queries.zoneMapSkipping _,
+    // A-Res weighted sampling: k per source, probability ∝ length
+    "q134_weighted_sample"   -> Queries.weightedSampleTopk _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1419,6 +1423,44 @@ object SparkEntry {
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q132_link_rank" -> pageRankOracleSql(3),
+    // Same multiply–xorshift mix as q65 (salt 42); ln of the (0,1]
+    // uniform over weight, rounded to 12 decimals BEFORE ranking (the
+    // BM25 trick) so a <=1-ulp ln() difference can't flip the sample.
+    "q134_weighted_sample" ->
+      """WITH m AS (
+        | SELECT doc_id, source, n_chars, xor(m2, m2 >> 13) AS mix FROM (
+        |  SELECT doc_id, source, n_chars,
+        |   (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2 FROM (
+        |   SELECT doc_id, source, n_chars,
+        |    (((doc_id + 42) % 2147483648) * 2654435761) % 2147483648 AS m1
+        |   FROM documents WHERE n_chars > 0))),
+        |keyed AS (
+        | SELECT doc_id, source, n_chars,
+        |  round(ln(CAST(mix + 1 AS DOUBLE) / 2147483648.0) / n_chars, 12) AS skey
+        | FROM m),
+        |ranked AS (
+        | SELECT source, doc_id, n_chars, skey,
+        |  row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rk
+        | FROM keyed)
+        |SELECT source, rk, doc_id, n_chars, skey FROM ranked
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    "q133_zone_map" ->
+      """WITH days AS (
+        | SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+        | FROM orders),
+        |dom AS (SELECT min(day) AS dmin, max(day) AS dmax FROM days),
+        |sh AS (
+        | SELECT ((day - dmin) * 16) // (dmax - dmin + 1) AS zshard, day,
+        |  date_diff('day', DATE '1992-01-01', DATE '1995-03-01') AS lo,
+        |  date_diff('day', DATE '1992-01-01', DATE '1995-05-31') AS hi
+        | FROM days, dom)
+        |SELECT zshard,
+        | min(day) AS min_day, max(day) AS max_day,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN day BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        | CAST(CASE WHEN max(day) >= max(lo) AND min(day) <= max(hi)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS scanned
+        |FROM sh GROUP BY zshard ORDER BY zshard""".stripMargin,
     "q131_interval_coverage" ->
       """WITH iv AS (
         | SELECT user_id, event_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset splitting.
@@ -156,5 +157,37 @@ object Sampling {
         when(col(stratumCol) === lit(stratum), lit(math.round(f * buckets))).otherwise(acc)
     }
     df.filter(bucketOf(col(idCol), buckets, salt) < threshold)
+  }
+
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis A-Res scheme: rank every row by a key that is
+    * monotone in u^(1/w) (computed as ln(u)/w — same order, half the
+    * transcendental calls) where u is the row's deterministic uniform
+    * from [[mixOf]], and keep the top k. Higher weight ⇒ higher expected
+    * key ⇒ higher inclusion probability, exactly proportional for the
+    * standard A-Res guarantee. Deterministic end to end (same id + salt
+    * ⇒ same sample on any layout), and the key is ROUNDED to 12 decimals
+    * before ranking with an id tie-break — the BM25 trick that makes the
+    * order immune to ≤1-ulp `ln` differences across engines.
+    *
+    * Scale posture: the key is scan-local; the only exchange is the
+    * per-stratum top-k window, which TakeOrdered-style partial top-k
+    * handles map-side at 100 TB (k rows per partition survive the
+    * shuffle when k ≪ partition size).
+    *
+    * Output: input columns + `skey` (the rounded rank key) + `rk`
+    * (1-based rank within the stratum). Rows with weight ≤ 0 are
+    * excluded (zero-weight rows can never be sampled; negative weights
+    * are undefined under A-Res).
+    */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+                     weightCol: String, k: Int, salt: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (mixOf(col(idCol), salt) + lit(1)).cast("double") / lit(M31.toDouble)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("skey").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", round(log(u) / col(weightCol), 12))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
   }
 }

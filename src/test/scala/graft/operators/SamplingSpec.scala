@@ -118,6 +118,40 @@ class SamplingSpec extends SparkSpec {
     assert(unsat.count() == 0, "a positive-weight stratum with no rows makes the recipe unsatisfiable")
   }
 
+  test("weightedSample: k per stratum, deterministic, and weight-proportional") {
+    val rows = (0L until 400L).map { i =>
+      val stratum = if (i % 2 == 0) "a" else "b"
+      val weight = if (i < 200) 10L else 1L // first half heavy in both strata
+      (i, stratum, weight)
+    }.toDF("id", "s", "w")
+    val run1 = Sampling.weightedSample(rows, "id", "s", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    val run2 = Sampling.weightedSample(rows, "id", "s", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(run1 == run2, "sample must be deterministic")
+    assert(run1.size == 40, "exactly k per stratum when strata are large enough")
+    val heavy = run1.count(_ < 200L)
+    assert(heavy > run1.size / 2,
+      s"10x-weighted half holds only $heavy of ${run1.size} slots")
+  }
+
+  test("weightedSample: overwhelming weight is always included; zero weight never") {
+    val rows = ((0L until 100L).map(i => (i, "x", 1L)) :+ ((500L, "x", 1000000L))
+      :+ ((501L, "x", 0L))).toDF("id", "s", "w")
+    val got = Sampling.weightedSample(rows, "id", "s", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(500L), "a 10^6-weight item must make a top-5 of 100 unit weights")
+    assert(!got.contains(501L), "zero-weight rows can never be sampled")
+    assert(got.size == 5)
+  }
+
+  test("weightedSample: a stratum smaller than k returns whole stratum, ranked") {
+    val rows = Seq((1L, "tiny", 5L), (2L, "tiny", 7L)).toDF("id", "s", "w")
+    val got = Sampling.weightedSample(rows, "id", "s", "w", k = 20).collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2))
+  }
+
   test("mixOf is a total deterministic shuffle key: no collisions on a dense range") {
     val keys = ids.select(Sampling.mixOf(col("id")).as("k"))
     assert(keys.distinct().count() == 10000, "mix must be injective on 31-bit ids")
