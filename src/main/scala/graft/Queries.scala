@@ -1943,6 +1943,27 @@ object Queries {
       .select(col("source"), col("rk"), col("doc_id"), col("n_chars"), col("skey"))
       .orderBy(col("source"), col("rk"))
 
+  /** Text canonicalization for dedup keys — the native `canon_text`
+    * expression (lowercase → NFKD → strip marks → non-alphanumeric runs
+    * to single spaces → trim) applied corpus-wide, emitting the
+    * canonical-form md5 each exact-dedup family would key on plus the
+    * canonical token count. Scan-local (one code-point loop per row, no
+    * regex, no shuffle before the output sort). The corpus is ASCII so
+    * the DuckDB oracle replays the ASCII projection of the same rules;
+    * the Unicode behavior (diacritics, ligatures, non-BMP letters) is
+    * pinned by NativeTextExpressionsSpec.
+    */
+  def canonicalText(spark: SparkSession, dir: String): DataFrame = {
+    NativeTextExpressions.register(spark)
+    t(spark, dir, "documents")
+      .withColumn("canon", expr("canon_text(text)"))
+      .select(col("doc_id"),
+        md5(col("canon").cast("binary")).as("canon_md5"),
+        when(length(col("canon")) === 0, 0L)
+          .otherwise(size(split(col("canon"), " ")).cast("long")).as("n_tokens_canon"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

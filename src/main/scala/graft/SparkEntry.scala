@@ -241,7 +241,9 @@ object SparkEntry {
     // zone-map manifest + range-predicate skip decision (data skipping)
     "q133_zone_map"          -> Queries.zoneMapSkipping _,
     // A-Res weighted sampling: k per source, probability ∝ length
-    "q134_weighted_sample"   -> Queries.weightedSampleTopk _
+    "q134_weighted_sample"   -> Queries.weightedSampleTopk _,
+    // native canon_text: the canonical dedup key (md5 + token count)
+    "q135_canonical_text"    -> Queries.canonicalText _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1423,6 +1425,18 @@ object SparkEntry {
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q132_link_rank" -> pageRankOracleSql(3),
+    // ASCII projection of canon_text (the corpus is [a-z0-9 ] only —
+    // verified across SFs): non-alphanumeric runs to one space + trim.
+    // Unicode semantics are spec-pinned, not oracle-checked.
+    "q135_canonical_text" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))) AS canon_md5,
+        | CASE WHEN len(trim(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))) = 0
+        |      THEN 0
+        |      ELSE CAST(len(string_split(
+        |        trim(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT)
+        | END AS n_tokens_canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Same multiply–xorshift mix as q65 (salt 42); ln of the (0,1]
     // uniform over weight, rounded to 12 decimals BEFORE ranking (the
     // BM25 trick) so a <=1-ulp ln() difference can't flip the sample.

@@ -437,6 +437,54 @@ object NativeTextExpressions {
   }
 
   /** Register every native function on the session (idempotent). */
+  /** Unicode canonical form for dedup/join keys: lowercase → NFKD
+    * decomposition → drop combining marks (é→e, ﬁ→fi via the
+    * compatibility mapping) → every non-alphanumeric run becomes one
+    * space → trim. One code-point loop per row (surrogate-pair safe, so
+    * non-BMP letters survive), no regex engine in the hot path. The
+    * canonical form is what exact-dedup families (q30, q77) should key
+    * on when the corpus carries case/diacritic/punctuation noise —
+    * without it "Café  Noir!" and "cafe noir" land in different buckets.
+    */
+  case class CanonText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "canon_text"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"canon_text expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      // NFKD BEFORE lowercasing: compatibility forms can decompose to
+      // uppercase (𝒜 → A), which a pre-normalization lowercase would miss
+      val norm = java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFKD)
+        .toLowerCase(java.util.Locale.ROOT)
+      val sb = new java.lang.StringBuilder(norm.length)
+      var pendingSpace = false
+      var i = 0
+      while (i < norm.length) {
+        val cp = norm.codePointAt(i)
+        val t = Character.getType(cp)
+        if (t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+            t == Character.ENCLOSING_MARK) {
+          () // dropped diacritic: not a separator, not emitted
+        } else if (Character.isLetterOrDigit(cp)) {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.appendCodePoint(cp)
+        } else {
+          pendingSpace = true
+        }
+        i += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -453,5 +501,6 @@ object NativeTextExpressions {
     add("stopword_count_native", c => StopwordCount(c.head))
     add("punct_ratio_native", c => PunctRatio(c.head))
     add("deflate_len", c => DeflateLen(c.head, litInt(c(1), "level")))
+    add("canon_text", c => CanonText(c.head))
   }
 }

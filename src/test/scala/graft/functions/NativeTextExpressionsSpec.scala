@@ -165,6 +165,39 @@ class NativeTextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("canon_text: case, diacritics, ligatures, punctuation runs, non-BMP, CJK") {
+    withNative {
+      val in = Seq(
+        "Café  Noir!",     // accent + case + double space + punct
+        "ﬁle-system",      // ligature ﬁ decomposes to fi (NFKD compat)
+        "a🙂b",  // emoji is a separator, not a letter
+        "漢字 テスト", // CJK + katakana survive untouched
+        "𝒜𝓑", // non-BMP math letters → "ab" (NFKD then lower)
+        "  !!  ",          // pure separators canonicalize to empty
+        "Ångström"         // Å → a (ring dropped), ö → o
+      ).toDF("t")
+      val got = in.select(expr("canon_text(t)")).collect().map(_.getString(0))
+      assert(got(0) == "cafe noir", s"got '${got(0)}'")
+      assert(got(1) == "file system", s"got '${got(1)}'")
+      assert(got(2) == "a b", s"got '${got(2)}'")
+      assert(got(3) == "漢字 テスト", s"got '${got(3)}'")
+      assert(got(4) == "ab", s"got '${got(4)}'")
+      assert(got(5) == "", s"got '${got(5)}'")
+      assert(got(6) == "angstrom", s"got '${got(6)}'")
+    }
+  }
+
+  test("canon_text: null-safe, idempotent, and ASCII-identity on clean text") {
+    withNative {
+      val rows = Seq(Some("already clean text 123"), None).toDF("t")
+        .select(expr("canon_text(t)").as("a"), expr("canon_text(canon_text(t))").as("b"))
+        .collect()
+      assert(rows(0).getString(0) == "already clean text 123")
+      assert(rows(0).getString(0) == rows(0).getString(1), "must be idempotent")
+      assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    }
+  }
+
   test("deflate_len: null-safe, deterministic across evaluations, empty string") {
     withNative {
       val df = Seq(Some("abc abc abc"), None, Some("")).toDF("t")
