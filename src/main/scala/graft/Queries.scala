@@ -1964,6 +1964,68 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Prefix-filtered set-similarity join — exact 3-gram-Jaccard ≥ 0.6
+    * pairs via [[graft.operators.PrefixJoin.jaccardPrefixJoin]]: q80's
+    * gram domain and answer, but candidates come from rarest-gram
+    * prefixes instead of the full inverted index, lossless at the
+    * threshold by the prefix-filtering bound. Hash-checked against a
+    * brute-force DuckDB pair computation; the recall-1.0 and pruning
+    * gates live in PrefixJoinSpec.
+    */
+  def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixJoin
+      .jaccardPrefixJoin(t(spark, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, n = 3)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Pairwise co-occurrence mining (frequent 2-itemsets): parts ordered
+    * together, ranked by basket count — the association shape behind
+    * "customers also bought" and feature co-occurrence stats. The basket
+    * self-join is keyed on the order, and TPC-H baskets are bounded
+    * (≤7 items), so per-key fan-out is O(items²) with a small constant;
+    * the pair count is combinable (map-side partial) and the top-20 is a
+    * TakeOrdered, never a global sort. At 100 TB the same plan holds as
+    * long as basket size stays bounded — the degenerate giant-basket case
+    * is exactly what q126's skew report detects.
+    */
+  def coOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Sequence-pattern matching over per-user event journeys — the
+    * MATCH_RECOGNIZE-lite shape: each user's events collapse to an
+    * ordered type string (one char per event, (ts, event_id) order — the
+    * q42 convention) and regex classes count users per journey pattern,
+    * including a negative condition ("conversion with no error in
+    * between") that the q117 funnel's per-stage windows cannot express.
+    * One shuffle on user_id; the per-user string is bounded by the
+    * user's event count; four pattern counts ride ONE aggregation pass.
+    */
+  def sequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        x => x.getField("c")), "").as("seq"))
+    def n(re: String) = sum(when(col("seq").rlike(re), 1L).otherwise(0L))
+    seqs.agg(
+      count(lit(1)).as("n_users"),
+      n("v.*c.*p").as("conversion"),
+      n("v[^e]*c[^e]*p").as("error_free_conversion"),
+      n("^s").as("signup_first"),
+      n("ee").as("repeated_errors"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

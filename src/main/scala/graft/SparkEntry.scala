@@ -243,7 +243,13 @@ object SparkEntry {
     // A-Res weighted sampling: k per source, probability ∝ length
     "q134_weighted_sample"   -> Queries.weightedSampleTopk _,
     // native canon_text: the canonical dedup key (md5 + token count)
-    "q135_canonical_text"    -> Queries.canonicalText _
+    "q135_canonical_text"    -> Queries.canonicalText _,
+    // prefix-filtered exact Jaccard join (PPJoin-style candidate pruning)
+    "q136_prefix_join"       -> Queries.prefixJaccardJoin _,
+    // frequent 2-itemsets: parts co-ordered in the same basket, top-20
+    "q137_co_occurrence"     -> Queries.coOccurrence _,
+    // MATCH_RECOGNIZE-lite: regex classes over per-user journey strings
+    "q138_sequence_match"    -> Queries.sequenceMatch _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1425,6 +1431,57 @@ object SparkEntry {
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q132_link_rank" -> pageRankOracleSql(3),
+    "q137_co_occurrence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b
+        | ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // Journey string = one char per event in (ts, event_id) order (the
+    // cross-engine sequencing convention); both regex engines treat these
+    // patterns identically (unanchored contains, char classes, ^ anchor).
+    "q138_sequence_match" ->
+      """WITH seqs AS (
+        | SELECT user_id,
+        |  string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        | FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS conversion,
+        | CAST(sum(CASE WHEN regexp_matches(seq, 'v[^e]*c[^e]*p') THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS error_free_conversion,
+        | CAST(sum(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS signup_first,
+        | CAST(sum(CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS repeated_errors
+        |FROM seqs""".stripMargin,
+    // Brute-force pair oracle (q80 stance, same clipped-3-gram domain):
+    // the prefix filter is an ALGORITHM for the same exact answer, so the
+    // oracle needn't know it.
+    "q136_prefix_join" ->
+      """WITH tok AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 3, 0) + 2),
+        |   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        | FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        | FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     // ASCII projection of canon_text (the corpus is [a-z0-9 ] only —
     // verified across SFs): non-alphanumeric runs to one space + trim.
     // Unicode semantics are spec-pinned, not oracle-checked.

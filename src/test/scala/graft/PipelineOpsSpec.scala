@@ -235,4 +235,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(sawMerge, "fixture has no overlapping intervals; test is vacuous")
   }
+
+  test("q137 coOccurrence: top-20 matches a brute-force basket recount") {
+    val got = Queries.coOccurrence(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    got.foreach { case (a, b, _) => assert(a < b, "pair must be ordered") }
+    val baskets = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val brute = baskets.flatMap(items =>
+        for (i <- items.indices; j <- i + 1 until items.length) yield (items(i), items(j)))
+      .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSeq.sortBy(t => (-t._3, t._1, t._2)).take(20)
+    assert(got.toSeq == brute, s"got ${got.toSeq.take(3)}..., brute ${brute.take(3)}...")
+  }
+
+  test("q138 sequenceMatch: counts equal a local regex replay and nest correctly") {
+    val r = Queries.sequenceMatch(spark, sf0001).first()
+    val (nUsers, conv, errFree, signup, errs) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val seqs = Tables(spark, sf0001, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1), x.getLong(2), x.getString(3)))
+      .groupBy(_._1).map { case (_, es) =>
+        es.sortBy(e => (e._2.getTime * 1000 + e._2.getNanos / 1000, e._3))
+          .map(_._4.head).mkString
+      }.toSeq
+    assert(nUsers == seqs.length)
+    def c(re: String) = seqs.count(s => re.r.findFirstIn(s).isDefined).toLong
+    assert(conv == c("v.*c.*p"))
+    assert(errFree == c("v[^e]*c[^e]*p"))
+    assert(signup == c("^s"))
+    assert(errs == c("ee"))
+    assert(errFree <= conv, "the constrained pattern can never exceed the free one")
+    assert(conv > 0 && errFree < conv,
+      "fixture must have conversions AND at least one errored conversion")
+  }
 }

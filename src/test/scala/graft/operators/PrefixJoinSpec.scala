@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrefixJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gramSet(text: String, n: Int): Set[String] = {
+    val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    (0 to math.max(ts.length - n, 0)).map(i => ts.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  private def bruteJaccard(a: String, b: String, n: Int): Double = {
+    val (sa, sb) = (gramSet(a, n), gramSet(b, n))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("prefix filtering is LOSSLESS on a unigram fixture: pairs and scores equal brute force") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),     // jac 4/6 = .667 with 1
+      (3L, "alpha beta gamma delta epsilon"),  // exact dup of 1
+      (4L, "one two three four five six"),
+      (5L, "one two three four five seven"),   // jac 5/7 = .714 with 4
+      (6L, "totally different words here now"),
+      (7L, "alpha one totally")                // shares tokens, low jac
+    ).toDF("doc_id", "text")
+    val t = 0.6
+    val got = PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      j = bruteJaccard(ta, tb, 1) if j >= t
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet == brute.keySet, s"got ${got.keySet}, brute ${brute.keySet}")
+    brute.foreach { case (p, j) =>
+      assert(math.abs(got(p) - j) < 1e-12, s"$p: got ${got(p)}, brute $j") }
+    assert(brute.nonEmpty, "fixture has no qualifying pairs; test is vacuous")
+  }
+
+  test("prefix filtering is lossless on the real corpus at the q136 settings (3-grams)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = 0.6
+    val got = PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      j = bruteJaccard(ta, tb, 3) if j >= t
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet == brute.keySet,
+      s"missing ${brute.keySet -- got.keySet}, extra ${got.keySet -- brute.keySet}")
+    brute.foreach { case (p, j) =>
+      assert(math.abs(got(p) - j) < 1e-12, s"$p: got ${got(p)}, brute $j") }
+    assert(brute.nonEmpty, "corpus has no qualifying 3-gram pairs at 0.6; test is vacuous")
+  }
+
+  test("3-gram prefix pruning collapses the candidate set on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (pruned, full) = PrefixJoin.candidateCounts(docs, "doc_id", "text", 0.6, n = 3)
+    assert(pruned <= full, s"prefix index grew the candidate set: $pruned > $full")
+    assert(pruned.toDouble / full < 0.5,
+      s"expected >2x candidate reduction at t=0.6 on 3-grams, got $pruned/$full")
+  }
+
+  test("long-tail vocabulary: unigram prefix pruning goes to zero where the full index is quadratic") {
+    // 3 corpus-wide stopwords + 7 unique tokens per doc: sz=10 at t=0.6
+    // keeps a 5-token prefix = exactly the unique (df=1) tokens, so NO
+    // candidate survives while the full index pairs everything via the
+    // stopwords. This is the 100 TB skew story in miniature: the hot
+    // posting lists never enter a prefix.
+    val docs = (0 until 100).map { i =>
+      (i.toLong, s"the of and u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    }.toDF("doc_id", "text")
+    val (pruned, full) = PrefixJoin.candidateCounts(docs, "doc_id", "text", 0.6, n = 1)
+    assert(full == 100L * 99 / 2, s"stopwords must pair every doc in the full index: $full")
+    assert(pruned == 0, s"df-1 prefixes cannot collide, got $pruned")
+    assert(PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 0.6, n = 1).count() == 0)
+  }
+}
