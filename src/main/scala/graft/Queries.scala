@@ -2026,6 +2026,55 @@ object Queries {
       n("ee").as("repeated_errors"))
   }
 
+  /** Trailing time-RANGE window — per event, the count and value sum of
+    * the SAME USER's events in the trailing hour: a true RANGE frame over
+    * event-time seconds (frame membership by time distance, ties included
+    * set-wise), which neither the rows-frame running total (q15) nor the
+    * hopping buckets (q111) expresses. Integer epoch-seconds keep frame
+    * membership bit-identical across engines; the frame sum is rounded.
+    * One shuffle on user_id; the frame scan is partition-local.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("sec"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3599, 0)
+    ev.select(col("user_id"), col("event_id"), col("sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("sum_1h"))
+      .orderBy(col("user_id"), col("sec"), col("event_id"))
+  }
+
+  /** Snapshot diff / reconciliation — classify every key across two table
+    * versions as added / removed / changed / unchanged (the content-level
+    * generalization of the reference's record-count reconciliation,
+    * load_tables_daily.py's post-load check). The "new" snapshot is
+    * synthesized deterministically from orders (keys ≡0 mod 13 deleted,
+    * ≡0 mod 11 re-priced, ≡0 mod 17 re-inserted under a shifted key). One
+    * full-outer join on the key — the canonical anti-entropy shape; at
+    * 100 TB both sides shuffle once on the key and the per-class rollup
+    * is combinable.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val next = o.filter(col("k") % 13 =!= 0)
+      .select(col("k"),
+        when(col("k") % 11 === 0, col("v") + 5.0).otherwise(col("v")).as("v"))
+      .unionAll(o.filter(col("k") % 17 === 0)
+        .select((col("k") + 10000000L).as("k"), col("v")))
+    val joined = o.select(col("k"), col("v").as("v_old"))
+      .join(next.select(col("k"), col("v").as("v_new")), Seq("k"), "full_outer")
+    joined.select(col("k"),
+        when(col("v_old").isNull, "added")
+          .when(col("v_new").isNull, "removed")
+          .when(col("v_old") =!= col("v_new"), "changed")
+          .otherwise("unchanged").as("class"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy(col("class"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

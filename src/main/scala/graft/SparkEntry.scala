@@ -249,7 +249,11 @@ object SparkEntry {
     // frequent 2-itemsets: parts co-ordered in the same basket, top-20
     "q137_co_occurrence"     -> Queries.coOccurrence _,
     // MATCH_RECOGNIZE-lite: regex classes over per-user journey strings
-    "q138_sequence_match"    -> Queries.sequenceMatch _
+    "q138_sequence_match"    -> Queries.sequenceMatch _,
+    // trailing 1h RANGE frame per user (time-distance window membership)
+    "q139_trailing_window"   -> Queries.trailingWindow _,
+    // snapshot diff: added/removed/changed/unchanged reconciliation
+    "q140_snapshot_diff"     -> Queries.snapshotDiff _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1431,6 +1435,33 @@ object SparkEntry {
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q132_link_rank" -> pageRankOracleSql(3),
+    "q139_trailing_window" ->
+      """SELECT user_id, event_id, sec,
+        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        | round(sum(value) OVER w, 4) AS sum_1h
+        |FROM (
+        | SELECT user_id, event_id, value,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+        | FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, sec, event_id""".stripMargin,
+    "q140_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |next AS (
+        | SELECT k, CASE WHEN k % 11 = 0 THEN v + 5.0 ELSE v END AS v
+        | FROM old WHERE k % 13 <> 0
+        | UNION ALL
+        | SELECT k + 10000000, v FROM old WHERE k % 17 = 0),
+        |joined AS (
+        | SELECT coalesce(o.k, n.k) AS k, o.v AS v_old, n.v AS v_new
+        | FROM old o FULL OUTER JOIN next n ON o.k = n.k)
+        |SELECT CASE WHEN v_old IS NULL THEN 'added'
+        |            WHEN v_new IS NULL THEN 'removed'
+        |            WHEN v_old <> v_new THEN 'changed'
+        |            ELSE 'unchanged' END AS class,
+        | CAST(count(*) AS BIGINT) AS n, min(k) AS min_key, max(k) AS max_key
+        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin,
     "q137_co_occurrence" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

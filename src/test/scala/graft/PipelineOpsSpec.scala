@@ -273,4 +273,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(conv > 0 && errFree < conv,
       "fixture must have conversions AND at least one errored conversion")
   }
+
+  test("q139 trailingWindow matches a brute-force trailing-hour recount") {
+    val got = Queries.trailingWindow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == ev.length)
+    val byUser = ev.groupBy(_._1)
+    var sawMultiRow = false
+    ev.foreach { case (u, eid, sec, _) =>
+      val frame = byUser(u).filter(e => e._3 >= sec - 3599 && e._3 <= sec)
+      val (n, s) = got((u, eid))
+      assert(n == frame.length, s"user $u event $eid: n_1h $n != ${frame.length}")
+      assert(math.abs(s - frame.map(_._4).sum) < 1e-3, s"user $u event $eid sum")
+      if (frame.length > 1) sawMultiRow = true
+    }
+    assert(sawMultiRow, "no event has trailing company; test is vacuous")
+  }
+
+  test("q140 snapshotDiff: classes partition the key space with the planted counts") {
+    val rows = Queries.snapshotDiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val keys = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added = keys.count(_ % 17 == 0).toLong
+    val removed = keys.count(_ % 13 == 0).toLong
+    val changed = keys.count(k => k % 13 != 0 && k % 11 == 0).toLong
+    val unchanged = keys.length - removed - changed
+    assert(rows("added")._1 == added)
+    assert(rows("removed")._1 == removed)
+    assert(rows("changed")._1 == changed)
+    assert(rows("unchanged")._1 == unchanged)
+    assert(rows("added")._2 >= 10000000L, "added keys live in the shifted range")
+    assert(Seq(added, removed, changed).forall(_ > 0), "a planted class is empty; test is vacuous")
+  }
 }
