@@ -2075,6 +2075,58 @@ object Queries {
       .orderBy(col("class"))
   }
 
+  /** Temperature-weighted mixture sampling — per-source sampling budgets
+    * ∝ n^0.7 (the multilingual-LLM upsampling rule: temperature flattens
+    * the head without drowning the tail), realized as deterministic
+    * hash-fraction membership per source ([[graft.operators.Sampling]]
+    * buckets, salt 42). Where q86 takes an EXPLICIT recipe, this derives
+    * the recipe from corpus counts. The α-weights ride a 1-row broadcast;
+    * selection is scan-local; `round(…, 9)` before `floor` absorbs the
+    * ≤1-ulp cross-engine `pow` difference (the q134 stance).
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(pow(col("n_docs"), 0.7)).as("wsum"))
+    val frac = counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        floor(round(pow(col("n_docs"), 0.7) / col("wsum") * 1000.0, 9))
+          .cast("long").as("n_target"))
+      .withColumn("threshold",
+        least(lit(10000L),
+          floor(round(col("n_target") * 10000.0 / col("n_docs"), 9)).cast("long")))
+    val sampled = docs.join(broadcast(frac), "source")
+      .filter(graft.operators.Sampling.bucketOf(col("doc_id")) < col("threshold"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    frac.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_target"), col("threshold"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** Document novelty scoring — the fraction of each document's distinct
+    * 3-grams that occur NOWHERE else in the corpus (df = 1): the
+    * diversity/selection signal dedup families consume from the other
+    * side (a doc whose grams are all corpus-unique is novel; one whose
+    * grams are all shared is boilerplate). Hashed grams (q80 stance), df
+    * via one combinable aggregation, one join back — two shuffles total.
+    */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    NativeTextExpressions.register(spark)
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"), expr("word_ngram_hashes(text, 3)").as("__gs"))
+      .select(col("doc_id"), explode_outer(col("__gs")).as("gh"))
+      .filter(col("gh").isNotNull)
+    val df = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    grams.join(df, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_unique").cast("double") / col("n_grams"), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

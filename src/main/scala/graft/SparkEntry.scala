@@ -253,7 +253,11 @@ object SparkEntry {
     // trailing 1h RANGE frame per user (time-distance window membership)
     "q139_trailing_window"   -> Queries.trailingWindow _,
     // snapshot diff: added/removed/changed/unchanged reconciliation
-    "q140_snapshot_diff"     -> Queries.snapshotDiff _
+    "q140_snapshot_diff"     -> Queries.snapshotDiff _,
+    // temperature (n^0.7) mixture: derived per-source sampling budgets
+    "q141_temperature_mix"   -> Queries.temperatureSample _,
+    // novelty: fraction of a doc's grams unique to it corpus-wide
+    "q142_novelty"           -> Queries.noveltyScore _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1435,6 +1439,52 @@ object SparkEntry {
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q132_link_rank" -> pageRankOracleSql(3),
+    // Same xorshift bucket as q65 (salt 42); round(…,9) before floor on
+    // both engines absorbs the <=1-ulp pow() difference.
+    "q141_temperature_mix" ->
+      """WITH counts AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(pow(n_docs, 0.7)) AS wsum FROM counts),
+        |frac AS (
+        | SELECT source, n_docs,
+        |  CAST(floor(round(pow(n_docs, 0.7) / wsum * 1000.0, 9)) AS BIGINT) AS n_target
+        | FROM counts, tot),
+        |thr AS (
+        | SELECT source, n_docs, n_target,
+        |  least(10000, CAST(floor(round(n_target * 10000.0 / n_docs, 9)) AS BIGINT))
+        |    AS threshold
+        | FROM frac),
+        |buckets AS (
+        | SELECT d.source, xor(m2, m2 >> 13) % 10000 AS b FROM (
+        |  SELECT source, (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2 FROM (
+        |   SELECT source, (((doc_id + 42) % 2147483648) * 2654435761) % 2147483648 AS m1
+        |   FROM documents)) d),
+        |sampled AS (
+        | SELECT b.source, CAST(count(*) AS BIGINT) AS n_sampled
+        | FROM buckets b JOIN thr t ON b.source = t.source
+        | WHERE b.b < t.threshold GROUP BY 1)
+        |SELECT t.source, t.n_docs, t.n_target, t.threshold,
+        | coalesce(s.n_sampled, 0) AS n_sampled
+        |FROM thr t LEFT JOIN sampled s ON t.source = s.source
+        |ORDER BY t.source""".stripMargin,
+    // String-gram df replay of the hashed novelty computation (q80
+    // stance: hashes on the Spark side, strings in the oracle).
+    "q142_novelty" ->
+      """WITH tok AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 3, 0) + 2),
+        |   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        | FROM tok),
+        |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | round(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 4) AS novelty
+        |FROM grams JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q139_trailing_window" ->
       """SELECT user_id, event_id, sec,
         | CAST(count(*) OVER w AS BIGINT) AS n_1h,

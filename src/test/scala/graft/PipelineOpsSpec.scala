@@ -309,4 +309,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows("added")._2 >= 10000000L, "added keys live in the shifted range")
     assert(Seq(added, removed, changed).forall(_ > 0), "a planted class is empty; test is vacuous")
   }
+
+  test("q141 temperatureSample: budgets and memberships replay exactly; temperature flattens") {
+    val got = Queries.temperatureSample(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = {
+      val m31 = 2147483648L
+      val x0 = (id + 42) % m31
+      val m1 = (x0 * 2654435761L) % m31
+      val x1 = m1 ^ (m1 >>> 15)
+      val m2 = (x1 * 1597334677L) % m31
+      (m2 ^ (m2 >>> 13)) % 10000
+    }
+    val bySource = docs.groupBy(_._2)
+    val wsum = bySource.values.map(xs => math.pow(xs.size, 0.7)).sum
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (s, xs) =>
+      val (nDocs, nTarget, threshold, nSampled) = got(s)
+      assert(nDocs == xs.size)
+      val expTarget = math.floor(BigDecimal(math.pow(xs.size, 0.7) / wsum * 1000.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+      assert(nTarget == expTarget, s"$s target")
+      val expThr = math.min(10000L,
+        math.floor(BigDecimal(nTarget * 10000.0 / xs.size)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong)
+      assert(threshold == expThr, s"$s threshold")
+      assert(nSampled == xs.count(d => bucket(d._1) < expThr), s"$s membership")
+    }
+    // temperature property: sampling RATE decreases with source size
+    val rates = got.values.toSeq.filter(_._4 > 0)
+      .map(v => (v._1, v._4.toDouble / v._1)).sortBy(_._1)
+    assert(rates.nonEmpty && got.values.map(_._4).sum > 0)
+    val sizes = bySource.values.map(_.size).toSet
+    if (sizes.size > 1) {
+      val small = rates.take(rates.size / 3).map(_._2).sum / math.max(rates.size / 3, 1)
+      val large = rates.takeRight(rates.size / 3).map(_._2).sum / math.max(rates.size / 3, 1)
+      assert(small >= large * 0.8,
+        s"alpha<1 must not downsample small sources harder than large ($small vs $large)")
+    }
+  }
+
+  test("q142 noveltyScore matches a local string-gram df recount") {
+    val got = Queries.noveltyScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val ts = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to math.max(ts.length - 3, 0)).map(i => ts.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val df = docs.flatMap(d => grams(d._2)).groupBy(identity).map { case (g, xs) => g -> xs.size }
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val gs = grams(text)
+      val unique = gs.count(df(_) == 1)
+      val (n, nov) = got(id)
+      assert(n == gs.size, s"doc $id gram count")
+      assert(math.abs(nov - unique.toDouble / gs.size) < 1e-4 + 1e-9, s"doc $id novelty")
+    }
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 1),
+      "novelty is degenerate corpus-wide; test is vacuous")
+  }
 }
