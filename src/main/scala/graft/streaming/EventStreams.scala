@@ -362,6 +362,60 @@ object EventStreams {
         } finally batch.unpersist()
       }
 
+  /** Streaming CDC merge — the incremental mirror of the batch changelog
+    * apply (graft.Queries.cdcApply): each micro-batch of (k, seq, op ∈
+    * {I,U,D}, v) rows merges into a persistent keyed state table with
+    * latest-seq-wins semantics. Deletes are kept as TOMBSTONES
+    * (alive = false) rather than removed, so a stale cross-batch update
+    * (lower seq than the delete) cannot resurrect a key — the guarantee
+    * the tombstone-free LWW upsert (q109) cannot give. Each batch
+    * publishes through the atomic build→swap lifecycle, so readers always
+    * see a complete snapshot.
+    *
+    * Scale posture: per batch, one window over the batch (latest op per
+    * key — batches are small by definition) and one full-outer join
+    * against the state table keyed on k; at 100 TB state the join is the
+    * standard nightly-merge shuffle, and bucketing the state table on k
+    * (TableLifecycle.publishBucketed) makes it co-located.
+    */
+  def cdcMergeStream(changes: DataFrame, table: String, checkpointDir: String) =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("seq").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("k").as("bk"), col("seq").as("bseq"),
+            col("op"), col("v").as("bv"))
+        val merged =
+          if (!spark.catalog.tableExists(table)) {
+            latest.select(col("bk").as("k"), col("bseq").as("seq"),
+              (col("op") =!= "D").as("alive"), col("bv").as("v"))
+          } else {
+            val current = spark.table(table)
+              .select(col("k").as("ck"), col("seq").as("cseq"),
+                col("alive").as("calive"), col("v").as("cv"))
+            val takeIncoming = col("bk").isNotNull &&
+              (col("ck").isNull || col("bseq") >= col("cseq"))
+            current.join(latest, col("ck") === col("bk"), "full_outer")
+              .select(
+                coalesce(col("bk"), col("ck")).as("k"),
+                when(takeIncoming, col("bseq")).otherwise(col("cseq")).as("seq"),
+                when(takeIncoming, col("op") =!= "D").otherwise(col("calive")).as("alive"),
+                when(takeIncoming, col("bv")).otherwise(col("cv")).as("v"))
+          }
+        // the merged plan READS the table it is about to overwrite;
+        // localCheckpoint materializes it into a catalog-free LogicalRDD
+        // so the overwrite is legal, released right after the publish
+        val snapshot = merged.localCheckpoint()
+        try graft.etl.TableLifecycle.publish(snapshot, table)
+        finally graft.operators.Checkpoints.release(snapshot)
+      }
+
   /** File-source streaming read of an events-shaped parquet directory —
     * the nanos-timestamp handling mirrors [[graft.Tables.apply]].
     */

@@ -67,6 +67,34 @@ class PrefixJoinSpec extends SparkSpec {
       s"expected >2x candidate reduction at t=0.6 on 3-grams, got $pruned/$full")
   }
 
+  test("fixed-seed randomized corpora: losslessness holds across thresholds and gram widths") {
+    // adversarial-ish shapes the hand fixtures don't cover: shared Zipf
+    // head + random tail, variable doc lengths (including < n), repeats
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val docs = (0 until 30).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        val words = (0 until len).map { _ =>
+          if (rnd.nextBoolean()) vocab(rnd.nextInt(5)) // hot head
+          else vocab(rnd.nextInt(vocab.size))
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      for ((t, n) <- Seq((0.5, 1), (0.8, 2))) {
+        val got = PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+        val brute = (for {
+          (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+          if bruteJaccard(ta, tb, n) >= t
+        } yield (ia, ib)).toSet
+        assert(got == brute,
+          s"trial=$trial t=$t n=$n: missing ${brute -- got}, extra ${got -- brute}")
+      }
+    }
+  }
+
   test("long-tail vocabulary: unigram prefix pruning goes to zero where the full index is quadratic") {
     // 3 corpus-wide stopwords + 7 unique tokens per doc: sz=10 at t=0.6
     // keeps a 5-token prefix = exactly the unique (df=1) tokens, so NO

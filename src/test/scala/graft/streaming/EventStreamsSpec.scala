@@ -398,6 +398,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC merge: latest-seq wins, tombstones block stale resurrection") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-cdc").toString
+    spark.sql("DROP TABLE IF EXISTS `cdc_state`")
+    val q = cdcMergeStream(in.toDF().toDF("k", "seq", "op", "v"), "cdc_state", ckpt).start()
+    def state(): Map[Long, (Long, Boolean, Double)] = {
+      spark.catalog.refreshTable("cdc_state")
+      spark.table("cdc_state").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    }
+    def live(): Map[Long, Double] =
+      state().collect { case (k, (_, true, v)) => k -> v }
+    try {
+      // batch 0: three inserts (k4's insert carries seq 5)
+      in.addData((1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0), (4L, 5L, "I", 40.0))
+      q.processAllAvailable()
+      assert(live() == Map(1L -> 10.0, 2L -> 20.0, 4L -> 40.0))
+      // batch 1: update k1, delete k2, insert k3, STALE update k4 (seq 3 < 5)
+      //          plus an intra-batch I→U pair on k5 (latest-in-batch wins)
+      in.addData((1L, 2L, "U", 11.0), (2L, 2L, "D", 0.0), (3L, 1L, "I", 30.0),
+        (4L, 3L, "U", 99.0), (5L, 1L, "I", 50.0), (5L, 2L, "U", 55.0))
+      q.processAllAvailable()
+      assert(live() == Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0, 5L -> 55.0))
+      assert(state()(2L)._2 == false, "delete must leave a tombstone, not vanish")
+      // batch 2: stale update to the DELETED k2 (seq 1 < tombstone seq 2)
+      // must NOT resurrect it; a fresh higher-seq insert must
+      in.addData((2L, 1L, "U", 21.0))
+      q.processAllAvailable()
+      assert(!live().contains(2L), "stale update resurrected a tombstoned key")
+      in.addData((2L, 3L, "I", 22.0))
+      q.processAllAvailable()
+      assert(live()(2L) == 22.0, "a fresh insert past the tombstone must land")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val batch = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
