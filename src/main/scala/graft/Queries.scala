@@ -2127,6 +2127,53 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Join-size estimation from per-key histograms — |A ⋈ B| computed as
+    * Σₖ cntA(k)·cntB(k) over the two COUNT tables, never materializing
+    * the join itself: the planner-style diagnostic that tells you a join
+    * will explode BEFORE you run it (the prediction side of q126's skew
+    * detection). Three join shapes profiled: the FK join, a many-to-many
+    * key, and a low-cardinality key whose product blows up. Each side is
+    * one combinable aggregation; the histogram join carries |keys| rows,
+    * not |rows|.
+    */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    def profile(name: String, a: DataFrame, ak: String,
+                b: DataFrame, bk: String): DataFrame = {
+      val ca = a.groupBy(col(ak).as("k")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(bk).as("k")).agg(count(lit(1)).as("cb"))
+      ca.join(cb, "k")
+        .agg(sum(col("ca") * col("cb")).as("join_rows"),
+          count(lit(1)).as("matched_keys"),
+          max(col("ca") * col("cb")).as("hottest_key_rows"))
+        .select(lit(name).as("join_name"), col("join_rows"),
+          col("matched_keys"), col("hottest_key_rows"))
+    }
+    profile("1_lineitem_orders_fk", li, "l_orderkey", ord, "o_orderkey")
+      .unionAll(profile("2_lineitem_self_partkey", li, "l_partkey", li, "l_partkey"))
+      .unionAll(profile("3_orders_self_priority", ord, "o_orderpriority", ord, "o_orderpriority"))
+      .orderBy(col("join_name"))
+  }
+
+  /** Cohort retention matrix — users grouped by their first-activity week
+    * (integer epoch-week, bit-exact across engines), tracked by distinct
+    * activity in each subsequent week offset: the product-analytics
+    * staple behind every retention curve. Two combinable aggregations
+    * (first week per user, distinct user-week activity) and one broadcast
+    * join — no window, no cross join; the matrix is |cohorts|×|offsets|.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = t(spark, dir, "events")
+      .select(col("user_id"), expr("CAST(ts AS BIGINT) div 604800").as("week"))
+    val activity = weeks.distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    activity.join(broadcast(cohorts), "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

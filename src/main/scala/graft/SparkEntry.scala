@@ -257,7 +257,11 @@ object SparkEntry {
     // temperature (n^0.7) mixture: derived per-source sampling budgets
     "q141_temperature_mix"   -> Queries.temperatureSample _,
     // novelty: fraction of a doc's grams unique to it corpus-wide
-    "q142_novelty"           -> Queries.noveltyScore _
+    "q142_novelty"           -> Queries.noveltyScore _,
+    // join size from per-key histograms, without running the join
+    "q143_join_cardinality"  -> Queries.joinCardinality _,
+    // cohort retention matrix over integer epoch-weeks
+    "q144_cohort_retention"  -> Queries.cohortRetention _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1439,6 +1443,39 @@ object SparkEntry {
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q132_link_rank" -> pageRankOracleSql(3),
+    "q143_join_cardinality" ->
+      """WITH p1 AS (
+        | SELECT '1_lineitem_orders_fk' AS join_name,
+        |  CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+        |  CAST(count(*) AS BIGINT) AS matched_keys,
+        |  CAST(max(ca * cb) AS BIGINT) AS hottest_key_rows
+        | FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) a
+        | JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) b USING (k)),
+        |p2 AS (
+        | SELECT '2_lineitem_self_partkey',
+        |  CAST(sum(ca * cb) AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(max(ca * cb) AS BIGINT)
+        | FROM (SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) a
+        | JOIN (SELECT l_partkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) b USING (k)),
+        |p3 AS (
+        | SELECT '3_orders_self_priority',
+        |  CAST(sum(ca * cb) AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(max(ca * cb) AS BIGINT)
+        | FROM (SELECT o_orderpriority AS k, count(*) AS ca FROM orders GROUP BY 1) a
+        | JOIN (SELECT o_orderpriority AS k, count(*) AS cb FROM orders GROUP BY 1) b USING (k))
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+        |ORDER BY join_name""".stripMargin,
+    "q144_cohort_retention" ->
+      """WITH activity AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) // 604800 AS week
+        | FROM events),
+        |cohorts AS (
+        | SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        | CAST(count(*) AS BIGINT) AS n_active
+        |FROM activity JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same xorshift bucket as q65 (salt 42); round(…,9) before floor on
     // both engines absorbs the <=1-ulp pow() difference.
     "q141_temperature_mix" ->

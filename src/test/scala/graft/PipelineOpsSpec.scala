@@ -372,4 +372,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 1),
       "novelty is degenerate corpus-wide; test is vacuous")
   }
+
+  test("q143 joinCardinality: histogram products equal the real join sizes") {
+    val rows = Queries.joinCardinality(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val fk = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+    assert(rows("1_lineitem_orders_fk")._1 == fk, "FK prediction must be exact")
+    val self = li.as("a").join(li.as("b"), col("a.l_partkey") === col("b.l_partkey")).count()
+    assert(rows("2_lineitem_self_partkey")._1 == self, "self-join prediction must be exact")
+    // the low-cardinality key is the blow-up case the diagnostic exists for
+    val (pr, keys, _) = rows("3_orders_self_priority")
+    assert(keys <= 5 && pr > ord.count() * 100,
+      s"priority self-join should explode: $pr rows over $keys keys")
+  }
+
+  test("q144 cohortRetention: offset-0 equals cohort size; total activity conserved") {
+    val rows = Queries.cohortRetention(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val activity = Tables(spark, sf0001, "events")
+      .select(col("user_id"), expr("CAST(ts AS BIGINT) div 604800").as("week"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohortOf = activity.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    // every (user, active week) contributes exactly one cell count
+    assert(rows.map(_._3).sum == activity.length)
+    // offset 0 of each cohort = number of users whose first week it is
+    val cohortSizes = cohortOf.values.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    rows.filter(_._2 == 0L).foreach { case (cw, _, n) =>
+      assert(n == cohortSizes(cw), s"cohort $cw offset-0")
+    }
+    assert(rows.exists(_._2 > 0L), "no retention beyond week 0; test is vacuous")
+    rows.foreach { case (_, off, _) => assert(off >= 0, "negative offset impossible") }
+  }
 }
