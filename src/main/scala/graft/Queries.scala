@@ -2174,6 +2174,40 @@ object Queries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Sparse TF-IDF cosine pairs — lexical similarity via the inverted
+    * index (dot products accumulate over shared TERMS, the sparse
+    * counterpart of the dense-embedding cosine family q38/q55/q61):
+    * w = tf·ln(N/df), so corpus-wide terms carry weight 0 and never
+    * contribute. EXACT-BASELINE STANCE (the q61 precedent): capped to
+    * doc_id < 1000 because the term self-join is Σ df² — at scale you
+    * run q136's prefix filter or q55's banded SRP first and use this as
+    * their recall oracle on a slice. Thresholding on the ROUNDED cosine
+    * keeps the boundary decision identical across engines.
+    */
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
+    val terms = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfT, "term").crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

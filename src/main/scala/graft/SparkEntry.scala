@@ -261,7 +261,9 @@ object SparkEntry {
     // join size from per-key histograms, without running the join
     "q143_join_cardinality"  -> Queries.joinCardinality _,
     // cohort retention matrix over integer epoch-weeks
-    "q144_cohort_retention"  -> Queries.cohortRetention _
+    "q144_cohort_retention"  -> Queries.cohortRetention _,
+    // sparse TF-IDF cosine pairs via the inverted index (capped baseline)
+    "q145_tfidf_cosine"      -> Queries.tfidfCosinePairs _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1443,6 +1445,31 @@ object SparkEntry {
     "q118_bpe_merges" -> bpeOracleSql(8),
     "q121_bpe_encode" -> bpeEncodeOracleSql(8),
     "q132_link_rank" -> pageRankOracleSql(3),
+    // Thresholding on the ROUNDED cosine mirrors the Spark side, so a
+    // <=1-ulp ln()/sum-order difference cannot flip pair membership.
+    "q145_tfidf_cosine" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |terms AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS term
+        | FROM docs),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+        |w AS (
+        | SELECT doc_id, term, tf * ln(n_docs / df) AS w
+        | FROM tf JOIN dft USING (term), nn),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |dots AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        | FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.doc_id = id_a
+        |JOIN norms nb ON nb.doc_id = id_b
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     "q143_join_cardinality" ->
       """WITH p1 AS (
         | SELECT '1_lineitem_orders_fk' AS join_name,

@@ -405,4 +405,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_._2 > 0L), "no retention beyond week 0; test is vacuous")
     rows.foreach { case (_, off, _) => assert(off >= 0, "negative offset impossible") }
   }
+
+  test("q145 tfidfCosinePairs matches a local sparse-cosine recount") {
+    val got = Queries.tfidfCosinePairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 1000).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val tf = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val w = tf.map { case (id, m) =>
+      id -> m.map { case (t, f) => t -> f * math.log(n / df(t)) }
+    }
+    val nrm = w.map { case (id, m) => id -> math.sqrt(m.values.map(x => x * x).sum) }
+    val brute = (for {
+      (ia, wa) <- w.toSeq; (ib, wb) <- w.toSeq if ia < ib
+      dot = wa.keySet.intersect(wb.keySet).toSeq.map(t => wa(t) * wb(t)).sum
+      cos = BigDecimal(dot / (nrm(ia) * nrm(ib)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= 0.6
+    } yield (ia, ib) -> cos).toMap
+    assert(got.keySet == brute.keySet,
+      s"missing ${brute.keySet -- got.keySet}, extra ${got.keySet -- brute.keySet}")
+    brute.foreach { case (p, c) => assert(math.abs(got(p) - c) < 2e-4, s"$p cosine") }
+    assert(brute.nonEmpty, "no qualifying sparse-cosine pairs; test is vacuous")
+  }
 }
