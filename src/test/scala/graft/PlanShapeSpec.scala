@@ -188,4 +188,31 @@ class PlanShapeSpec extends SparkSpec {
       assert(rows.toSeq == plain.toSeq, "bucketing must not change the answer")
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
+
+  test("interval coverage plans ONE data shuffle: islands and rollups reuse the user_id partitioning") {
+    // exchanges = 1 hash (user_id) + 1 range (output sort) and nothing else
+    val df = Queries.intervalCoverage(spark, sf0001)
+    assert(exchangeCount(df) <= 2, s"partitioning not reused:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("sequence match: journey build + global counts are exactly two exchanges") {
+    val df = Queries.sequenceMatch(spark, sf0001)
+    assert(exchangeCount(df) <= 2, s"extra shuffles:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("zone map rides a 1-row broadcast domain, never a cartesian product") {
+    val df = Queries.zoneMapSkipping(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"domain must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product leaked:\n$plan")
+  }
+
+  test("prefix join consumes the STAGED set table: no gram recompute downstream") {
+    // the returned frame must read the staged parquet — if word_ngram_hashes
+    // appears in its plan, the 3-consumer re-execution regressed
+    val df = operators.PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 0.6, 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("word_ngram_hashes"),
+      "set table not staged; gram pipeline re-executes per consumer")
+  }
 }
