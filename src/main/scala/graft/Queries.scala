@@ -1822,17 +1822,21 @@ object Queries {
     * keys ≡0 mod 3 an U re-pricing; keys ≡0 mod 7 a terminal D).
     */
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders").filter(col("o_orderkey") % 10 === 0)
-    val ins = o.select(col("o_orderkey").as("k"), lit(1L).as("seq"),
-      lit("I").as("op"), col("o_totalprice").as("v"))
-    val upd = o.filter(col("o_orderkey") % 3 === 0)
-      .select(col("o_orderkey").as("k"), lit(2L).as("seq"), lit("U").as("op"),
-        (col("o_totalprice") + 10.0).as("v"))
-    val del = o.filter(col("o_orderkey") % 7 === 0)
-      .select(col("o_orderkey").as("k"), lit(3L).as("seq"), lit("D").as("op"),
-        lit(null).cast("double").as("v"))
+    // the synthetic changelog unrolls from ONE orders scan via a stack
+    // generator (a union of filtered branches would scan orders 3×);
+    // a production changelog is simply the input table and skips this
+    val changelog = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      .selectExpr("k",
+        """stack(3,
+           |  1L, 'I', p,
+           |  2L, CASE WHEN k % 3 = 0 THEN 'U' END, p + 10.0,
+           |  3L, CASE WHEN k % 7 = 0 THEN 'D' END, CAST(NULL AS DOUBLE)
+           |) AS (seq, op, v)""".stripMargin)
+      .filter(col("op").isNotNull)
     val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-    ins.unionAll(upd).unionAll(del)
+    changelog
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select(col("k"), col("op").as("last_op"), col("v"))
