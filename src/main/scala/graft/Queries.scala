@@ -2212,6 +2212,28 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Survivorship policy over near-dup clusters — q92 keeps each
+    * cluster's MIN-ID document; production dedup keeps the BEST copy.
+    * Same exact pair graph (3-gram Jaccard ≥ 0.5) and connected
+    * components, then an argmax by quality (longest text, id tie-break)
+    * per cluster — a combinable max(struct(quality, −id)), never a
+    * window over the cluster partition. Output: one row per multi-doc
+    * cluster with its size and the surviving document.
+    */
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = graft.operators.Dedup
+      .ngramJaccardAllPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val clusters = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    clusters.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("q"), (-col("id")).as("negid"))).as("w"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("w.negid")).as("survivor_id"), col("w.q").as("survivor_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

@@ -263,7 +263,9 @@ object SparkEntry {
     // cohort retention matrix over integer epoch-weeks
     "q144_cohort_retention"  -> Queries.cohortRetention _,
     // sparse TF-IDF cosine pairs via the inverted index (capped baseline)
-    "q145_tfidf_cosine"      -> Queries.tfidfCosinePairs _
+    "q145_tfidf_cosine"      -> Queries.tfidfCosinePairs _,
+    // survivorship: keep the BEST copy per near-dup cluster (not min-id)
+    "q146_survivorship"      -> Queries.survivorship _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1160,6 +1162,43 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    // q92's pair graph + CC, with a quality argmax tail instead of the
+    // min-id survivor.
+    "q146_survivorship" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS t
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(t) - 3, 0) + 2),
+        |   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) j
+        | JOIN sizes sa ON sa.doc_id = id_a
+        | JOIN sizes sb ON sb.doc_id = id_b
+        | WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |cc(id, label) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst),
+        |clusters AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+        |ranked AS (
+        | SELECT c.cluster_id, c.id, d.n_chars,
+        |  row_number() OVER (PARTITION BY c.cluster_id
+        |    ORDER BY d.n_chars DESC, c.id) AS rn
+        | FROM clusters c JOIN documents d ON d.doc_id = c.id)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        | max(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+        | max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars
+        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // q93 is approximate (cluster-boundary pairs) -> rows-only; gates in
     // SemanticDedupSpec.
     // Partition layout must not change the answer: the oracle filters the

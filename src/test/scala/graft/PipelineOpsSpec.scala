@@ -434,4 +434,34 @@ class PipelineOpsSpec extends SparkSpec {
     brute.foreach { case (p, c) => assert(math.abs(got(p) - c) < 2e-4, s"$p cosine") }
     assert(brute.nonEmpty, "no qualifying sparse-cosine pairs; test is vacuous")
   }
+
+  test("q146 survivorship: the survivor is each cluster's longest doc, id tie-break") {
+    val got = Queries.survivorship(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Dedup.ngramJaccardAllPairs(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // local union-find over the exact pair graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = parent.keys.toSeq.groupBy(find)
+    assert(got.size == members.size, s"cluster count: ${got.size} vs ${members.size}")
+    members.values.foreach { ms =>
+      val best = ms.map(id => (docs(id), id)).sortBy(x => (-x._1, x._2)).head
+      val cid = ms.min
+      val (n, sid, schars) = got(cid)
+      assert(n == ms.size, s"cluster $cid size")
+      assert(sid == best._2 && schars == best._1, s"cluster $cid survivor")
+      assert(ms.size >= 2, "edge-derived clusters have >= 2 members")
+    }
+    assert(members.values.exists(ms =>
+      ms.map(docs).toSet.size > 1), "all clusters have uniform length; tie policy untested")
+  }
 }
