@@ -2054,10 +2054,12 @@ object Queries {
     * generalization of the reference's record-count reconciliation,
     * load_tables_daily.py's post-load check). The "new" snapshot is
     * synthesized deterministically from orders (keys ≡0 mod 13 deleted,
-    * ≡0 mod 11 re-priced, ≡0 mod 17 re-inserted under a shifted key). One
-    * full-outer join on the key — the canonical anti-entropy shape; at
-    * 100 TB both sides shuffle once on the key and the per-class rollup
-    * is combinable.
+    * ≡0 mod 11 re-priced, ≡0 mod 17 re-inserted under the NEGATED key —
+    * o_orderkey is non-negative at every SF, so synthetic inserts can
+    * never collide with a real key, unlike any fixed positive offset).
+    * One full-outer join on the key — the canonical anti-entropy shape;
+    * at 100 TB both sides shuffle once on the key and the per-class
+    * rollup is combinable.
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -2066,7 +2068,7 @@ object Queries {
       .select(col("k"),
         when(col("k") % 11 === 0, col("v") + 5.0).otherwise(col("v")).as("v"))
       .unionAll(o.filter(col("k") % 17 === 0)
-        .select((col("k") + 10000000L).as("k"), col("v")))
+        .select((-col("k") - 1).as("k"), col("v")))
     val joined = o.select(col("k"), col("v").as("v_old"))
       .join(next.select(col("k"), col("v").as("v_new")), Seq("k"), "full_outer")
     joined.select(col("k"),

@@ -1605,7 +1605,7 @@ object SparkEntry {
         | SELECT k, CASE WHEN k % 11 = 0 THEN v + 5.0 ELSE v END AS v
         | FROM old WHERE k % 13 <> 0
         | UNION ALL
-        | SELECT k + 10000000, v FROM old WHERE k % 17 = 0),
+        | SELECT -k - 1, v FROM old WHERE k % 17 = 0),
         |joined AS (
         | SELECT coalesce(o.k, n.k) AS k, o.v AS v_old, n.v AS v_new
         | FROM old o FULL OUTER JOIN next n ON o.k = n.k)

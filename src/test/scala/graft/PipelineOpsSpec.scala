@@ -306,7 +306,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows("removed")._1 == removed)
     assert(rows("changed")._1 == changed)
     assert(rows("unchanged")._1 == unchanged)
-    assert(rows("added")._2 >= 10000000L, "added keys live in the shifted range")
+    assert(rows("added")._3 < 0L, "synthetic inserts live in the negated (collision-free) range")
     assert(Seq(added, removed, changed).forall(_ > 0), "a planted class is empty; test is vacuous")
   }
 
