@@ -2064,11 +2064,17 @@ object Queries {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
-    val next = o.filter(col("k") % 13 =!= 0)
-      .select(col("k"),
-        when(col("k") % 11 === 0, col("v") + 5.0).otherwise(col("v")).as("v"))
-      .unionAll(o.filter(col("k") % 17 === 0)
-        .select((-col("k") - 1).as("k"), col("v")))
+    // the synthetic next snapshot unrolls from ONE scan via stack (the
+    // q128 pattern — filtered union branches would scan orders twice
+    // more); the join below adds the second, irreducible scan
+    val next = o.selectExpr(
+        """stack(2,
+          |  CASE WHEN k % 13 <> 0 THEN k END,
+          |  CASE WHEN k % 11 = 0 THEN v + 5.0 ELSE v END,
+          |  CASE WHEN k % 17 = 0 THEN -k - 1 END,
+          |  v
+          |) AS (k, v)""".stripMargin)
+      .filter(col("k").isNotNull)
     val joined = o.select(col("k"), col("v").as("v_old"))
       .join(next.select(col("k"), col("v").as("v_new")), Seq("k"), "full_outer")
     joined.select(col("k"),
@@ -2166,15 +2172,18 @@ object Queries {
     * (integer epoch-week, bit-exact across engines), tracked by distinct
     * activity in each subsequent week offset: the product-analytics
     * staple behind every retention curve. Two combinable aggregations
-    * (first week per user, distinct user-week activity) and one broadcast
-    * join — no window, no cross join; the matrix is |cohorts|×|offsets|.
+    * (first week per user, distinct user-week activity) and one join on
+    * user_id — no window, no cross join; the OUTPUT is |cohorts|×
+    * |offsets|, but the cohort table is one row PER USER (unbounded), so
+    * the join is left unhinted: Spark broadcasts it while small and
+    * shuffles both sides on user_id at billion-user scale.
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val weeks = t(spark, dir, "events")
       .select(col("user_id"), expr("CAST(ts AS BIGINT) div 604800").as("week"))
     val activity = weeks.distinct()
     val cohorts = activity.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    activity.join(broadcast(cohorts), "user_id")
+    activity.join(cohorts, "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -2258,7 +2267,10 @@ object Queries {
         count(lit(1)).as("n"),
         round(max(col("med")), 4).as("med"),
         round(max(col("mad")), 4).as("mad"),
-        sum(when(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"), 1L)
+        // 4.4478 as ONE literal: both engines bind the nearest double to
+        // the same decimal string, whereas 3 * 1.4826 folds to an IEEE
+        // product in Scala but an exact DECIMAL in DuckDB (1-ulp apart)
+        sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("event_type"))
   }

@@ -1790,7 +1790,7 @@ object SparkEntry {
         | FROM events e JOIN med m USING (event_type) GROUP BY 1)
         |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
         | round(max(m.med), 4) AS med, round(max(m.mad), 4) AS mad,
-        | CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+        | CAST(sum(CASE WHEN abs(e.value - m.med) > CAST(4.4478 AS DOUBLE) * m.mad
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN mad m USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,

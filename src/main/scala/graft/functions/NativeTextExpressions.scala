@@ -436,7 +436,6 @@ object NativeTextExpressions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
-  /** Register every native function on the session (idempotent). */
   /** Unicode canonical form for dedup/join keys: lowercase → NFKD
     * decomposition → drop combining marks (é→e, ﬁ→fi via the
     * compatibility mapping) → every non-alphanumeric run becomes one
@@ -485,6 +484,7 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** Register every native function on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

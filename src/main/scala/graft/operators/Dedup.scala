@@ -516,10 +516,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     *
     * Scale posture: same single-scan explode as [[dedupSegments]]; the df
     * count is a combinable countDistinct-style aggregate over (seg, id)
-    * pairs, and the hot set it produces is TINY by construction (only
-    * segments in > maxDf docs), so the suppression join broadcasts at any
-    * corpus size — the one shape where the skewed side of a dedup join is
-    * guaranteed small.
+    * pairs. The hot set is much smaller than the segment universe but
+    * still GROWS with the corpus (every phrase in > maxDf docs at a low
+    * threshold), so the anti-join side is deliberately left unhinted —
+    * Spark broadcasts it while it fits `autoBroadcastJoinThreshold`
+    * (always at test SFs) and falls back to a shuffle anti-join beyond,
+    * instead of a forced broadcast OOMing the driver at corpus scale.
     */
   def suppressBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                           window: Int = 3, maxDf: Long = 2): DataFrame = {
@@ -529,7 +531,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("seg"))
-    val kept = exploded.join(broadcast(hot), Seq("seg"), "left_anti")
+    val kept = exploded.join(hot, Seq("seg"), "left_anti")
     rebuildFromSegments(docs, kept, idCol, textCol, window)
   }
 

@@ -368,9 +368,17 @@ object EventStreams {
     * latest-seq-wins semantics. Deletes are kept as TOMBSTONES
     * (alive = false) rather than removed, so a stale cross-batch update
     * (lower seq than the delete) cannot resurrect a key — the guarantee
-    * the tombstone-free LWW upsert (q109) cannot give. Each batch
-    * publishes through the atomic build→swap lifecycle, so readers always
-    * see a complete snapshot.
+    * the tombstone-free LWW upsert (q109) cannot give.
+    *
+    * Crash safety: a plain overwrite-publish would drop the state table
+    * before rewriting it, so a crash in that window plus foreachBatch's
+    * replay would REINITIALIZE state from the replayed batch alone. The
+    * publish here is build → (table→prev) → (build→table) → drop prev,
+    * ordered so that AT EVERY INSTANT at least one of {table, prev}
+    * holds a complete state snapshot; the merge reads whichever exists.
+    * Replaying a batch against already-merged state is a no-op by
+    * construction (equal seq takes the identical incoming row), so the
+    * at-least-once foreachBatch contract composes with the swap.
     *
     * Scale posture: per batch, one window over the batch (latest op per
     * key — batches are small by definition) and one full-outer join
@@ -384,6 +392,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val (build, prev) = (s"${table}_build", s"${table}_prev")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("k")).orderBy(col("seq").desc)
         val latest = batch
@@ -391,12 +400,18 @@ object EventStreams {
           .filter(col("__rn") === 1)
           .select(col("k").as("bk"), col("seq").as("bseq"),
             col("op"), col("v").as("bv"))
-        val merged =
-          if (!spark.catalog.tableExists(table)) {
+        // recovery read: prefer the live table, fall back to the prev
+        // snapshot a mid-swap crash may have left as the only copy
+        val stateTable =
+          if (spark.catalog.tableExists(table)) Some(table)
+          else if (spark.catalog.tableExists(prev)) Some(prev)
+          else None
+        val merged = stateTable match {
+          case None =>
             latest.select(col("bk").as("k"), col("bseq").as("seq"),
               (col("op") =!= "D").as("alive"), col("bv").as("v"))
-          } else {
-            val current = spark.table(table)
+          case Some(st) =>
+            val current = spark.table(st)
               .select(col("k").as("ck"), col("seq").as("cseq"),
                 col("alive").as("calive"), col("v").as("cv"))
             val takeIncoming = col("bk").isNotNull &&
@@ -407,13 +422,15 @@ object EventStreams {
                 when(takeIncoming, col("bseq")).otherwise(col("cseq")).as("seq"),
                 when(takeIncoming, col("op") =!= "D").otherwise(col("calive")).as("alive"),
                 when(takeIncoming, col("bv")).otherwise(col("cv")).as("v"))
-          }
-        // the merged plan READS the table it is about to overwrite;
-        // localCheckpoint materializes it into a catalog-free LogicalRDD
-        // so the overwrite is legal, released right after the publish
-        val snapshot = merged.localCheckpoint()
-        try graft.etl.TableLifecycle.publish(snapshot, table)
-        finally graft.operators.Checkpoints.release(snapshot)
+        }
+        merged.write.mode("overwrite").saveAsTable(build)
+        if (spark.catalog.tableExists(table)) {
+          spark.sql(s"DROP TABLE IF EXISTS `$prev`")
+          spark.sql(s"ALTER TABLE `$table` RENAME TO `$prev`")
+        }
+        spark.sql(s"ALTER TABLE `$build` RENAME TO `$table`")
+        spark.sql(s"DROP TABLE IF EXISTS `$prev`")
+        ()
       }
 
   /** File-source streaming read of an events-shaped parquet directory —

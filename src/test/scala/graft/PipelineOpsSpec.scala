@@ -203,7 +203,7 @@ class PipelineOpsSpec extends SparkSpec {
       val trueMad = median(xs.map(x => math.abs(x - trueMed)).sorted)
       assert(math.abs(med - trueMed) <= 1e-4 + 5e-5 * math.abs(trueMed), s"$t med")
       assert(math.abs(mad - trueMad) <= 1e-4 + 5e-5 * math.abs(trueMad), s"$t mad")
-      val expected = xs.count(x => math.abs(x - trueMed) > 3 * 1.4826 * trueMad)
+      val expected = xs.count(x => math.abs(x - trueMed) > 4.4478 * trueMad)
       assert(nOut == expected, s"$t outliers: got $nOut want $expected")
     }
     assert(out.map(_._2._4).sum > 0, "fixture has no MAD outliers; test is vacuous")

@@ -435,6 +435,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC merge recovers full state from the prev snapshot after a mid-swap crash") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-cdc-rec").toString
+    Seq("cdc_rec", "cdc_rec_prev", "cdc_rec_build")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val q1 = cdcMergeStream(in.toDF().toDF("k", "seq", "op", "v"), "cdc_rec", ckpt).start()
+    try {
+      in.addData((1L, 1L, "I", 10.0), (2L, 2L, "D", 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate the crash window where table→prev renamed but build→table
+    // didn't run: the prev snapshot is the ONLY copy of the state
+    spark.catalog.refreshTable("cdc_rec")
+    spark.sql("ALTER TABLE `cdc_rec` RENAME TO `cdc_rec_prev`")
+    val q2 = cdcMergeStream(in.toDF().toDF("k", "seq", "op", "v"), "cdc_rec", ckpt).start()
+    try {
+      in.addData((3L, 1L, "I", 30.0), (2L, 1L, "U", 99.0)) // stale U vs tombstone
+      q2.processAllAvailable()
+      spark.catalog.refreshTable("cdc_rec")
+      val state = spark.table("cdc_rec").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2))).toMap
+      assert(state.keySet == Set(1L, 2L, 3L),
+        s"recovered state lost keys: ${state.keySet}")
+      assert(state(1L), "pre-crash key must survive recovery")
+      assert(!state(2L), "the tombstone must survive recovery and block the stale update")
+      assert(state(3L), "post-recovery insert must land")
+      assert(!spark.catalog.tableExists("cdc_rec_prev"), "prev snapshot cleaned up")
+    } finally q2.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val batch = Seq(
       ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
