@@ -50,6 +50,20 @@ object ZoneMap {
   def writeLayout(sharded: DataFrame, path: String): Unit =
     sharded.write.mode("overwrite").partitionBy("zshard").parquet(path)
 
+  /** Merge two manifests — min/max/count are MERGEABLE statistics, so an
+    * appended batch updates the zone map from its own (tiny) manifest
+    * without rescanning the existing layout: manifest(A ∪ B) ==
+    * mergeManifests(manifest(A), manifest(B)), asserted in spec. At
+    * 100 TB this is the difference between a metadata-sized commit per
+    * ingest and a full-table statistics rebuild.
+    */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("zshard"))
+      .agg(min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Stats-pruned scan of a [[writeLayout]] directory: consult the
     * manifest, read only shards whose [min_key, max_key] intersects
     * [lo, hi], then re-apply the row-level predicate. The manifest

@@ -62,6 +62,26 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("manifests are mergeable: manifest(A union B) == merge(manifest(A), manifest(B))") {
+    val a = (0L until 600L).map(k => (k, s"a-$k")).toDF("k", "v")
+    val b = (400L until 1000L).map(k => (k, s"b-$k")).toDF("k", "v")
+    // shard against the SAME key domain (0..999) so assignments align
+    val all = ZoneMap.withShard(a.union(b), "k", n)
+    val direct = ZoneMap.manifest(all, "k")
+      .orderBy("zshard").collect().map(_.toSeq)
+    // per-batch manifests over each batch's slice of the shared sharding
+    val ma = ZoneMap.manifest(all.filter(col("v").startsWith("a-")), "k")
+    val mb = ZoneMap.manifest(all.filter(col("v").startsWith("b-")), "k")
+    val merged = ZoneMap.mergeManifests(ma, mb)
+      .orderBy("zshard").collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq,
+      "merged per-batch manifests must equal the full-scan manifest")
+    // overlap region forces real min/max/count merging, not concatenation
+    assert(ma.count() > 0 && mb.count() > 0)
+    val sharedShards = ma.select("zshard").intersect(mb.select("zshard")).count()
+    assert(sharedShards > 0, "batches share no shard; merge untested")
+  }
+
   test("q133 skipping soundness: every skipped shard has zero matching rows") {
     val rows = graft.Queries.zoneMapSkipping(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 16)
