@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    // every native text/dedup expression, from the same builder list the
+    // session-level register() uses — one source, two installation paths
+    graft.functions.NativeTextExpressions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.functions.NativeTextExpressions.getClass.getName, null, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.RewriteCosineToDot)
   }
 }

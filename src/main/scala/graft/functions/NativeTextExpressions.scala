@@ -484,23 +484,32 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** (name → builder) for every native function — the single source both
+    * registration paths consume: session-level [[register]] and the
+    * cluster-level `GraftExtensions` injection (so a function added here
+    * is automatically available under
+    * `--conf spark.sql.extensions=graft.GraftExtensions` too).
+    */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "shingle_hashes" -> (c => ShingleHashes(c.head, litInt(c(1), "k"))),
+    "minhash_sig" -> (c => MinHashSig(c.head, litInt(c(1), "numHashes"))),
+    "jaccard_sorted" -> (c => SortedLongJaccard(c.head, c(1))),
+    "simhash64_native" -> (c => SimHash(c.head)),
+    "token_count_native" -> (c => TokenCount(c.head)),
+    "word_ngram_hashes" -> (c => WordNgramHashes(c.head, litInt(c(1), "n"))),
+    "token_profile" -> (c => TokenProfile(c.head)),
+    "stopword_count_native" -> (c => StopwordCount(c.head)),
+    "punct_ratio_native" -> (c => PunctRatio(c.head)),
+    "deflate_len" -> (c => DeflateLen(c.head, litInt(c(1), "level"))),
+    "canon_text" -> (c => CanonText(c.head)))
+
   /** Register every native function on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, builder) =>
       reg.registerFunction(FunctionIdentifier(name),
         new ExpressionInfo(getClass.getName, null, name), builder)
-    add("shingle_hashes", c => ShingleHashes(c.head, litInt(c(1), "k")))
-    add("minhash_sig", c => MinHashSig(c.head, litInt(c(1), "numHashes")))
-    add("jaccard_sorted", c => SortedLongJaccard(c.head, c(1)))
-    add("simhash64_native", c => SimHash(c.head))
-    add("token_count_native", c => TokenCount(c.head))
-    add("word_ngram_hashes", c => WordNgramHashes(c.head, litInt(c(1), "n")))
-    add("token_profile", c => TokenProfile(c.head))
-    add("stopword_count_native", c => StopwordCount(c.head))
-    add("punct_ratio_native", c => PunctRatio(c.head))
-    add("deflate_len", c => DeflateLen(c.head, litInt(c(1), "level")))
-    add("canon_text", c => CanonText(c.head))
+    }
   }
 }

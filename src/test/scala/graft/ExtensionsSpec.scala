@@ -51,6 +51,24 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("the extensions inject every native function register() installs") {
+    // one builder list feeds both installation paths; every builder must
+    // construct a real Expression so the cluster path can't lag the
+    // session path when a new native function lands
+    val names = functions.NativeTextExpressions.builders.map(_._1)
+    assert(names.contains("canon_text") && names.contains("word_ngram_hashes"))
+    assert(names.distinct.length == names.length, "duplicate function name")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val arity2ByInt = Set("shingle_hashes", "minhash_sig", "word_ngram_hashes", "deflate_len")
+    functions.NativeTextExpressions.builders.foreach { case (name, builder) =>
+      val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        if (arity2ByInt(name)) Seq(Literal("x"), Literal(3))
+        else if (name == "jaccard_sorted") Seq(Literal("x"), Literal("y"))
+        else Seq(Literal("x"))
+      assert(builder(args) != null, s"builder $name failed to construct")
+    }
+  }
+
   test("manifest DataSource V2 reads (file_path, table_name) rows") {
     val dir = java.nio.file.Files.createTempDirectory("mani")
     val manifest = dir.resolve("files.list")
