@@ -2245,6 +2245,30 @@ object Queries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Conversion-lag distribution — how long users take from first view
+    * to first purchase: the DURATION analytics the funnel (q117, stage
+    * counts) and transitions (q125, step counts) don't expose. One
+    * combinable conditional-min aggregation per user, then exact
+    * percentiles over integer lag-seconds (the GK sketch q106 is the
+    * stated 100 TB swap). A user converts iff their first purchase is at
+    * or after their first view.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+    val firsts = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("sec"))).as("first_view"),
+      min(when(col("event_type") === "purchase", col("sec"))).as("first_purchase"))
+    firsts
+      .filter(col("first_purchase") >= col("first_view"))
+      .select((col("first_purchase") - col("first_view")).as("lag_sec"))
+      .agg(
+        count(lit(1)).as("n_converters"),
+        round(expr("percentile(lag_sec, 0.5)"), 2).as("p50_lag"),
+        round(expr("percentile(lag_sec, 0.9)"), 2).as("p90_lag"),
+        max(col("lag_sec")).as("max_lag"))
+  }
+
   /** Robust outlier detection by median absolute deviation — the
     * companion to the z-score screen (q116) that survives heavy-tailed
     * value distributions (a single extreme event inflates a stddev but

@@ -265,7 +265,9 @@ object SparkEntry {
     // sparse TF-IDF cosine pairs via the inverted index (capped baseline)
     "q145_tfidf_cosine"      -> Queries.tfidfCosinePairs _,
     // survivorship: keep the BEST copy per near-dup cluster (not min-id)
-    "q146_survivorship"      -> Queries.survivorship _
+    "q146_survivorship"      -> Queries.survivorship _,
+    // first-view -> first-purchase lag distribution (duration analytics)
+    "q147_conversion_lag"    -> Queries.conversionLag _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1162,6 +1164,22 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "q147_conversion_lag" ->
+      """WITH firsts AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view'
+        |      THEN CAST(epoch_us(ts) // 1000000 AS BIGINT) END) AS first_view,
+        |  min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(epoch_us(ts) // 1000000 AS BIGINT) END) AS first_purchase
+        | FROM events GROUP BY user_id),
+        |lags AS (
+        | SELECT first_purchase - first_view AS lag_sec FROM firsts
+        | WHERE first_purchase >= first_view)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converters,
+        | round(quantile_cont(lag_sec, 0.5), 2) AS p50_lag,
+        | round(quantile_cont(lag_sec, 0.9), 2) AS p90_lag,
+        | max(lag_sec) AS max_lag
+        |FROM lags""".stripMargin,
     // q92's pair graph + CC, with a quality argmax tail instead of the
     // min-id survivor.
     "q146_survivorship" ->

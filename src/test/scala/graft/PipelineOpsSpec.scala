@@ -464,4 +464,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(members.values.exists(ms =>
       ms.map(docs).toSet.size > 1), "all clusters have uniform length; tie policy untested")
   }
+
+  test("q147 conversionLag matches a local first-view/first-purchase recount") {
+    val r = Queries.conversionLag(spark, sf0001).first()
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val lags = ev.groupBy(_._1).values.flatMap { es =>
+      val v = es.filter(_._2 == "view").map(_._3).minOption
+      val p = es.filter(_._2 == "purchase").map(_._3).minOption
+      (v, p) match {
+        case (Some(fv), Some(fp)) if fp >= fv => Some(fp - fv)
+        case _ => None
+      }
+    }.toSeq.sorted
+    assert(r.getLong(0) == lags.length, "converter count")
+    def pct(q: Double): Double = {
+      val pos = q * (lags.length - 1)
+      val (lo, hi) = (lags(pos.toInt), lags(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    assert(math.abs(r.getDouble(1) - pct(0.5)) < 0.01 + 1e-9, "p50")
+    assert(math.abs(r.getDouble(2) - pct(0.9)) < 0.01 + 1e-9, "p90")
+    assert(r.getLong(3) == lags.max, "max lag")
+    assert(lags.nonEmpty && lags.max > 0, "fixture has no nonzero conversion lags")
+  }
 }
