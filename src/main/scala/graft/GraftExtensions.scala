@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.CosineSimilarity
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -14,16 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
-    // every native text/dedup expression, from the same builder list the
-    // session-level register() uses — one source, two installation paths
-    graft.functions.NativeTextExpressions.builders.foreach { case (name, builder) =>
+    // every native expression — vector AND text/dedup — from the same
+    // builder lists the session-level register()s use: one source per
+    // module, two installation paths, nothing can lag
+    val all =
+      graft.functions.VectorFunctions.builders ++
+        graft.functions.NativeTextExpressions.builders
+    all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(graft.functions.NativeTextExpressions.getClass.getName, null, name),
+        new ExpressionInfo(getClass.getName, null, name),
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RewriteCosineToDot)

@@ -210,30 +210,29 @@ case class QuantizedCosine(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Register `cosine_sim` and `srp_buckets` on this session's function
-    * registry so they are usable from both `expr(...)` and `spark.sql(...)`.
-    * Idempotent.
+  /** (name → builder) for every vector function — the single source both
+    * registration paths consume: session-level [[register]] and the
+    * cluster-level `GraftExtensions` injection (same contract as
+    * [[NativeTextExpressions.builders]]).
+    */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (c => CosineSimilarity(c.head, c(1))),
+    "srp_buckets" -> (c => SrpBuckets(c.head,
+      litNum(c(1), "numTables").toInt, litNum(c(2), "bits").toInt,
+      litNum(c(3), "seed"))),
+    "quantize_i8" -> (c => QuantizeI8(c.head)),
+    "cosine_sim_i8" -> (c => QuantizedCosine(c.head, c(1))))
+
+  /** Register every vector function on this session's registry so they
+    * are usable from both `expr(...)` and `spark.sql(...)`. Idempotent.
     */
   def register(spark: SparkSession): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
-    classic.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("srp_buckets"),
-      new ExpressionInfo(classOf[SrpBuckets].getName, null, "srp_buckets"),
-      (children: Seq[Expression]) => SrpBuckets(children.head,
-        litNum(children(1), "numTables").toInt, litNum(children(2), "bits").toInt,
-        litNum(children(3), "seed")))
-    classic.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("quantize_i8"),
-      new ExpressionInfo(classOf[QuantizeI8].getName, null, "quantize_i8"),
-      (children: Seq[Expression]) => QuantizeI8(children.head))
-    classic.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim_i8"),
-      new ExpressionInfo(classOf[QuantizedCosine].getName, null, "cosine_sim_i8"),
-      (children: Seq[Expression]) => QuantizedCosine(children.head, children(1)))
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, null, name), builder)
+    }
   }
 
   private def litNum(e: Expression, what: String): Long = e match {

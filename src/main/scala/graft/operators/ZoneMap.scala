@@ -39,6 +39,30 @@ object ZoneMap {
       .drop("__dmin", "__dmax")
   }
 
+  /** Fixed-domain variant — the APPEND path: an incoming batch must shard
+    * against the LAYOUT's key domain, not its own observed [min, max]
+    * (self-derived domains put the same key in different shards across
+    * batches and the merged manifest silently widens until skipping
+    * degenerates). Scan-local — no domain aggregate. Keys outside
+    * [dmin, dmax] are clamped into the edge shards, keeping the manifest
+    * honest (their true min/max still lands in min_key/max_key).
+    */
+  def withShard(df: DataFrame, keyCol: String, n: Int,
+                dmin: Long, dmax: Long): DataFrame = {
+    require(n >= 1, s"shard count must be >= 1, got $n")
+    require(dmax >= dmin, s"empty domain [$dmin, $dmax]")
+    df.withColumn("zshard",
+      expr(s"greatest(0L, least(${n - 1}L, " +
+        s"(CAST($keyCol AS BIGINT) - ${dmin}L) * $n div (${dmax - dmin + 1}L)))"))
+  }
+
+  /** Append a batch (sharded against the layout's FIXED domain) to an
+    * existing [[writeLayout]] directory — pair with [[mergeManifests]] so
+    * the zone map updates from the batch's own manifest, no rescan.
+    */
+  def appendLayout(sharded: DataFrame, path: String): Unit =
+    sharded.write.mode("append").partitionBy("zshard").parquet(path)
+
   /** The (zshard, min_key, max_key, n_rows) manifest of a sharded frame. */
   def manifest(sharded: DataFrame, keyCol: String): DataFrame =
     sharded.groupBy(col("zshard"))
@@ -53,7 +77,9 @@ object ZoneMap {
   /** Merge two manifests — min/max/count are MERGEABLE statistics, so an
     * appended batch updates the zone map from its own (tiny) manifest
     * without rescanning the existing layout: manifest(A ∪ B) ==
-    * mergeManifests(manifest(A), manifest(B)), asserted in spec. At
+    * mergeManifests(manifest(A), manifest(B)), asserted in spec. The
+    * batch must be sharded with the fixed-domain [[withShard]] overload
+    * against the layout's domain and written via [[appendLayout]]. At
     * 100 TB this is the difference between a metadata-sized commit per
     * ingest and a full-table statistics rebuild.
     */

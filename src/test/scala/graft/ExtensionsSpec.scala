@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{DotProduct, VectorFunctions}
 import graft.plans.RewriteCosineToDot
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions._
 
 /** Extension surfaces: the optimizer rule's rewrite (applied directly to an
@@ -51,21 +51,36 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
-  test("the extensions inject every native function register() installs") {
-    // one builder list feeds both installation paths; every builder must
-    // construct a real Expression so the cluster path can't lag the
-    // session path when a new native function lands
-    val names = functions.NativeTextExpressions.builders.map(_._1)
-    assert(names.contains("canon_text") && names.contains("word_ngram_hashes"))
+  test("a session built with the extensions resolves every injected function end-to-end") {
+    // the real cluster path: a FRESH session (shared SparkContext) with
+    // spark.sql.extensions applied, NO register() call anywhere — every
+    // function must resolve and evaluate through the injection alone
+    val names = (functions.VectorFunctions.builders ++
+      functions.NativeTextExpressions.builders).map(_._1)
+    assert(names.contains("canon_text") && names.contains("cosine_sim") &&
+      names.contains("srp_buckets"), "unification must span both modules")
     assert(names.distinct.length == names.length, "duplicate function name")
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    val arity2ByInt = Set("shingle_hashes", "minhash_sig", "word_ngram_hashes", "deflate_len")
-    functions.NativeTextExpressions.builders.foreach { case (name, builder) =>
-      val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-        if (arity2ByInt(name)) Seq(Literal("x"), Literal(3))
-        else if (name == "jaccard_sorted") Seq(Literal("x"), Literal("y"))
-        else Seq(Literal("x"))
-      assert(builder(args) != null, s"builder $name failed to construct")
+    val (oldDefault, oldActive) =
+      (SparkSession.getDefaultSession, SparkSession.getActiveSession)
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = fresh.sql(
+        """SELECT canon_text('Café  Noir!') AS canon,
+          |  round(cosine_sim(array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT)),
+          |                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 4) AS cos,
+          |  size(word_ngram_hashes('a b c d', 3)) AS n_grams""".stripMargin).first()
+      assert(r.getString(0) == "cafe noir")
+      assert(math.abs(r.getDouble(1) - 0.6) < 1e-4)
+      assert(r.getInt(2) == 2)
+    } finally {
+      oldDefault.foreach(SparkSession.setDefaultSession)
+      oldActive.foreach(SparkSession.setActiveSession)
     }
   }
 

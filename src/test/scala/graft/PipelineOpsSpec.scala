@@ -478,6 +478,7 @@ class PipelineOpsSpec extends SparkSpec {
         case _ => None
       }
     }.toSeq.sorted
+    assert(lags.nonEmpty && lags.max > 0, "fixture has no nonzero conversion lags")
     assert(r.getLong(0) == lags.length, "converter count")
     def pct(q: Double): Double = {
       val pos = q * (lags.length - 1)
@@ -487,6 +488,5 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - pct(0.5)) < 0.01 + 1e-9, "p50")
     assert(math.abs(r.getDouble(2) - pct(0.9)) < 0.01 + 1e-9, "p90")
     assert(r.getLong(3) == lags.max, "max lag")
-    assert(lags.nonEmpty && lags.max > 0, "fixture has no nonzero conversion lags")
   }
 }

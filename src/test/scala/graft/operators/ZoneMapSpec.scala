@@ -62,24 +62,45 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
-  test("manifests are mergeable: manifest(A union B) == merge(manifest(A), manifest(B))") {
-    val a = (0L until 600L).map(k => (k, s"a-$k")).toDF("k", "v")
-    val b = (400L until 1000L).map(k => (k, s"b-$k")).toDF("k", "v")
-    // shard against the SAME key domain (0..999) so assignments align
-    val all = ZoneMap.withShard(a.union(b), "k", n)
-    val direct = ZoneMap.manifest(all, "k")
-      .orderBy("zshard").collect().map(_.toSeq)
-    // per-batch manifests over each batch's slice of the shared sharding
-    val ma = ZoneMap.manifest(all.filter(col("v").startsWith("a-")), "k")
-    val mb = ZoneMap.manifest(all.filter(col("v").startsWith("b-")), "k")
-    val merged = ZoneMap.mergeManifests(ma, mb)
-      .orderBy("zshard").collect().map(_.toSeq)
-    assert(merged.toSeq == direct.toSeq,
-      "merged per-batch manifests must equal the full-scan manifest")
-    // overlap region forces real min/max/count merging, not concatenation
-    assert(ma.count() > 0 && mb.count() > 0)
-    val sharedShards = ma.select("zshard").intersect(mb.select("zshard")).count()
-    assert(sharedShards > 0, "batches share no shard; merge untested")
+  test("append workflow: batch sharded on the layout's FIXED domain, manifests merge, scan stays exact") {
+    val dir = layoutDir
+    try {
+      // initial layout over domain [0, 999]
+      val a = (0L until 600L).map(k => (k, s"a-$k")).toDF("k", "v")
+      val shardedA = ZoneMap.withShard(a, "k", n, 0L, 999L)
+      ZoneMap.writeLayout(shardedA, dir.getAbsolutePath)
+      val ma = ZoneMap.manifest(shardedA, "k")
+      // append batch sharded against the SAME domain — no rescan of A
+      val b = (400L until 1000L).map(k => (k, s"b-$k")).toDF("k", "v")
+      val shardedB = ZoneMap.withShard(b, "k", n, 0L, 999L)
+      ZoneMap.appendLayout(shardedB, dir.getAbsolutePath)
+      val merged = ZoneMap.mergeManifests(ma, ZoneMap.manifest(shardedB, "k"))
+      // mergeability: merged per-batch manifests == full-rescan manifest
+      val direct = ZoneMap.manifest(
+        ZoneMap.withShard(a.union(b), "k", n, 0L, 999L), "k")
+        .orderBy("zshard").collect().map(_.toSeq)
+      assert(merged.orderBy("zshard").collect().map(_.toSeq).toSeq == direct.toSeq,
+        "merged per-batch manifests must equal the full-scan manifest")
+      // and the merged manifest still drives an exact pruned scan
+      val pruned = ZoneMap.scanRange(spark, dir.getAbsolutePath, merged, "k", 450L, 700L)
+      val expected = a.union(b).filter(col("k") >= 450L && col("k") <= 700L)
+      assert(pruned.select("k", "v").except(expected).isEmpty &&
+        expected.except(pruned.select("k", "v")).isEmpty,
+        "append + merged manifest must answer range scans exactly")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("fixed-domain sharding clamps out-of-domain keys into edge shards, manifest stays honest") {
+    val b = Seq((-50L, "low"), (500L, "mid"), (2000L, "high")).toDF("k", "v")
+    val sharded = ZoneMap.withShard(b, "k", n, 0L, 999L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("zshard")).toMap
+    assert(sharded(-50L) == 0L && sharded(2000L) == (n - 1).toLong)
+    val m = ZoneMap.manifest(ZoneMap.withShard(b, "k", n, 0L, 999L), "k")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(0L)._1 == -50L, "edge shard min must record the true out-of-domain key")
+    assert(m((n - 1).toLong)._2 == 2000L, "edge shard max must record the true out-of-domain key")
   }
 
   test("q133 skipping soundness: every skipped shard has zero matching rows") {
