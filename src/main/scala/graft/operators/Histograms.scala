@@ -21,9 +21,15 @@ object Histograms {
                       k: Int = 8, accuracy: Int = 10000): DataFrame = {
     require(k > 1, "k must be at least 2")
     val ps = (1 until k).map(i => i.toDouble / k)
-    val bounds = df
-      .agg(expr(s"approx_percentile($valueCol, array(${ps.mkString(",")}), $accuracy)"))
-      .first().getSeq[Double](0)
+    // cast inside the aggregate: approx_percentile returns an array of the
+    // INPUT type, so an int/long/decimal column would CCE at getSeq[Double]
+    val row = df
+      .agg(expr(s"approx_percentile(CAST($valueCol AS DOUBLE)," +
+        s" array(${ps.mkString(",")}), $accuracy)"))
+      .first()
+    // empty / all-null input: no bounds — single bucket 0 over zero rows,
+    // i.e. an empty frame with the histogram schema rather than an NPE
+    val bounds: Seq[Double] = if (row.isNullAt(0)) Nil else row.getSeq[Double](0)
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(valueCol) > lit(b), 1).otherwise(0)
     }

@@ -27,15 +27,32 @@ object ZoneMap {
 
   /** Add `zshard` — fixed-width range shard of `keyCol` over its observed
     * [min, max] domain, ids 0 until n. Integer arithmetic end to end so
-    * any engine computes identical assignments.
+    * any engine computes identical assignments. The shard is computed
+    * divide-first — `(key - dmin) div cell` with
+    * `cell = (dmax - dmin) div n + 1` — never `(key - dmin) * n`, which
+    * overflows long when the domain width exceeds Long.MaxValue / n
+    * (e.g. epoch-micros keys with n=16). Fails fast on an empty input
+    * (no domain to derive — a one-task limit-1 probe, not a full scan)
+    * and raises at execution if every key is null (null domain would
+    * otherwise emit null shards silently); a residual width overflow
+    * (domain spanning more than Long.MaxValue) also raises rather than
+    * wrapping.
     */
   def withShard(df: DataFrame, keyCol: String, n: Int): DataFrame = {
     require(n >= 1, s"shard count must be >= 1, got $n")
+    require(!df.isEmpty,
+      s"cannot derive a zone-map domain from an empty input (keyCol=$keyCol)")
     val dom = df.agg(min(col(keyCol)).cast("long").as("__dmin"),
       max(col(keyCol)).cast("long").as("__dmax"))
     df.crossJoin(broadcast(dom))
       .withColumn("zshard",
-        expr(s"(CAST($keyCol AS BIGINT) - __dmin) * $n div (__dmax - __dmin + 1)"))
+        expr(s"""CASE
+          | WHEN __dmin IS NULL THEN
+          |  CAST(raise_error('zone-map domain is null: all $keyCol values are null') AS BIGINT)
+          | WHEN __dmax - __dmin < 0 THEN
+          |  CAST(raise_error('zone-map domain width overflows BIGINT') AS BIGINT)
+          | ELSE (CAST($keyCol AS BIGINT) - __dmin) div ((__dmax - __dmin) div $n + 1)
+          |END""".stripMargin))
       .drop("__dmin", "__dmax")
   }
 
@@ -45,15 +62,22 @@ object ZoneMap {
     * batches and the merged manifest silently widens until skipping
     * degenerates). Scan-local — no domain aggregate. Keys outside
     * [dmin, dmax] are clamped into the edge shards, keeping the manifest
-    * honest (their true min/max still lands in min_key/max_key).
+    * honest (their true min/max still lands in min_key/max_key). Same
+    * divide-first arithmetic as the observed-domain overload, so the two
+    * paths assign identical shards over a shared domain. A key so far
+    * outside the domain that `key - dmin` itself wraps still clamps into
+    * an edge shard whose manifest records its true value — skipping
+    * stays sound, that shard just stops pruning.
     */
   def withShard(df: DataFrame, keyCol: String, n: Int,
                 dmin: Long, dmax: Long): DataFrame = {
     require(n >= 1, s"shard count must be >= 1, got $n")
     require(dmax >= dmin, s"empty domain [$dmin, $dmax]")
+    require(dmax - dmin >= 0, s"domain [$dmin, $dmax] width overflows Long")
+    val cell = (dmax - dmin) / n + 1
     df.withColumn("zshard",
       expr(s"greatest(0L, least(${n - 1}L, " +
-        s"(CAST($keyCol AS BIGINT) - ${dmin}L) * $n div (${dmax - dmin + 1}L)))"))
+        s"(CAST($keyCol AS BIGINT) - ${dmin}L) div ${cell}L))"))
   }
 
   /** Append a batch (sharded against the layout's FIXED domain) to an

@@ -333,6 +333,17 @@ object EventStreams {
     * — the audit trail that says WHY a batch was held back. The batch is
     * persisted across its three uses (report, gate, publish) and released
     * before the next trigger.
+    *
+    * Replay idempotence (foreachBatch is at-least-once): the dq_log row is
+    * the COMMIT MARKER and is written LAST, after the data append. A
+    * replayed batch whose batch_id already appears in dq_log was fully
+    * processed and is skipped whole; a replay that crashed between the
+    * data append and the log write finds its batch_id already in the
+    * target table (every published/quarantined row is stamped with it)
+    * and redoes only the log write. Both probes are batch_id-equality
+    * filters — min/max column stats on a monotonically appended batch_id
+    * prune them to a handful of row groups, so the check stays
+    * metadata-cheap at any table size.
     */
   def dqGatedPublish(events: DataFrame, table: String, checkpointDir: String,
                      maxViolations: Long = 0,
@@ -341,26 +352,41 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
-        try {
-          val report = checks(batch)
-            .select(col("check_name"), col("violations").cast("long")).persist()
-          try {
-            val total = report
-              .agg(coalesce(sum(col("violations")), lit(0L))).first().getLong(0)
-            val passed = total <= maxViolations
-            report
-              .withColumn("batch_id", lit(batchId))
-              .withColumn("passed", lit(passed))
-              .write.mode("append").saveAsTable(s"${table}_dq_log")
-            if (passed)
-              batch.write.mode("append").saveAsTable(table)
-            else
-              batch.withColumn("batch_id", lit(batchId))
-                .write.mode("append").saveAsTable(s"${table}_quarantine")
-          } finally report.unpersist()
-        } finally batch.unpersist()
+        dqProcessBatch(batch, batchId, table, maxViolations, checks)
       }
+
+  /** One micro-batch of the DQ-gated publish — exposed so the replay
+    * contract (calling it twice with the same batchId is a no-op) is
+    * directly testable without staging a crash inside a running query.
+    */
+  private[graft] def dqProcessBatch(batch: DataFrame, batchId: Long, table: String,
+                                    maxViolations: Long = 0,
+                                    checks: DataFrame => DataFrame = eventBatchChecks): Unit = {
+    val spark = batch.sparkSession
+    def hasBatch(t: String): Boolean =
+      spark.catalog.tableExists(t) &&
+        !spark.table(t).filter(col("batch_id") === batchId).isEmpty
+    if (!hasBatch(s"${table}_dq_log")) {
+      batch.persist()
+      try {
+        val report = checks(batch)
+          .select(col("check_name"), col("violations").cast("long")).persist()
+        try {
+          val total = report
+            .agg(coalesce(sum(col("violations")), lit(0L))).first().getLong(0)
+          val passed = total <= maxViolations
+          val target = if (passed) table else s"${table}_quarantine"
+          if (!hasBatch(target))
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").saveAsTable(target)
+          report
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("passed", lit(passed))
+            .write.mode("append").saveAsTable(s"${table}_dq_log")
+        } finally report.unpersist()
+      } finally batch.unpersist()
+    }
+  }
 
   /** Streaming CDC merge — the incremental mirror of the batch changelog
     * apply (graft.Queries.cdcApply): each micro-batch of (k, seq, op ∈
@@ -378,7 +404,11 @@ object EventStreams {
     * holds a complete state snapshot; the merge reads whichever exists.
     * Replaying a batch against already-merged state is a no-op by
     * construction (equal seq takes the identical incoming row), so the
-    * at-least-once foreachBatch contract composes with the swap.
+    * at-least-once foreachBatch contract composes with the swap. That
+    * argument needs the per-key winner itself to be deterministic, so the
+    * latest-op window breaks (k, seq) ties on (op, v) — two rows with the
+    * same key and seq in one batch pick the same winner on every replay
+    * instead of whichever the shuffle happened to order first.
     *
     * Scale posture: per batch, one window over the batch (latest op per
     * key — batches are small by definition) and one full-outer join
@@ -394,7 +424,7 @@ object EventStreams {
         val spark = batch.sparkSession
         val (build, prev) = (s"${table}_build", s"${table}_prev")
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("k")).orderBy(col("seq").desc)
+          .partitionBy(col("k")).orderBy(col("seq").desc, col("op").desc, col("v").desc)
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)

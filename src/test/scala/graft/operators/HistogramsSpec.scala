@@ -28,4 +28,22 @@ class HistogramsSpec extends SparkSpec {
       assert(a.getDouble(3) <= b.getDouble(2))
     }
   }
+
+  test("integer-typed value column works (cast happens inside the sketch)") {
+    // approx_percentile returns an array of the INPUT type; before the
+    // in-aggregate cast this threw ClassCastException for long columns
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_quantity").cast("long").as("q"))
+    val h = Histograms.equidepthApprox(li, "q", 4, 1000).collect()
+    assert(h.map(_.getLong(1)).sum == li.count())
+    assert(h.length <= 4 && h.nonEmpty)
+  }
+
+  test("empty input yields an empty frame with the histogram schema, not an NPE") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(lit(false))
+    val h = Histograms.equidepthApprox(li, "l_extendedprice", 8)
+    assert(h.columns.toSeq == Seq("bucket", "n_rows", "lo", "hi"))
+    assert(h.count() == 0)
+  }
 }

@@ -103,6 +103,30 @@ class ZoneMapSpec extends SparkSpec {
     assert(m((n - 1).toLong)._2 == 2000L, "edge shard max must record the true out-of-domain key")
   }
 
+  test("withShard fails fast on an empty input and raises on an all-null key column") {
+    import org.apache.spark.sql.functions.lit
+    intercept[IllegalArgumentException] {
+      ZoneMap.withShard(table.filter(lit(false)), "k", n)
+    }
+    val allNull = Seq("a", "b").toDF("v").withColumn("k", lit(null).cast("long"))
+    val ex = intercept[Exception] {
+      ZoneMap.withShard(allNull, "k", n).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("zone-map domain"),
+      s"expected the null-domain raise_error, got: ${ex.getMessage}")
+  }
+
+  test("fixed-domain shard math divides first: epoch-micros-wide domains don't overflow") {
+    // domain width ~ 9.2e18 / 8: the old (key - dmin) * n formula wraps long
+    val wide = Seq(0L, Long.MaxValue / 16, Long.MaxValue / 8 - 1).toDF("k")
+    val shards = ZoneMap.withShard(wide, "k", n, 0L, Long.MaxValue / 8 - 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("zshard")).toMap
+    assert(shards(0L) == 0L, s"min key must land in shard 0: $shards")
+    assert(shards(Long.MaxValue / 8 - 1) == (n - 1).toLong,
+      s"max key must land in shard ${n - 1}: $shards")
+    assert(shards.values.forall(s => s >= 0 && s < n), s"shard out of range: $shards")
+  }
+
   test("q133 skipping soundness: every skipped shard has zero matching rows") {
     val rows = graft.Queries.zoneMapSkipping(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 16)

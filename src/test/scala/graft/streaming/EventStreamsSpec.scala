@@ -473,4 +473,51 @@ class EventStreamsSpec extends SparkSpec {
     val r = hourlyTypeCounts(batch).orderBy("window_start").collect()
     assert(r.length == 2 && r(0).getLong(2) == 2 && r(1).getLong(2) == 1)
   }
+
+  test("DQ gate replay is idempotent: committed batches skip whole, half-landed batches don't double-append") {
+    Seq("dq_replay", "dq_replay_quarantine", "dq_replay_dq_log")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    def fresh(t: String): Long = { spark.catalog.refreshTable(t); spark.table(t).count() }
+    val batch = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00")).toDF()
+    dqProcessBatch(batch, 0L, "dq_replay")
+    assert(fresh("dq_replay") == 2 && fresh("dq_replay_dq_log") > 0)
+    val logRows = fresh("dq_replay_dq_log")
+    // replay after full commit: the dq_log marker short-circuits everything
+    dqProcessBatch(batch, 0L, "dq_replay")
+    assert(fresh("dq_replay") == 2, "committed replay must not re-append prod rows")
+    assert(fresh("dq_replay_dq_log") == logRows, "committed replay must not re-log")
+    // crash window: data landed but the dq_log marker write never committed —
+    // simulate by deleting the marker rows, then replay the same batch
+    spark.sql("DROP TABLE `dq_replay_dq_log`")
+    dqProcessBatch(batch, 0L, "dq_replay")
+    assert(fresh("dq_replay") == 2,
+      "replay after a pre-marker crash must not duplicate already-landed rows")
+    assert(fresh("dq_replay_dq_log") == logRows, "replay must restore the marker")
+    // every published row is stamped so downstream can audit/dedupe by batch
+    assert(spark.table("dq_replay").columns.contains("batch_id"))
+    // a genuinely new batch still appends on top
+    dqProcessBatch(Seq(ev(3, "2024-01-01 10:02:00")).toDF(), 1L, "dq_replay")
+    assert(fresh("dq_replay") == 3)
+  }
+
+  test("CDC merge breaks (k, seq) ties deterministically on (op, v)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-cdc-tie").toString
+    Seq("cdc_tie", "cdc_tie_prev", "cdc_tie_build")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val q = cdcMergeStream(in.toDF().toDF("k", "seq", "op", "v"), "cdc_tie", ckpt).start()
+    try {
+      // k7: same (k, seq), same op, different v → highest v wins, every run
+      // k8: same (k, seq), different op → op desc ('I' > 'D') wins, every run
+      in.addData((7L, 1L, "U", 1.0), (7L, 1L, "U", 2.0),
+        (8L, 1L, "D", 0.0), (8L, 1L, "I", 5.0))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("cdc_tie")
+      val state = spark.table("cdc_tie").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2), r.getDouble(3))).toMap
+      assert(state(7L) == (true, 2.0), s"k7 tie must pick v=2.0, got ${state(7L)}")
+      assert(state(8L) == (true, 5.0), s"k8 tie must pick op=I, got ${state(8L)}")
+    } finally q.stop()
+  }
 }
