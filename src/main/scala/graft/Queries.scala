@@ -2223,6 +2223,22 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Uncapped exact tf-idf cosine pairs — the weighted prefix join
+    * ([[graft.operators.PrefixJoin.weightedCosinePrefixJoin]]) run over
+    * the FULL documents corpus at the q145 threshold: identical
+    * semantics to q145 with the `doc_id < 1000` exact-baseline cap
+    * removed, because candidates come from rare-term prefixes (suffix-L2
+    * bound) instead of the Σ df² term self-join. The overlap with q145
+    * on the capped slice is asserted equal in spec; the DuckDB oracle
+    * replays the same prefix mathematics through window functions (its
+    * own term ordering — losslessness is ordering-independent, so both
+    * engines land on the identical verified pair set).
+    */
+  def weightedPrefixJoinPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixJoin.weightedCosinePrefixJoin(
+      t(spark, dir, "documents"), "doc_id", "text", 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Survivorship policy over near-dup clusters — q92 keeps each
     * cluster's MIN-ID document; production dedup keeps the BEST copy.
     * Same exact pair graph (3-gram Jaccard ≥ 0.5) and connected

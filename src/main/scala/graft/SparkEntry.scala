@@ -264,6 +264,7 @@ object SparkEntry {
     "q144_cohort_retention"  -> Queries.cohortRetention _,
     // sparse TF-IDF cosine pairs via the inverted index (capped baseline)
     "q145_tfidf_cosine"      -> Queries.tfidfCosinePairs _,
+    "q148_weighted_prefix_join" -> Queries.weightedPrefixJoinPairs _,
     // survivorship: keep the BEST copy per near-dup cluster (not min-id)
     "q146_survivorship"      -> Queries.survivorship _,
     // first-view -> first-purchase lag distribution (duration analytics)
@@ -1527,6 +1528,45 @@ object SparkEntry {
         |JOIN norms nb ON nb.doc_id = id_b
         |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    // The oracle replays the weighted-prefix mathematics through window
+    // functions with ITS OWN term ordering (df asc, term string) — the
+    // prefix bound is lossless under any global order, so both engines
+    // verify the identical pair set; round-then-threshold as in q145.
+    "q148_weighted_prefix_join" ->
+      """WITH terms AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |w AS (
+        | SELECT doc_id, term, df, tf * ln(n_docs / df) AS w
+        | FROM tf JOIN dft USING (term), nn),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |unitv AS (
+        | SELECT w.doc_id AS doc_id, term, df, w / nrm AS u
+        | FROM w JOIN norms ON norms.doc_id = w.doc_id WHERE nrm > 0),
+        |tails AS (
+        | SELECT doc_id, term, u,
+        |  sqrt(sum(u * u) OVER (PARTITION BY doc_id ORDER BY df, term
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS tail
+        | FROM unitv),
+        |posting AS (SELECT doc_id, term, tail FROM tails WHERE tail >= 0.6),
+        |cands AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM posting a JOIN posting b
+        |  ON a.term = b.term AND a.doc_id < b.doc_id
+        | WHERE a.tail * b.tail >= 0.6 - 1e-9),
+        |dots AS (
+        | SELECT id_a, id_b, sum(ua.u * ub.u) AS dot
+        | FROM cands
+        | JOIN unitv ua ON ua.doc_id = id_a
+        | JOIN unitv ub ON ub.doc_id = id_b AND ub.term = ua.term
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot, 4) AS cosine
+        |FROM dots WHERE round(dot, 4) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     "q143_join_cardinality" ->
       """WITH p1 AS (
         | SELECT '1_lineitem_orders_fk' AS join_name,
@@ -1723,7 +1763,7 @@ object SparkEntry {
         | FROM orders),
         |dom AS (SELECT min(day) AS dmin, max(day) AS dmax FROM days),
         |sh AS (
-        | SELECT ((day - dmin) * 16) // (dmax - dmin + 1) AS zshard, day,
+        | SELECT (day - dmin) // ((dmax - dmin) // 16 + 1) AS zshard, day,
         |  date_diff('day', DATE '1992-01-01', DATE '1995-03-01') AS lo,
         |  date_diff('day', DATE '1992-01-01', DATE '1995-05-31') AS hi
         | FROM days, dom)

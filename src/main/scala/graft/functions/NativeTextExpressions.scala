@@ -127,6 +127,54 @@ object NativeTextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sparse dot product over two vectors stored as (sorted key array,
+    * aligned value array) — one merge-join pass, O(|a| + |b|). The
+    * verify step of the weighted prefix join runs this per candidate
+    * pair; a map<long,double> formulation costs O(|a|·|b|) because
+    * Catalyst map lookup is a linear scan, which turned the verify into
+    * the bottleneck at 10⁷ candidates. Keys MUST be sorted ascending
+    * (the builder sorts by (df, tok) then re-sorts by tok for this).
+    */
+  case class SortedDot(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def prettyName: String = "sorted_dot"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = children.length == 4 &&
+        children(0).dataType.isInstanceOf[ArrayType] &&
+        children(0).dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        children(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+        children(2).dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        children(3).dataType.asInstanceOf[ArrayType].elementType == DoubleType
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "sorted_dot expects (array<bigint>, array<double>, array<bigint>, array<double>)")
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val ka = children(0).eval(input); val va = children(1).eval(input)
+      val kb = children(2).eval(input); val vb = children(3).eval(input)
+      if (ka == null || va == null || kb == null || vb == null) null
+      else {
+        val xk = ka.asInstanceOf[ArrayData]; val xv = va.asInstanceOf[ArrayData]
+        val yk = kb.asInstanceOf[ArrayData]; val yv = vb.asInstanceOf[ArrayData]
+        val nx = xk.numElements(); val ny = yk.numElements()
+        var i = 0; var j = 0; var dot = 0.0d
+        while (i < nx && j < ny) {
+          val a = xk.getLong(i); val b = yk.getLong(j)
+          if (a == b) { dot += xv.getDouble(i) * yv.getDouble(j); i += 1; j += 1 }
+          else if (a < b) i += 1
+          else j += 1
+        }
+        dot
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
   /** 64-bit SimHash over whitespace tokens of the lowercased input — one
     * pass, no intermediate arrays. Same semantics as
     * [[TextFunctions.simhash64]] modulo hash family internals.
@@ -501,7 +549,8 @@ object NativeTextExpressions {
     "stopword_count_native" -> (c => StopwordCount(c.head)),
     "punct_ratio_native" -> (c => PunctRatio(c.head)),
     "deflate_len" -> (c => DeflateLen(c.head, litInt(c(1), "level"))),
-    "canon_text" -> (c => CanonText(c.head)))
+    "canon_text" -> (c => CanonText(c.head)),
+    "sorted_dot" -> (c => SortedDot(c)))
 
   /** Register every native function on the session (idempotent). */
   def register(spark: SparkSession): Unit = {

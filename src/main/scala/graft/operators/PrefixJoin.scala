@@ -110,4 +110,101 @@ object PrefixJoin {
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     sets.select(col("id"), explode(slice(col("toks"), lit(1), prefixLen)).as("ptok"))
   }
+
+  /** WEIGHTED prefix join: exact all-pairs tf-idf COSINE ≥ t over unigram
+    * terms, uncapped — the scale path that retires the q145 `doc_id <
+    * 1000` slice. Same output contract as q145 (id_a < id_b, cosine
+    * rounded to 4 before the threshold) on the full corpus.
+    *
+    * The weighted pruning argument (AllPairs/PPJoin lifted to unit
+    * vectors): unit-normalize each document's tf-idf weights, order every
+    * document's terms by a GLOBAL total order (ascending df, term-hash
+    * tie-break — rarest, i.e. heaviest, first), and let tail_j =
+    * ‖w[j..]‖₂ be the L2 norm of the suffix starting at term j. A
+    * document's PREFIX is the terms with tail_j ≥ t. For any pair with
+    * cos ≥ t, its first shared term (in the global order) must sit in
+    * BOTH prefixes: were it past either prefix, every shared term would
+    * be in that side's suffix and Cauchy-Schwarz caps the dot product at
+    * ‖suffix‖₂·‖unit vector‖₂ < t. So prefix×prefix candidate generation
+    * is LOSSLESS (asserted against brute force in spec), and because
+    * rare-first ordering front-loads the heaviest weights, the tail
+    * collapses fastest exactly when tf-idf is skewed — short prefixes of
+    * RARE terms, so the posting-list fan-out Σ df² dies where the full
+    * inverted index (q145's term self-join) explodes.
+    *
+    * The PPJoin position filter survives the lift: a candidate generated
+    * at positions (p_a, p_b) bounds cos ≤ tail_{p_a}(a)·tail_{p_b}(b),
+    * so posting pairs below t (minus a float-slack ε — pruning must
+    * never decide membership) are dropped before the pair dedup; the
+    * first-shared-term row always passes, preserving losslessness. The
+    * length filter degenerates: unit vectors all have ‖·‖ = 1.
+    *
+    * Plan shape: one scan → term explode; one shuffle for df; one
+    * shuffle on id for the per-doc window (tail norms) — STAGED once,
+    * feeding postings and the verify maps; the maps groupBy reuses the
+    * id partitioning (no new exchange); candidates shuffle on the rare
+    * prefix term only; exact verify is two hash joins to map columns
+    * plus a scan-local map-lookup dot product — no third shuffle over
+    * pair×term rows, unlike q145's groupBy(id_a, id_b) dot assembly.
+    * Zero-norm documents (every term in every doc) are excluded — their
+    * cosine is undefined.
+    */
+  def weightedCosinePrefixJoin(docs: DataFrame, idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    NativeTextExpressions.register(docs.sparkSession)
+    val nDocs = docs.count().toDouble
+    val terms = docs
+      .select(col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)).as("term"))
+      .select(col("id"), xxhash64(col("term")).as("tok"))
+    val tf = terms.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfT, "tok")
+      .select(col("id"), col("tok"), col("df"),
+        (col("tf") * log(lit(nDocs) / col("df"))).as("w"))
+    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val unit = w.join(norms, "id").filter(col("nrm") > 0)
+      .select(col("id"), col("tok"), col("df"), (col("w") / col("nrm")).as("u"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val tails = Dedup.stage(
+      unit.withColumn("tail", sqrt(sum(col("u") * col("u")).over(byRarity))),
+      "wprefixjoin-tails")
+    val posting = tails.filter(col("tail") >= threshold)
+      .select(col("id"), col("tok"), col("tail"))
+    val cands = posting.as("a").join(posting.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.tail") * col("b.tail") >= threshold - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // verify vectors as (sorted key array, aligned value array): the
+    // native merge-join dot is O(|a|+|b|) per pair where a map column is
+    // O(|a|·|b|) (Catalyst map lookup is a linear scan) — at 10⁷
+    // candidates on a dense corpus that is the difference between the
+    // verify dominating the join and disappearing into it
+    val vecs = Dedup.stage(
+      tails.groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("tok"), col("u")))).as("kv"))
+        .select(col("id"),
+          transform(col("kv"), x => x.getField("tok")).as("ks"),
+          transform(col("kv"), x => x.getField("u")).as("vs")),
+      "wprefixjoin-vecs")
+    // joining the fat vector payload BEFORE the id_b shuffle would move
+    // |cands| × ~KB of arrays through the exchange; while the vector table
+    // fits an executor, broadcasting it keeps both verify joins shuffle-free
+    // (candidate rows never move). Past the cutoff, fall back to shuffle
+    // joins — at that scale the verify is throughput-bound either way.
+    val hint: DataFrame => DataFrame =
+      if (nDocs <= 200000) broadcast(_) else identity
+    cands
+      .join(hint(vecs.select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va"))), "id_a")
+      .join(hint(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb"))), "id_b")
+      .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

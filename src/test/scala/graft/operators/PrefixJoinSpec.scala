@@ -95,6 +95,78 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  private def bruteTfidfCosine(rows: Array[(Long, String)], t: Double): Map[(Long, Long), Double] = {
+    val n = rows.length.toDouble
+    val tfs = rows.map { case (id, text) =>
+      id -> text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, o) => w -> o.length.toDouble }
+    }.toMap
+    val df = tfs.values.flatMap(_.keys).groupBy(identity).map { case (w, o) => w -> o.size }
+    val vecs = tfs.map { case (id, tf) =>
+      val w = tf.map { case (term, f) => term -> f * math.log(n / df(term)) }
+      val nrm = math.sqrt(w.values.map(x => x * x).sum)
+      id -> (w, nrm)
+    }
+    (for {
+      (ia, (wa, na)) <- vecs.toSeq; (ib, (wb, nb)) <- vecs.toSeq
+      if ia < ib && na > 0 && nb > 0
+      dot = wa.map { case (term, x) => x / na * wb.getOrElse(term, 0.0) / nb }.sum
+      c = BigDecimal(dot).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= t
+    } yield (ia, ib) -> c).toMap
+  }
+
+  test("weighted prefix join is LOSSLESS on the full real corpus: pairs and cosines equal brute force") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = 0.6
+    val got = PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = bruteTfidfCosine(rows, t)
+    assert(got.keySet == brute.keySet,
+      s"missing ${brute.keySet -- got.keySet}, extra ${got.keySet -- brute.keySet}")
+    brute.foreach { case (p, c) =>
+      assert(math.abs(got(p) - c) < 1e-3, s"$p: got ${got(p)}, brute $c") }
+    assert(brute.nonEmpty, "corpus has no qualifying tf-idf pairs at 0.6; test is vacuous")
+  }
+
+  test("weighted prefix join restricted to the q145 slice reproduces q145 exactly") {
+    // q148 IS q145 with the cap removed: on the capped slice the verified
+    // pair sets and rounded cosines must be identical
+    val sliced = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 1000)
+    val viaPrefix = PrefixJoin.weightedCosinePrefixJoin(sliced, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaBrute = graft.Queries.tfidfCosinePairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaPrefix.keySet == viaBrute.keySet,
+      s"missing ${viaBrute.keySet -- viaPrefix.keySet}, extra ${viaPrefix.keySet -- viaBrute.keySet}")
+    viaBrute.foreach { case (p, c) =>
+      assert(math.abs(viaPrefix(p) - c) < 1e-9, s"$p: prefix ${viaPrefix(p)}, q145 $c") }
+  }
+
+  test("weighted prefix postings index a strict subset of the full tf-idf postings") {
+    // randomized corpora: losslessness across thresholds + the prefix
+    // must never index MORE postings than the full inverted index
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    for (trial <- 0 until 2; t <- Seq(0.5, 0.8)) {
+      val docs = (0 until 25).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong, (0 until len).map { _ =>
+          if (rnd.nextBoolean()) vocab(rnd.nextInt(5)) else vocab(rnd.nextInt(vocab.size))
+        }.mkString(" "))
+      }
+      val got = PrefixJoin.weightedCosinePrefixJoin(
+          docs.toDF("doc_id", "text"), "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = bruteTfidfCosine(docs.toArray, t).keySet
+      assert(got == brute,
+        s"trial=$trial t=$t: missing ${brute -- got}, extra ${got -- brute}")
+    }
+  }
+
   test("long-tail vocabulary: unigram prefix pruning goes to zero where the full index is quadratic") {
     // 3 corpus-wide stopwords + 7 unique tokens per doc: sz=10 at t=0.6
     // keeps a 5-token prefix = exactly the unique (df=1) tokens, so NO
