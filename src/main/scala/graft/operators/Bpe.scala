@@ -15,7 +15,16 @@ import org.apache.spark.sql.functions._
   * argmax collect (bounded driver data), and a scan-local string rewrite.
   * localCheckpoint() every few merges truncates the growing expression
   * lineage, the same pattern as Dedup.connectedComponents' pointer-
-  * jumping loop.
+  * jumping loop; chosen-pair exclusion is a broadcast anti-join against
+  * a local relation, so the per-merge PLAN stays constant-size at any
+  * vocab size k (the r8 `isin` form grew the predicate by one entry per
+  * merge). Because the profile is vocabulary-sized (~10⁶ rows at any
+  * corpus scale), the trainer's alternative physical plan is a
+  * SINGLE-EXECUTOR loop over the collected profile (coalesce(1) or a
+  * driver-side loop) — zero per-merge job-scheduling overhead at the
+  * price of no parallelism; the distributed form here keeps the
+  * per-merge latency flat and is the right default when the merge loop
+  * shares the cluster with the corpus scan that feeds it.
   *
   * Determinism contract (what makes the result hash-checkable against a
   * DuckDB replay of the same algorithm): a word is represented as
@@ -82,11 +91,9 @@ object Bpe {
     var rank = 1
     var dry = false
     while (rank <= numMerges && !dry) {
-      val chosen = merges.map(m => s"${m.left} ${m.right}").toSeq
       val cand = pairCounts(words)
-      val fresh =
-        if (chosen.isEmpty) cand
-        else cand.filter(!concat_ws(" ", col("l"), col("r")).isin(chosen: _*))
+      val fresh = excludeChosen(cand,
+        merges.toSeq.map(m => (m.left, m.right)))
       val top = fresh.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
       if (top.isEmpty) dry = true
       else {
@@ -105,6 +112,23 @@ object Bpe {
     Checkpoints.release(lastCk)
     merges.toSeq
   }
+
+  /** Candidate pairs minus the already-chosen merges, as a broadcast
+    * ANTI-JOIN against a local relation — never a growing
+    * `isin(chosen)` predicate, whose expression tree (and codegen) gets
+    * k entries longer every merge: at k=256 that is a 255-way OR
+    * re-planned and re-compiled per iteration, while the anti-join's
+    * plan SHAPE is one fixed node whose chosen pairs are data rows
+    * (asserted constant-size in BpeSpec).
+    */
+  private[operators] def excludeChosen(cand: DataFrame,
+                                       chosen: Seq[(String, String)]): DataFrame =
+    if (chosen.isEmpty) cand
+    else {
+      val spark = cand.sparkSession
+      import spark.implicits._
+      cand.join(broadcast(chosen.toDF("l", "r")), Seq("l", "r"), "left_anti")
+    }
 
   /** Two leftmost non-overlapping replace passes — see the determinism
     * contract above. Symbols are [a-z]+ so inlining them into the

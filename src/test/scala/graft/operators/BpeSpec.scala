@@ -83,4 +83,22 @@ class BpeSpec extends SparkSpec {
       assert(b <= a, s"pair counts not monotone: ${merges.map(_.pairCount)}")
     }
   }
+
+  test("chosen-pair exclusion plan does not grow with the merge count") {
+    // the r8 isin(chosen) predicate added one OR branch per learned merge;
+    // the anti-join keeps chosen pairs as DATA, so the optimized plan tree
+    // must have the same node count at 10 and at 250 chosen pairs
+    import org.apache.spark.sql.functions._
+    val cand = Seq(("a", "b", 3L), ("c", "d", 2L)).toDF("l", "r", "cnt")
+    def planNodes(n: Int): Int = {
+      val chosen = (0 until n).map(i => (s"x$i", s"y$i"))
+      Bpe.excludeChosen(cand, chosen).queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    assert(planNodes(10) == planNodes(250),
+      s"plan grew with k: ${planNodes(10)} vs ${planNodes(250)} nodes")
+    // and the exclusion still excludes
+    val out = Bpe.excludeChosen(cand, Seq(("a", "b")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("c", "d")))
+  }
 }
