@@ -2314,4 +2314,48 @@ object Queries {
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("event_type"))
   }
+
+  /** Mergeable HLL sketch columns — distinct users per event type
+    * computed INCREMENTALLY: the events table split into two "ingest
+    * batches" (even/odd event_id), each batch reduced to one binary
+    * DataSketches HLL row per type ([[graft.operators.Sketches]]), the
+    * per-batch sketch rows merged by register-wise union — history is
+    * never rescanned, the mergeManifests contract for statistics.
+    * Rows-only (no SQL oracle can replay DataSketches registers);
+    * SketchesSpec asserts merge(sketch(A), sketch(B)) == sketch(A∪B)
+    * EXACTLY and gates the estimates within 5% of exact distincts.
+    */
+  def hllSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val batchA = graft.operators.Sketches.hllByGroup(
+      ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
+    val batchB = graft.operators.Sketches.hllByGroup(
+      ev.filter(col("event_id") % 2 === 1), "event_type", "user_id")
+    graft.operators.Sketches
+      .hllMergeByGroup(batchA.unionByName(batchB), "event_type")
+      .orderBy(col("event_type"))
+  }
+
+  /** Mergeable CMS sketch columns — per-type user-frequency sketches
+    * built per ingest batch and merged counter-wise with the custom
+    * binary-merge aggregate, then probed for a fixed user panel. Same
+    * incremental contract as q150; the merged-vs-single-pass identity
+    * and the never-undercount/eps envelope are spec-gated. Rows-only.
+    */
+  def cmsSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val perBatch = graft.operators.Sketches.cmsByGroup(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
+      .unionByName(graft.operators.Sketches.cmsByGroup(
+        ev.filter(col("event_id") % 2 === 1), "event_type", "user_id"))
+    val merged = perBatch.groupBy(col("event_type"))
+      .agg(graft.operators.Sketches.cmsMerge(col("cms")).as("cms"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+    val probes = Seq(1L, 7L, 42L, 123L)
+    import spark.implicits._
+    merged.toSeq.flatMap { case (et, sk) =>
+      probes.map(u => (et, u, graft.operators.Sketches.cmsEstimate(sk, u)))
+    }.toDF("event_type", "user_id", "est_events")
+      .orderBy(col("event_type"), col("user_id"))
+  }
 }

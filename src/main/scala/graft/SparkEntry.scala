@@ -268,7 +268,9 @@ object SparkEntry {
     // survivorship: keep the BEST copy per near-dup cluster (not min-id)
     "q146_survivorship"      -> Queries.survivorship _,
     // first-view -> first-purchase lag distribution (duration analytics)
-    "q147_conversion_lag"    -> Queries.conversionLag _
+    "q147_conversion_lag"    -> Queries.conversionLag _,
+    "q150_hll_sketch_union"  -> Queries.hllSketchUnion _,
+    "q151_cms_sketch_merge"  -> Queries.cmsSketchMerge _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
