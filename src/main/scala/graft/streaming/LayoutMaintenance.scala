@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.operators.ZoneMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming zone-map maintenance — the streaming sibling of the DQ gate
+  * for the DATA LAYOUT: every micro-batch is sharded against the
+  * layout's FIXED key domain, appended to the clustered parquet
+  * directory, and the zone-map manifest is updated from the batch's own
+  * (metadata-sized) statistics — `mergeManifests`' contract live on a
+  * stream, so skipping stats stay current without ever rescanning the
+  * layout. The manifest store is APPEND-ONLY per batch (one stats row
+  * per (batch_id, zshard)); readers reduce it with
+  * [[graft.operators.ZoneMap.mergeManifests]]-equivalent aggregation via
+  * [[mergedManifest]].
+  *
+  * Replay idempotence (same two-probe pattern as
+  * [[EventStreams.dqProcessBatch]]): the batch's manifest rows are the
+  * commit marker, written LAST; layout rows are stamped with batch_id so
+  * a replay that crashed between the data append and the manifest write
+  * skips the re-append and redoes only the marker. Both probes are
+  * batch_id-equality filters pruned by parquet column stats.
+  */
+object LayoutMaintenance {
+
+  /** Start-ready sink: shard on `keyCol` over the fixed [dmin, dmax]
+    * domain into `n` zones, append to `layoutPath`, maintain
+    * `manifestPath`.
+    */
+  def zoneMapMaintainedSink(stream: DataFrame, keyCol: String, n: Int,
+                            dmin: Long, dmax: Long,
+                            layoutPath: String, manifestPath: String,
+                            checkpointDir: String) =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        zoneMapProcessBatch(batch, batchId, keyCol, n, dmin, dmax,
+          layoutPath, manifestPath)
+      }
+
+  /** One micro-batch of the maintained layout — exposed so the replay
+    * contract is directly testable.
+    */
+  private[graft] def zoneMapProcessBatch(batch: DataFrame, batchId: Long,
+                                         keyCol: String, n: Int,
+                                         dmin: Long, dmax: Long,
+                                         layoutPath: String,
+                                         manifestPath: String): Unit = {
+    val spark = batch.sparkSession
+    def hasBatch(path: String): Boolean =
+      try !spark.read.parquet(path)
+        .filter(col("batch_id") === batchId).isEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!hasBatch(manifestPath)) {
+      val sharded = ZoneMap.withShard(batch, keyCol, n, dmin, dmax)
+        .withColumn("batch_id", lit(batchId))
+      sharded.persist()
+      try {
+        if (!hasBatch(layoutPath)) ZoneMap.appendLayout(sharded, layoutPath)
+        ZoneMap.manifest(sharded, keyCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(manifestPath)
+      } finally sharded.unpersist()
+    }
+  }
+
+  /** Reduce the per-batch manifest store to the live zone map — the
+    * N-way form of [[ZoneMap.mergeManifests]] (min/max/count are
+    * mergeable, so a single aggregation over |batches| × |zones| stats
+    * rows replaces any rescan).
+    */
+  def mergedManifest(spark: SparkSession, manifestPath: String): DataFrame =
+    spark.read.parquet(manifestPath)
+      .groupBy(col("zshard"))
+      .agg(min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"),
+        sum(col("n_rows")).as("n_rows"))
+}

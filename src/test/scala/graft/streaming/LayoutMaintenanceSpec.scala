@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.ZoneMap
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streamed layout must be indistinguishable from a batch rebuild:
+  * same manifest, same pruned-scan answers, and replays must not double
+  * anything.
+  */
+class LayoutMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("streamed appendLayout + manifest store equals the batch-rebuilt manifest") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val (layout, manifest, ckpt) =
+      (tmp("zm-layout"), tmp("zm-manifest"), tmp("zm-ckpt"))
+    // fresh dirs: the writers expect to create them
+    Seq(layout, manifest).foreach(p => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(p)))
+    val q = LayoutMaintenance.zoneMapMaintainedSink(
+      in.toDF().toDF("k", "v"), "k", n = 8, dmin = 0L, dmax = 999L,
+      layout, manifest, ckpt).start()
+    val batches = Seq(
+      (0L until 300L).map(k => (k, s"a-$k")),
+      (250L until 700L).map(k => (k, s"b-$k")),
+      (650L until 1000L).map(k => (k, s"c-$k")))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val all = batches.flatten.toDF("k", "v")
+    val rebuilt = ZoneMap.manifest(
+        ZoneMap.withShard(all, "k", 8, 0L, 999L), "k")
+      .orderBy("zshard").collect().map(_.toSeq).toSeq
+    val streamed = LayoutMaintenance.mergedManifest(spark, manifest)
+      .orderBy("zshard").collect().map(_.toSeq).toSeq
+    assert(streamed == rebuilt,
+      s"streamed manifest diverged:\n$streamed\nvs rebuilt:\n$rebuilt")
+
+    // the streamed layout + merged manifest answer range scans exactly
+    val pruned = ZoneMap.scanRange(spark, layout,
+      LayoutMaintenance.mergedManifest(spark, manifest), "k", 280L, 680L)
+    val expected = all.filter(col("k").between(280L, 680L))
+    assert(pruned.select("k", "v").except(expected).isEmpty &&
+      expected.except(pruned.select("k", "v")).isEmpty)
+  }
+
+  test("replayed micro-batches are idempotent for both layout and manifest") {
+    val (layout, manifest) = (tmp("zm-rep-layout"), tmp("zm-rep-manifest"))
+    Seq(layout, manifest).foreach(p => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(p)))
+    val batch = (0L until 100L).map(k => (k, s"x-$k")).toDF("k", "v")
+    LayoutMaintenance.zoneMapProcessBatch(batch, 0L, "k", 8, 0L, 999L, layout, manifest)
+    val rows0 = spark.read.parquet(layout).count()
+    val man0 = spark.read.parquet(manifest).count()
+    // full replay after commit: marker present → everything skipped
+    LayoutMaintenance.zoneMapProcessBatch(batch, 0L, "k", 8, 0L, 999L, layout, manifest)
+    assert(spark.read.parquet(layout).count() == rows0, "layout double-appended")
+    assert(spark.read.parquet(manifest).count() == man0, "manifest double-written")
+    // crash window: layout landed, manifest (the marker) did not — replay
+    // must re-write only the manifest
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(manifest))
+    LayoutMaintenance.zoneMapProcessBatch(batch, 0L, "k", 8, 0L, 999L, layout, manifest)
+    assert(spark.read.parquet(layout).count() == rows0,
+      "replay after pre-marker crash duplicated layout rows")
+    assert(spark.read.parquet(manifest).count() == man0, "marker not restored")
+    // a new batch still lands
+    LayoutMaintenance.zoneMapProcessBatch(
+      (100L until 150L).map(k => (k, s"y-$k")).toDF("k", "v"),
+      1L, "k", 8, 0L, 999L, layout, manifest)
+    assert(spark.read.parquet(layout).count() == rows0 + 50)
+  }
+}
