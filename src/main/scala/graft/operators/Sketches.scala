@@ -9,10 +9,14 @@ import org.apache.spark.util.sketch.CountMinSketch
   * sketches materialized per partition/batch as binary columns, plus the
   * merge aggregates that combine them. The contract mirrors
   * [[ZoneMap.mergeManifests]]: `sketch(A ∪ B) == merge(sketch(A),
-  * sketch(B))`, exactly (HLL union is a register-wise max; CMS merge is
-  * a counter-wise add — both are algebraic identities, asserted in
-  * spec), so an appended batch updates corpus-wide statistics from its
-  * OWN sketch without rescanning history. At 100 TB this turns "distinct
+  * sketch(B))` at the STATE level — HLL union is a register-wise max,
+  * CMS merge a counter-wise add. CMS estimates are therefore path-equal
+  * exactly (spec-asserted); HLL ESTIMATES can differ by a hair between
+  * a single-stream sketch (HIP estimator) and a union (composite
+  * estimator), so the cross-path guarantee is the error envelope, with
+  * exact path equality while sketches stay in sparse exact mode (the
+  * spec regime). Either way an appended batch updates corpus-wide
+  * statistics from its OWN sketch without rescanning history. At 100 TB this turns "distinct
   * users over the whole table after tonight's ingest" from a full-table
   * shuffle into a metadata-sized union over |batches| × |groups| rows.
   *

@@ -78,4 +78,42 @@ object LayoutMaintenance {
       .agg(min(col("min_key")).as("min_key"),
         max(col("max_key")).as("max_key"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** Streaming DISTINCT-COUNT maintenance — the sketch sibling of the
+    * zone-map sink: every micro-batch reduces to one binary HLL row per
+    * group ([[graft.operators.Sketches.hllByGroup]]) appended to a stats
+    * store; [[mergedDistincts]] unions the registers at read time, so
+    * "distinct users per type over all time" never rescans history. The
+    * per-batch sketch rows double as their own commit marker (single
+    * write per batch — replays skip on batch_id, nothing can half-land).
+    */
+  def hllMaintainedSink(stream: DataFrame, groupCol: String, valueCol: String,
+                        statsPath: String, checkpointDir: String,
+                        lgK: Int = 12) =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hllProcessBatch(batch, batchId, groupCol, valueCol, statsPath, lgK)
+      }
+
+  private[graft] def hllProcessBatch(batch: DataFrame, batchId: Long,
+                                     groupCol: String, valueCol: String,
+                                     statsPath: String, lgK: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    val already =
+      try !spark.read.parquet(statsPath)
+        .filter(col("batch_id") === batchId).isEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!already)
+      graft.operators.Sketches.hllByGroup(batch, groupCol, valueCol, lgK)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(statsPath)
+  }
+
+  /** Merge the per-batch sketch store to live estimates per group. */
+  def mergedDistincts(spark: SparkSession, statsPath: String,
+                      groupCol: String): DataFrame =
+    graft.operators.Sketches.hllMergeByGroup(
+      spark.read.parquet(statsPath), groupCol)
 }

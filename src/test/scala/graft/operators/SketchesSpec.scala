@@ -13,7 +13,7 @@ class SketchesSpec extends SparkSpec {
 
   private def events = graft.Tables(spark, sf0001, "events")
 
-  test("HLL: merge of per-batch sketches equals the sketch of the union, exactly") {
+  test("HLL: merge of per-batch sketches equals the sketch of the union (sparse exact mode)") {
     val a = events.filter(col("event_id") % 2 === 0)
     val b = events.filter(col("event_id") % 2 === 1)
     val merged = Sketches.hllMergeByGroup(

@@ -76,4 +76,36 @@ class LayoutMaintenanceSpec extends SparkSpec {
       1L, "k", 8, 0L, 999L, layout, manifest)
     assert(spark.read.parquet(layout).count() == rows0 + 50)
   }
+
+  test("streaming HLL maintenance: estimates in envelope, reads deterministic, replays skip") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val (stats, ckpt) = (tmp("hll-stats"), tmp("hll-ckpt"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stats))
+    val q = LayoutMaintenance.hllMaintainedSink(
+      in.toDF().toDF("g", "u"), "g", "u", stats, ckpt).start()
+    val batches = Seq(
+      (0L until 400L).map(u => ("a", u)) ++ (0L until 100L).map(u => ("b", u)),
+      (200L until 600L).map(u => ("a", u)) ++ (50L until 150L).map(u => ("b", u)))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = LayoutMaintenance.mergedDistincts(spark, stats, "g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // NOTE: a single-stream sketch estimates via HIP, a union via the
+    // composite estimator — the ESTIMATES may differ slightly by path
+    // (registers merge losslessly, estimators don't), so the contract is
+    // the error envelope + determinism, not path equality.
+    // exact distincts: a = 600, b = 150 — estimates inside the 5% envelope
+    assert(math.abs(streamed("a") - 600) <= 30 && math.abs(streamed("b") - 150) <= 8,
+      s"estimates outside envelope: $streamed")
+    val again = LayoutMaintenance.mergedDistincts(spark, stats, "g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == streamed, "merged read must be deterministic")
+    // replay of a committed batch is a no-op
+    val rows = spark.read.parquet(stats).count()
+    LayoutMaintenance.hllProcessBatch(
+      batches.head.toDF("g", "u"), 0L, "g", "u", stats)
+    assert(spark.read.parquet(stats).count() == rows, "replay double-appended sketches")
+  }
 }
