@@ -207,6 +207,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian product leaked:\n$plan")
   }
 
+  test("weighted prefix join consumes staged tails and broadcasts the verify vectors") {
+    val df = operators.PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.6)
+    val plan = df.queryExecution.executedPlan.toString
+    // staged: the tf/df/window pipeline must not re-execute downstream —
+    // if tokenization appears in the final plan, staging regressed
+    assert(!plan.contains("xxhash64") && !plan.contains("lower("),
+      "tails not staged; term pipeline re-executes per consumer")
+    // the fat vector payload must ride broadcasts (below the size cutoff),
+    // so candidate rows never shuffle through the verify joins
+    assert(plan.contains("BroadcastHashJoin"), s"verify joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q149 zone verdict is literal predicate work over a 64-row manifest agg") {
+    val df = Queries.zorderZoneMap(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    // one scan of orders is enough: interleave + shard are scan-local and
+    // the z-interval membership is evaluated on aggregated manifest rows
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2,
+      s"q149 rescans its input:\n$plan")
+  }
+
   test("prefix join consumes the STAGED set table: no gram recompute downstream") {
     // the returned frame must read the staged parquet — if word_ngram_hashes
     // appears in its plan, the 3-consumer re-execution regressed
