@@ -2359,6 +2359,48 @@ object Queries {
     agg.withColumn("scanned", scanned.cast("long")).orderBy(col("zshard"))
   }
 
+  /** Bloom-pruned semi-join — revenue by priority over orders of
+    * high-balance customers, with the big side pruned SCAN-LOCALLY by a
+    * native `bloom_might_contain` probe before the exact semi-join
+    * closes the false positives ([[graft.operators.BloomJoin]]). Result
+    * is exact (plain-semi-join oracle); the bloom is the explicit form
+    * of the runtime-filter rewrite — at 100 TB the non-matching fact
+    * rows die at the scan instead of riding the join exchange.
+    */
+  def bloomSemiJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val highBal = t(spark, dir, "customer").filter(col("c_acctbal") > 9000)
+    graft.operators.BloomJoin
+      .bloomSemiJoin(t(spark, dir, "orders"), "o_custkey", highBal, "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Incremental rollup maintenance — the daily revenue rollup computed
+    * from TWO ingest batches' algebraic states merged
+    * ([[graft.operators.Rollups]]), never from a rescan: count/sum/min/
+    * max merge exactly (the value rides DECIMAL so sums are associative
+    * — a double sum would drift a ulp across merge orders), avg derives
+    * at read. The oracle rebuilds from scratch; hash equality IS the
+    * maintenance contract.
+    */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      to_date(col("o_orderdate")).as("day"),
+      col("o_totalprice").cast("decimal(18,2)").as("v"),
+      col("o_orderkey"))
+    def state(batch: DataFrame) = graft.operators.Rollups.rollupState(
+      batch.select(col("day"), col("v")), Seq("day"), "v")
+    val merged = graft.operators.Rollups.mergeStates(
+      state(o.filter(col("o_orderkey") % 2 === 0))
+        .unionByName(state(o.filter(col("o_orderkey") % 2 === 1))),
+      Seq("day"))
+    merged.select(col("day"), col("n_rows"), col("sum_v"), col("min_v"), col("max_v"),
+        round(col("sum_v").cast("double") / col("n_rows"), 4).as("avg_v"))
+      .orderBy(col("day"))
+  }
+
   /** Mergeable HLL sketch columns — distinct users per event type
     * computed INCREMENTALLY: the events table split into two "ingest
     * batches" (even/odd event_id), each batch reduced to one binary

@@ -271,7 +271,9 @@ object SparkEntry {
     "q147_conversion_lag"    -> Queries.conversionLag _,
     "q149_zorder_zonemap"    -> Queries.zorderZoneMap _,
     "q150_hll_sketch_union"  -> Queries.hllSketchUnion _,
-    "q151_cms_sketch_merge"  -> Queries.cmsSketchMerge _
+    "q151_cms_sketch_merge"  -> Queries.cmsSketchMerge _,
+    "q152_bloom_semi_join"   -> Queries.bloomSemiJoinRevenue _,
+    "q153_incremental_rollup" -> Queries.incrementalRollup _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1907,6 +1909,23 @@ object SparkEntry {
         |  l_extendedprice AS x
         | FROM lineitem, bounds)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // The bloom is invisible in the answer (it only prunes): the oracle
+    // is the plain semi-join the operator must exactly reproduce.
+    "q152_bloom_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full-rebuild oracle for the merged-state rollup: hash equality IS
+    // the maintenance contract. DECIMAL value so sums are associative.
+    "q153_incremental_rollup" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_rows, sum(v) AS sum_v,
+        | min(v) AS min_v, max(v) AS max_v,
+        | round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_v
+        |FROM o GROUP BY day ORDER BY day""".stripMargin,
     // Same z-interval constants as the Spark side (one Scala source of
     // truth: Queries.zzIntervals — driver math over the predicate
     // constants); the oracle re-derives interleave/shard/manifest itself.

@@ -175,6 +175,32 @@ object NativeTextExpressions {
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  /** Membership probe against a serialized `spark.util.sketch`
+    * BloomFilter riding the plan as a (foldable) binary literal — the
+    * scan-local prune of [[graft.operators.BloomJoin]]. The filter is
+    * deserialized lazily once per task, so the per-row cost is the
+    * bloom's k hash probes, no closure capture and no driver traffic.
+    */
+  case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (LongType, BinaryType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain expects (bigint, foldable binary)")
+      }
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(right.eval(null).asInstanceOf[Array[Byte]]))
+    override def nullSafeEval(k: Any, b: Any): Any =
+      bloom.mightContainLong(k.asInstanceOf[Long])
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** 64-bit SimHash over whitespace tokens of the lowercased input — one
     * pass, no intermediate arrays. Same semantics as
     * [[TextFunctions.simhash64]] modulo hash family internals.
@@ -550,7 +576,8 @@ object NativeTextExpressions {
     "punct_ratio_native" -> (c => PunctRatio(c.head)),
     "deflate_len" -> (c => DeflateLen(c.head, litInt(c(1), "level"))),
     "canon_text" -> (c => CanonText(c.head)),
-    "sorted_dot" -> (c => SortedDot(c)))
+    "sorted_dot" -> (c => SortedDot(c)),
+    "bloom_might_contain" -> (c => BloomMightContain(c.head, c(1))))
 
   /** Register every native function on the session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The bloom must be invisible in the answer and visible in the plan:
+  * exact results, scan-side pruning, bounded false-positive absorption.
+  */
+class BloomJoinSpec extends SparkSpec {
+
+  private def orders = graft.Tables(spark, sf0001, "orders")
+  private def highBal = graft.Tables(spark, sf0001, "customer")
+    .filter(col("c_acctbal") > 9000)
+
+  test("bloom-pruned semi-join equals the plain semi-join exactly") {
+    val viaBloom = BloomJoin.bloomSemiJoin(orders, "o_custkey", highBal, "c_custkey")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = orders.join(
+        highBal.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == plain,
+      s"missing ${plain -- viaBloom}, extra ${viaBloom -- plain}")
+    assert(plain.nonEmpty, "fixture matches nothing; test is vacuous")
+  }
+
+  test("the bloom prunes at the scan and false positives stay near fpp") {
+    val fpp = 0.01
+    val (total, survivors, trueMatches) =
+      BloomJoin.pruneStats(orders, "o_custkey", highBal, "c_custkey", fpp)
+    assert(trueMatches <= survivors && survivors <= total)
+    assert(survivors < total,
+      s"bloom pruned nothing: $survivors of $total (true $trueMatches)")
+    val nonMatching = total - trueMatches
+    val falsePos = survivors - trueMatches
+    assert(falsePos <= math.max(5, 5 * fpp * nonMatching),
+      s"false-positive rate ${falsePos.toDouble / math.max(1, nonMatching)} far above fpp=$fpp")
+  }
+
+  test("the probe is a scan-side filter in the physical plan, not join-side work") {
+    val df = BloomJoin.bloomSemiJoin(orders, "o_custkey", highBal, "c_custkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"bloom probe missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
