@@ -2377,6 +2377,32 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** General MERGE INTO over the customer dimension — predicate-driven
+    * update/delete/insert in ONE full-outer join
+    * ([[graft.operators.MergeInto]]): an update feed lowers balances
+    * (rows driven negative are DELETED by predicate), a synthetic insert
+    * feed adds negated-key customers (the q140 collision-free trick);
+    * unmatched dimension rows survive. The merged dimension is then
+    * aggregated per nation so the hash check pins every action's
+    * outcome.
+    */
+  def mergeIntoDim(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val upd = cust.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") - 5000)
+    val ins = cust.filter(col("c_custkey") % 7 === 0)
+      .select((-col("c_custkey")).as("c_custkey"), col("c_nationkey"),
+        lit(1111.11).as("c_acctbal"))
+    graft.operators.MergeInto
+      .mergeInto(cust, upd.unionByName(ins), "c_custkey",
+        deleteCond = col("c_acctbal") < 0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Incremental rollup maintenance — the daily revenue rollup computed
     * from TWO ingest batches' algebraic states merged
     * ([[graft.operators.Rollups]]), never from a rescan: count/sum/min/

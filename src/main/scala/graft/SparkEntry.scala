@@ -273,7 +273,8 @@ object SparkEntry {
     "q150_hll_sketch_union"  -> Queries.hllSketchUnion _,
     "q151_cms_sketch_merge"  -> Queries.cmsSketchMerge _,
     "q152_bloom_semi_join"   -> Queries.bloomSemiJoinRevenue _,
-    "q153_incremental_rollup" -> Queries.incrementalRollup _
+    "q153_incremental_rollup" -> Queries.incrementalRollup _,
+    "q154_merge_into"        -> Queries.mergeIntoDim _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1909,6 +1910,23 @@ object SparkEntry {
         |  l_extendedprice AS x
         | FROM lineitem, bounds)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // MERGE INTO replay: survivors = target minus source keys, plus
+    // source rows not deleted by predicate.
+    "q154_merge_into" ->
+      """WITH t AS (SELECT c_custkey AS k, c_nationkey AS nk, c_acctbal AS bal
+        |  FROM customer),
+        |upd AS (SELECT c_custkey AS k, c_nationkey AS nk, c_acctbal - 5000 AS bal
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |ins AS (SELECT -c_custkey AS k, c_nationkey AS nk, 1111.11 AS bal
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        | SELECT * FROM t WHERE k NOT IN (SELECT k FROM src)
+        | UNION ALL
+        | SELECT * FROM src WHERE NOT (bal < 0))
+        |SELECT nk AS c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        | round(sum(bal), 2) AS total_bal
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // The bloom is invisible in the answer (it only prunes): the oracle
     // is the plain semi-join the operator must exactly reproduce.
     "q152_bloom_semi_join" ->
