@@ -2377,6 +2377,54 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Pairwise Pearson correlation matrix over lineitem's numeric columns
+    * — feature statistics in ONE combinable aggregation pass (corr is
+    * algebraic: co-moments merge map-side), emitted as the upper
+    * triangle in long form. No shuffle beyond the single global agg; at
+    * 100 TB this is a one-scan profile, the multivariate sibling of the
+    * q43 column profiler.
+    */
+  def correlationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = t(spark, dir, "lineitem")
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield (a, b)
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val row = li.agg(aggs.head, aggs.tail: _*)
+    row.selectExpr(s"stack(${pairs.size}, " +
+      pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ") +
+      ") AS (col_a, col_b, pearson_r)")
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** Per-group winsorization — event values clipped to the exact
+    * [p01, p99] of their type: the outlier-robust normalization a
+    * training pipeline applies before scaling (the clamp sibling of
+    * q129's MAD screen, which flags instead of clips). Two passes: one
+    * exact-percentile agg (|types| rows, broadcast back), one scan-local
+    * clamp + combinable summary. The GK sketch (q106) is the stated
+    * 100 TB swap for the percentile pass.
+    */
+  def winsorizedValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", greatest(col("p01"), least(col("p99"), col("value"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("w")), 6).as("w_min"),
+        round(max(col("w")), 6).as("w_max"),
+        round(avg(col("w")), 6).as("w_mean"),
+        sum((col("value") < col("p01")).cast("long")).as("n_clipped_low"),
+        sum((col("value") > col("p99")).cast("long")).as("n_clipped_high"))
+      .orderBy(col("event_type"))
+  }
+
   /** General MERGE INTO over the customer dimension — predicate-driven
     * update/delete/insert in ONE full-outer join
     * ([[graft.operators.MergeInto]]): an update feed lowers balances

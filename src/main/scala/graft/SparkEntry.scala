@@ -274,7 +274,9 @@ object SparkEntry {
     "q151_cms_sketch_merge"  -> Queries.cmsSketchMerge _,
     "q152_bloom_semi_join"   -> Queries.bloomSemiJoinRevenue _,
     "q153_incremental_rollup" -> Queries.incrementalRollup _,
-    "q154_merge_into"        -> Queries.mergeIntoDim _
+    "q154_merge_into"        -> Queries.mergeIntoDim _,
+    "q155_correlation_matrix" -> Queries.correlationMatrix _,
+    "q156_winsorize"         -> Queries.winsorizedValues _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -1910,6 +1912,38 @@ object SparkEntry {
         |  l_extendedprice AS x
         | FROM lineitem, bounds)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q155_correlation_matrix" ->
+      """WITH c AS (SELECT
+        | round(corr(l_quantity, l_extendedprice), 6) AS qe,
+        | round(corr(l_quantity, l_discount), 6) AS qd,
+        | round(corr(l_quantity, l_tax), 6) AS qt,
+        | round(corr(l_extendedprice, l_discount), 6) AS ed,
+        | round(corr(l_extendedprice, l_tax), 6) AS et,
+        | round(corr(l_discount, l_tax), 6) AS dt
+        | FROM lineitem)
+        |SELECT col_a, col_b, pearson_r FROM (
+        | SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, qe AS pearson_r FROM c
+        | UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM c
+        | UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM c
+        | UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM c
+        | UNION ALL SELECT 'l_extendedprice', 'l_tax', et FROM c
+        | UNION ALL SELECT 'l_discount', 'l_tax', dt FROM c)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q156_winsorize" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  quantile_cont(value, 0.01) AS p01, quantile_cont(value, 0.99) AS p99
+        | FROM events GROUP BY 1),
+        |w AS (
+        | SELECT e.event_type, e.value, b.p01, b.p99,
+        |  greatest(b.p01, least(b.p99, e.value)) AS w
+        | FROM events e JOIN b USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(min(w), 6) AS w_min, round(max(w), 6) AS w_max,
+        | round(avg(w), 6) AS w_mean,
+        | CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        | CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // MERGE INTO replay: survivors = target minus source keys, plus
     // source rows not deleted by predicate.
     "q154_merge_into" ->

@@ -86,6 +86,45 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q155 correlations are valid Pearson values and match a direct computation") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.correlationMatrix(spark, sf0001).collect()
+    assert(rows.length == 6, "upper triangle of 4 columns is 6 pairs")
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= -1.0 && v <= 1.0, s"(${r.getString(0)}, ${r.getString(1)}) r=$v")
+    }
+    // one pair recomputed from first principles (sum-of-products moments)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val m = li.agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy")).first()
+    val (n, sx, sy, sxy, sxx, syy) = (m.getDouble(0), m.getDouble(1), m.getDouble(2),
+      m.getDouble(3), m.getDouble(4), m.getDouble(5))
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.find(r => r.getString(0) == "l_quantity" &&
+      r.getString(1) == "l_extendedprice").get.getDouble(2)
+    assert(math.abs(got - expected) < 1e-5, s"corr $got vs recomputed $expected")
+  }
+
+  test("q156 winsorization clamps to the exact percentile bounds and clips ~2%") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.winsorizedValues(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, wMin, wMax) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (lo, hi) = (r.getLong(5), r.getLong(6))
+      assert(wMin <= wMax)
+      // clipping is bounded by the tail definition: at most ~1% each side
+      // (interpolated percentiles; +2 covers the rounding of small groups)
+      assert(lo <= n / 100 + 2 && hi <= n / 100 + 2,
+        s"${r.getString(0)}: clipped $lo/$hi of $n exceeds the 1% tails")
+      assert(lo + hi > 0 || n < 100, s"${r.getString(0)}: nothing clipped; vacuous")
+    }
+  }
+
   test("q98 CMS estimates are overestimate-only and within eps*N of exact") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
