@@ -2518,4 +2518,170 @@ object Queries {
     }.toDF("event_type", "user_id", "est_events")
       .orderBy(col("event_type"), col("user_id"))
   }
+
+  /** Per-group OLS regression — slope/intercept/R² of extendedprice on
+    * quantity per return flag, via the standard SQL `regr_*` aggregates
+    * (one combinable pass: each is a closed-form over sum/sum²/sum-of-
+    * products partial states, so map-side combine does the work at
+    * 100 TB exactly like q46's moment aggregates). The statistical
+    * sibling of q155's correlation matrix: correlation says "related",
+    * regression says "by how much per unit".
+    */
+  def regressionPerGroup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
+  /** Shannon-entropy column profile — bits of entropy per categorical
+    * column (documents.lang/source, events.event_type): the
+    * data-curation diagnostic for "is this column informative or
+    * near-constant?". Each column is one count-by-value agg (|values|
+    * rows) folded to a scalar with log₂ identities — no row ever leaves
+    * its scan, so the profile costs one combinable pass per column at
+    * any scale. Complements q122's null/min/max profile with an
+    * information measure.
+    */
+  def entropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    def ent(df: DataFrame, c: String, label: String): DataFrame =
+      df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
+          sum(col("cnt").cast("double") * log(2.0, col("cnt"))).as("slc"))
+        .select(lit(label).as("column_name"), col("n_rows"),
+          col("n_distinct"),
+          round(log(2.0, col("n_rows")) - col("slc") / col("n_rows"), 6)
+            .as("entropy_bits"))
+    val docs = t(spark, dir, "documents")
+    ent(docs, "lang", "documents.lang")
+      .unionByName(ent(docs, "source", "documents.source"))
+      .unionByName(ent(t(spark, dir, "events"), "event_type",
+        "events.event_type"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Exact mode per group — the most frequent lang per source with a
+    * deterministic tie-break (count desc, then value asc): count-by-pair
+    * then a row_number over |groups|×|values| rows, so the window input
+    * is aggregate-sized, never data-sized — the safe shape for a
+    * 100 TB modal-value computation (contrast a naive per-row window).
+    */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_mode"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_mode").desc, col("lang").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("mode_lang"), col("n_mode"))
+      .orderBy(col("source"))
+  }
+
+  /** Chi-square test of independence (lang × source) + Cramér's V — the
+    * categorical-association screen a curation pipeline runs before
+    * trusting a "language is independent of crawl source" assumption.
+    * Observed cells come from one count agg; the full grid (including
+    * zero-observed cells, which DO contribute their expected mass) is
+    * |langs|×|sources| — all post-aggregation arithmetic on broadcast
+    * singletons, one scan total.
+    */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("lang"), col("source"))
+    val obs = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rowTot = docs.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("rl"))
+    val colTot = docs.groupBy(col("source")).agg(count(lit(1)).cast("double").as("cs"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val grid = broadcast(rowTot).crossJoin(broadcast(colTot))
+      .join(obs, Seq("lang", "source"), "left")
+      .na.fill(0.0, Seq("o"))
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("rl") * col("cs") / col("n"))
+    grid.agg(
+        max(col("n")).cast("long").as("n"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2_raw"))
+      .select(col("n"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        round(col("chi2_raw"), 4).as("chi2"),
+        round(sqrt(col("chi2_raw") / (col("n") *
+          least(col("n_langs") - 1, col("n_sources") - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Linear interpolation over daily gaps — q110's spine + LOCF pattern
+    * upgraded to true interpolation: each missing day gets
+    * prev + (next−prev)·Δ/span from its nearest observed neighbors
+    * (edges back/forward-fill). Both neighbor lookups are running
+    * `last/first(…, ignoreNulls)` frames over the per-user day spine —
+    * window input is |users|×|days|, partitioned by user, so the state
+    * per partition is one value+date each way regardless of corpus
+    * size.
+    */
+  def linearInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val j = spine.join(daily, Seq("user_id", "day"), "left")
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val prevV = last(col("day_value"), ignoreNulls = true).over(wPrev)
+    val prevD = last(when(col("day_value").isNotNull, col("day")),
+      ignoreNulls = true).over(wPrev)
+    val nextV = first(col("day_value"), ignoreNulls = true).over(wNext)
+    val nextD = first(when(col("day_value").isNotNull, col("day")),
+      ignoreNulls = true).over(wNext)
+    val interp = when(col("day_value").isNotNull, col("day_value"))
+      .when(prevV.isNull, nextV)
+      .when(nextV.isNull, prevV)
+      .otherwise(prevV + (nextV - prevV) *
+        datediff(col("day"), prevD) / datediff(nextD, prevD))
+    j.select(col("user_id"), col("day"),
+        round(interp, 4).as("value_filled"),
+        col("day_value").isNull.cast("int").as("was_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** PMI-scored term co-occurrence — q137's count-only pair mining
+    * upgraded to pointwise mutual information over document-level
+    * co-occurrence: pmi = log₂(n_ab·N / (df_a·df_b)), support ≥ 5,
+    * top-50 by (pmi desc, pair). The association measure collocation
+    * extraction actually ranks by (raw counts just surface stopword
+    * pairs). Postings self-join on doc_id — same inverted-index shape
+    * as q137/q145, vocabulary-sized aggregates ride broadcasts.
+    */
+  def pmiTerms(spark: SparkSession, dir: String): DataFrame = {
+    val dt = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val nDocs = dt.agg(countDistinct(col("doc_id")).as("nd"))
+    val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pairs = dt.as("a").join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    pairs
+      .join(broadcast(df.withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("df", "df_a")), "tok_a")
+      .join(broadcast(df.withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("df", "df_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"),
+        round(log(2.0, col("n_pair").cast("double") * col("nd") /
+          (col("df_a") * col("df_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(50)
+  }
 }

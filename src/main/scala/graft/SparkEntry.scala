@@ -276,7 +276,19 @@ object SparkEntry {
     "q153_incremental_rollup" -> Queries.incrementalRollup _,
     "q154_merge_into"        -> Queries.mergeIntoDim _,
     "q155_correlation_matrix" -> Queries.correlationMatrix _,
-    "q156_winsorize"         -> Queries.winsorizedValues _
+    "q156_winsorize"         -> Queries.winsorizedValues _,
+    // per-group OLS slope/intercept/R^2 via SQL regr_* aggregates
+    "q157_regr_per_group"    -> Queries.regressionPerGroup _,
+    // Shannon-entropy profile of the categorical columns
+    "q158_entropy_profile"   -> Queries.entropyProfile _,
+    // exact mode per group with deterministic tie-break
+    "q159_mode_per_group"    -> Queries.modePerGroup _,
+    // chi-square independence (lang x source) + Cramer's V
+    "q160_chi_square"        -> Queries.chiSquareIndependence _,
+    // daily-gap linear interpolation (q110's LOCF upgraded)
+    "q161_interpolate"       -> Queries.linearInterpolate _,
+    // PMI-ranked term co-occurrence (collocations)
+    "q162_pmi_terms"         -> Queries.pmiTerms _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2024,6 +2036,127 @@ object SparkEntry {
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.95),4) AS p95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q157_regr_per_group" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q158_entropy_profile" ->
+      """WITH ent AS (
+        | SELECT 'documents.lang' AS column_name,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt) AS e
+        | FROM (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+        |       FROM documents GROUP BY lang) d
+        | UNION ALL
+        | SELECT 'documents.source', CAST(sum(cnt) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt)
+        | FROM (SELECT source, CAST(count(*) AS DOUBLE) AS cnt
+        |       FROM documents GROUP BY source) d
+        | UNION ALL
+        | SELECT 'events.event_type', CAST(sum(cnt) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt)
+        | FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt
+        |       FROM events GROUP BY event_type) d)
+        |SELECT column_name, n_rows, n_distinct, round(e, 6) AS entropy_bits
+        |FROM ent ORDER BY column_name""".stripMargin,
+    "q159_mode_per_group" ->
+      """WITH c AS (
+        | SELECT source, lang, CAST(count(*) AS BIGINT) AS n_mode
+        | FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY source ORDER BY n_mode DESC, lang ASC) AS rn FROM c)
+        |SELECT source, lang AS mode_lang, n_mode FROM r
+        |WHERE rn = 1 ORDER BY source""".stripMargin,
+    "q160_chi_square" ->
+      """WITH obs AS (
+        | SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+        | FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS rl
+        |       FROM documents GROUP BY 1),
+        |cs AS (SELECT source, CAST(count(*) AS DOUBLE) AS cs
+        |       FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |grid AS (
+        | SELECT rl.lang, cs.source, rl.rl, cs.cs,
+        |  coalesce(obs.o, 0) AS o, rl.rl * cs.cs / n.n AS e
+        | FROM rl CROSS JOIN cs CROSS JOIN n
+        |  LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source),
+        |s AS (
+        | SELECT CAST(max((SELECT n FROM n)) AS BIGINT) AS n,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  sum((o - e) * (o - e) / e) AS chi2_raw
+        | FROM grid)
+        |SELECT n, CAST((n_langs - 1) * (n_sources - 1) AS BIGINT) AS dof,
+        | round(chi2_raw, 4) AS chi2,
+        | round(sqrt(chi2_raw / (n * least(n_langs - 1, n_sources - 1))), 6)
+        |  AS cramers_v
+        |FROM s""".stripMargin,
+    "q161_interpolate" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day,
+        |  round(sum(value), 4) AS day_value
+        | FROM events GROUP BY 1, 2),
+        |spine AS (
+        | SELECT user_id,
+        |  unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        | FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |       FROM daily GROUP BY user_id)),
+        |j AS (
+        | SELECT s.user_id, s.day, d.day_value
+        | FROM spine s LEFT JOIN daily d
+        |   ON s.user_id = d.user_id AND s.day = d.day),
+        |nb AS (
+        | SELECT user_id, day, day_value,
+        |  last_value(day_value IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |  last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        |  first_value(day_value IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |  first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        | FROM j)
+        |SELECT user_id, day,
+        | round(CASE
+        |  WHEN day_value IS NOT NULL THEN day_value
+        |  WHEN prev_v IS NULL THEN next_v
+        |  WHEN next_v IS NULL THEN prev_v
+        |  ELSE prev_v + (next_v - prev_v) * (day - prev_d)
+        |        / (next_d - prev_d)
+        | END, 4) AS value_filled,
+        | CAST(day_value IS NULL AS INT) AS was_gap
+        |FROM nb ORDER BY user_id, day""".stripMargin,
+    "q162_pmi_terms" ->
+      """WITH dt AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        | FROM documents),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM dt),
+        |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY 1),
+        |pairs AS (
+        | SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  CAST(count(*) AS BIGINT) AS n_pair
+        | FROM dt a JOIN dt b
+        |   ON a.doc_id = b.doc_id AND a.tok < b.tok
+        | GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT tok_a, tok_b, n_pair,
+        | round(log2(n_pair * nd / (da.df * db.df)), 6) AS pmi
+        |FROM pairs
+        | JOIN df da ON tok_a = da.tok
+        | JOIN df db ON tok_b = db.tok
+        | CROSS JOIN nd
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin
   )
 }

@@ -125,6 +125,93 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q157 regression slope/intercept match the closed-form moments") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_returnflag") === "A")
+    val m = li.agg(
+      covar_pop(col("l_extendedprice"), col("l_quantity")).as("cov"),
+      var_pop(col("l_quantity")).as("vx"),
+      avg(col("l_extendedprice")).as("my"), avg(col("l_quantity")).as("mx"))
+      .collect()(0)
+    val slope = m.getDouble(0) / m.getDouble(1)
+    val icept = m.getDouble(2) - slope * m.getDouble(3)
+    val got = Queries.regressionPerGroup(spark, sf0001).collect()
+      .find(_.getString(0) == "A").get
+    assert(math.abs(got.getDouble(2) - slope) < 1e-4,
+      s"slope ${got.getDouble(2)} vs $slope")
+    assert(math.abs(got.getDouble(3) - icept) < 1e-4)
+    assert(got.getDouble(4) >= 0.0 && got.getDouble(4) <= 1.0, "r2 out of [0,1]")
+  }
+
+  test("q158 entropy is bounded by log2(n_distinct) and non-negative") {
+    Queries.entropyProfile(spark, sf0001).collect().foreach { r =>
+      val (nd, e) = (r.getLong(2), r.getDouble(3))
+      assert(e >= 0.0, s"${r.getString(0)}: negative entropy $e")
+      assert(e <= math.log(nd.toDouble) / math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: entropy $e exceeds log2($nd)")
+    }
+  }
+
+  test("q159 mode is the true argmax per source") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val maxes = docs.groupBy("source", "lang").count()
+      .groupBy("source").agg(max("count").as("mx")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Queries.modePerGroup(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == maxes.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(2) == maxes(r.getString(0)),
+        s"${r.getString(0)}: mode count ${r.getLong(2)} != max ${maxes(r.getString(0))}")
+    }
+  }
+
+  test("q160 chi-square stats are in range with the right dof") {
+    val r = Queries.chiSquareIndependence(spark, sf0001).collect()(0)
+    val (nLangsM1TimesNSourcesM1, chi2, v) =
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(nLangsM1TimesNSourcesM1 == 4L * 19L, s"dof $nLangsM1TimesNSourcesM1")
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0, s"cramers_v $v out of [0,1]")
+  }
+
+  test("q161 interpolation preserves observed days and bounds gap fills") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.linearInterpolate(spark, sf0001)
+    assert(out.filter(col("value_filled").isNull).count() == 0,
+      "interpolation left nulls")
+    // every gap fill lies within [min, max] of its user's observed values
+    val bounds = Tables(spark, sf0001, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("dv"))
+      .groupBy("user_id").agg(min("dv").as("lo"), max("dv").as("hi"))
+    val bad = out.filter(col("was_gap") === 1)
+      .join(bounds, "user_id")
+      .filter(col("value_filled") < col("lo") - 1e-6 ||
+        col("value_filled") > col("hi") + 1e-6)
+      .count()
+    assert(bad == 0, s"$bad interpolated values escape the observed range")
+  }
+
+  test("q162 PMI rows satisfy the formula and the support floor") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val rows = Queries.pmiTerms(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 5), "support floor violated")
+    val dt = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+    val nDocs = dt.select("doc_id").distinct().count().toDouble
+    val df = dt.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = rows.head
+    val expected = math.log(top.getLong(2) * nDocs /
+      (df(top.getString(0)) * df(top.getString(1)).toDouble)) / math.log(2.0)
+    assert(math.abs(top.getDouble(3) - expected) < 1e-5,
+      s"pmi ${top.getDouble(3)} vs $expected")
+  }
+
   test("q98 CMS estimates are overestimate-only and within eps*N of exact") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
