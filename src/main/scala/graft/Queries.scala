@@ -2684,4 +2684,104 @@ object Queries {
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(50)
   }
+
+  /** Triangle count over the part co-purchase graph (parts sharing an
+    * order are adjacent) — the clustering-coefficient numerator, the
+    * graph-level sibling of q132's PageRank. The operator
+    * ([[graft.operators.Graph.triangleStats]]) orients every edge
+    * low→high (degree, id) so wedge fan-out is bounded by oriented
+    * out-degree ≤ O(√m) — the hub-proof enumeration; the naive oracle
+    * replays a<b<c closure, same count.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val op = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = op.as("x").join(op.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    graft.operators.Graph.triangleStats(edges)
+  }
+
+  /** Pairwise Jensen-Shannon divergence between per-language unigram
+    * distributions — the corpus-drift / domain-shift measure a mixture
+    * pipeline tracks per source (symmetric, bounded [0,1] in bits,
+    * defined even where KL is infinite). Distributions are
+    * vocabulary-sized aggregates; the |langs|² pair grid crosses
+    * broadcast-sized frames only, and each JSD is one combinable sum
+    * over the pair's term union.
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    val probs = counts.join(broadcast(totals), "lang")
+      .select(col("lang"), col("tok"), (col("c") / col("tot")).as("p"))
+    val langs = totals.select(col("lang"))
+    val pairs = langs.select(col("lang").as("lang_a"))
+      .crossJoin(langs.select(col("lang").as("lang_b")))
+      .filter(col("lang_a") < col("lang_b"))
+    val terms = probs.select(col("tok")).distinct()
+    val grid = broadcast(pairs).crossJoin(terms)
+      .join(probs.select(col("lang").as("lang_a"), col("tok"),
+        col("p").as("pa")), Seq("lang_a", "tok"), "left")
+      .join(probs.select(col("lang").as("lang_b"), col("tok"),
+        col("p").as("pb")), Seq("lang_b", "tok"), "left")
+      .na.fill(0.0, Seq("pa", "pb"))
+      .filter(col("pa") > 0 || col("pb") > 0)
+    val m = (col("pa") + col("pb")) / 2
+    val contrib =
+      when(col("pa") > 0, col("pa") * log(2.0, col("pa") / m) / 2)
+        .otherwise(0.0) +
+      when(col("pb") > 0, col("pb") * log(2.0, col("pb") / m) / 2)
+        .otherwise(0.0)
+    grid.groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(contrib), 6).as("jsd_bits"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  /** Bounded edit-distance self-join over part names
+    * ([[graft.operators.EditDistanceJoin]]) — typo-tolerant catalog
+    * matching with lossless q-gram count prefiltering: only pairs
+    * passing the multiset-gram lower bound pay the Levenshtein verify.
+    * The oracle replays the naive all-pairs definition; hash equality
+    * IS the losslessness proof at this SF (the spec re-proves it
+    * adversarially).
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistanceJoin
+      .selfJoin(t(spark, dir, "part"), "p_name", k = 2)
+      .orderBy(col("name_a"), col("name_b"))
+
+  /** Per-document bigram cross-entropy under the corpus bigram model —
+    * q100's unigram fluency score upgraded to conditional probabilities
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·): the stronger repetition/fluency signal
+    * (a doc of common words in a rare ORDER now scores high). Bigram
+    * extraction is a scan-local zip of adjacent tokens; the model is
+    * two vocabulary²-bounded aggregates that ride broadcasts back onto
+    * one corpus scan. Docs with fewer than two tokens have no bigrams
+    * and drop out (both engines agree by construction).
+    */
+  def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val big = toks.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
+    big.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(2.0, col("c12") / col("c1"))), 4).as("xent"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -288,7 +288,15 @@ object SparkEntry {
     // daily-gap linear interpolation (q110's LOCF upgraded)
     "q161_interpolate"       -> Queries.linearInterpolate _,
     // PMI-ranked term co-occurrence (collocations)
-    "q162_pmi_terms"         -> Queries.pmiTerms _
+    "q162_pmi_terms"         -> Queries.pmiTerms _,
+    // degree-oriented triangle count over the part co-purchase graph
+    "q163_triangle_count"    -> Queries.triangleCount _,
+    // pairwise Jensen-Shannon divergence between per-lang term dists
+    "q164_js_divergence"     -> Queries.jsDivergence _,
+    // q-gram-prefiltered bounded Levenshtein self-join (typo pairs)
+    "q165_edit_distance_join" -> Queries.editDistancePairs _,
+    // bigram-LM cross-entropy per document (conditional fluency)
+    "q166_bigram_xent"       -> Queries.bigramCrossEntropy _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2157,6 +2165,77 @@ object SparkEntry {
         | JOIN df da ON tok_a = da.tok
         | JOIN df db ON tok_b = db.tok
         | CROSS JOIN nd
-        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin,
+    "q163_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM op x JOIN op y
+        |   ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |nodes AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_nodes
+        | FROM (SELECT a AS v FROM e UNION SELECT b FROM e)),
+        |tri AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+        |   ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_nodes, (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        | n_triangles
+        |FROM nodes CROSS JOIN tri""".stripMargin,
+    "q164_js_divergence" ->
+      """WITH toks AS (
+        | SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS tok
+        | FROM documents),
+        |counts AS (SELECT lang, tok, CAST(count(*) AS DOUBLE) AS c
+        |           FROM toks GROUP BY 1, 2),
+        |totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+        |probs AS (SELECT c.lang, c.tok, c.c / t.tot AS p
+        |          FROM counts c JOIN totals t USING (lang)),
+        |pairs AS (
+        | SELECT a.lang AS lang_a, b.lang AS lang_b
+        | FROM totals a JOIN totals b ON a.lang < b.lang),
+        |terms AS (SELECT DISTINCT tok FROM probs),
+        |grid AS (
+        | SELECT p.lang_a, p.lang_b, t.tok,
+        |  coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+        | FROM pairs p CROSS JOIN terms t
+        |  LEFT JOIN probs pa ON pa.lang = p.lang_a AND pa.tok = t.tok
+        |  LEFT JOIN probs pb ON pb.lang = p.lang_b AND pb.tok = t.tok
+        | WHERE coalesce(pa.p, 0) > 0 OR coalesce(pb.p, 0) > 0)
+        |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_terms,
+        | round(sum(
+        |  CASE WHEN pa > 0 THEN pa * log2(pa / ((pa + pb) / 2)) / 2 ELSE 0 END +
+        |  CASE WHEN pb > 0 THEN pb * log2(pb / ((pa + pb) / 2)) / 2 ELSE 0 END
+        | ), 6) AS jsd_bits
+        |FROM grid GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin,
+    "q165_edit_distance_join" ->
+      """WITH p AS (
+        | SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        | CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM p a JOIN p b
+        | ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 2
+        |  AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q166_bigram_xent" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        | FROM documents),
+        |big AS (
+        | SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        | FROM (SELECT doc_id, t,
+        |        unnest(generate_series(1, len(t) - 1)) AS i
+        |       FROM toks WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+        |        FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+        |       FROM big GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(avg(-log2(c12.c12 / c1.c1)), 4) AS xent
+        |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

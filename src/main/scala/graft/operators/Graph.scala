@@ -63,4 +63,44 @@ object Graph {
     Checkpoints.release(deg)
     out
   }
+
+  /** Degree-oriented triangle count over an undirected edge list
+    * `edges(a, b)` (each unordered pair once, a ≠ b). Every edge is
+    * oriented from its lower-(degree, id) endpoint to its higher one;
+    * wedges are enumerated only out of each edge's SMALLER endpoint and
+    * closed against the oriented edge set, so each triangle is counted
+    * exactly once and the wedge fan-out per node is bounded by its
+    * oriented out-degree ≤ O(√m) — the standard trick that keeps
+    * Σ outdeg² tractable on skewed graphs where Σ deg² explodes
+    * (a hub of degree d contributes d² naive wedges but ~m oriented
+    * ones). Three hash joins on node keys, no driver-side state; the
+    * orientation rank is compared as the (deg, id) tuple, never packed
+    * into one integer, so arbitrary 64-bit node ids can't overflow.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("vdeg"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("wdeg"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("vdeg") < col("wdeg") ||
+        (col("vdeg") === col("wdeg") && col("v") < col("w")))
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
+    broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTris))
+  }
 }

@@ -46,6 +46,43 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r(3L) - expected3) < 1e-12, s"got ${r(3L)} want $expected3")
   }
 
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Graph.triangleStats(edges.toDF("a", "b")).first()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangleStats: K4 has 4 triangles, C5 has none") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) == ((4L, 6L, 4L)))
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(tri(c5) == ((5L, 5L, 0L)))
+  }
+
+  test("triangleStats: bipartite graph is triangle-free") {
+    val bip = for (a <- 1L to 3L; b <- 10L to 12L) yield (a, b)
+    assert(tri(bip) == ((6L, 9L, 0L)))
+  }
+
+  test("triangleStats: skewed hub graph matches brute force") {
+    // hub 0 connected to 1..20, plus a sparse ring among the spokes:
+    // each spoke i—(i+1) closes a triangle through the hub.
+    val edges = (1L to 20L).map(i => (0L, i)) ++
+      (1L until 20L).map(i => (i, i + 1))
+    def brute(e: Seq[(Long, Long)]): Long = {
+      val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      (for {
+        a <- nodes.iterator; b <- adj(a).iterator if b > a
+        c <- adj(b).iterator if c > b && adj(a).contains(c)
+      } yield 1L).sum
+    }
+    val (n, m, t) = tri(edges)
+    assert(n == 21L && m == 39L)
+    assert(t == brute(edges), s"got $t want ${brute(edges)}")
+    assert(t == 19L)
+  }
+
   test("pageRank leaves no persistent RDDs behind") {
     val out = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), 3)
     out.count()
