@@ -2765,6 +2765,136 @@ object Queries {
     * one corpus scan. Docs with fewer than two tokens have no bigrams
     * and drop out (both engines agree by construction).
     */
+  /** 2-D skyline over the part catalog — the Pareto shortlist
+    * (maximize p_size, minimize p_retailprice) via
+    * [[graft.operators.Skyline.frontier2D]]: one combinable per-size
+    * aggregate, one window over the ≤|size domain| frontier stats, one
+    * broadcast join back — never the O(n²) NOT-EXISTS self-join the
+    * oracle replays.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline
+      .frontier2D(t(spark, dir, "part"), "p_size", "p_retailprice")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_size"), col("p_retailprice"), col("p_partkey"))
+
+  /** Support-thresholded co-purchase edges: parts appearing together in
+    * at least `minSupport` distinct orders (the association-mining
+    * support cut that sparsifies the near-complete raw co-occurrence
+    * graph into its repeated-signal core).
+    */
+  private def copurchaseEdges(spark: SparkSession, dir: String,
+                              minSupport: Long): DataFrame = {
+    val op = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    op.as("x").join(op.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport)
+      .select(col("a"), col("b"))
+  }
+
+  /** 2-core of the support-≥2 co-purchase graph
+    * ([[graft.operators.Graph.kCore]]): iterative peel to the maximal
+    * subgraph of minimum degree ≥ 2 — the density filter that strips
+    * pendant/chain structure from a similarity graph before community
+    * work. Converges by edge-count fixpoint (6 rounds at sf0.1); the
+    * oracle unrolls 12 peel rounds, a superset, since post-convergence
+    * rounds are no-ops.
+    */
+  def kCoreParts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(copurchaseEdges(spark, dir, 2L), k = 2)
+      .select(col("v").as("node"), col("deg"))
+      .orderBy(col("node"))
+
+  /** Trailing 7-day distinct-user and event counts per activity day —
+    * the rolling-reach metric a windowed COUNT(DISTINCT) cannot express
+    * (no distinct aggregates over window frames). Each event row fans
+    * out to the ≤7 anchor days it falls within via a broadcast
+    * range-join against the calendar-bounded day list; one shuffle on
+    * the anchor day reassembles exact distincts.
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("ed"), col("user_id"))
+    val days = ev.select(col("ed").as("d")).distinct()
+    ev.join(broadcast(days),
+        col("ed") >= date_sub(col("d"), 6) && col("ed") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("users_7d"),
+        count(lit(1)).as("events_7d"))
+      .orderBy(col("d"))
+  }
+
+  /** Functional-dependency audit over candidate determinant→dependent
+    * pairs in `orders` — the key-discovery / denormalization-check
+    * profiler. All four candidates unroll from ONE table scan via a
+    * `stack` generator (the multi-branch-union lesson: n branches must
+    * not mean n scans); each FD needs two combinable distinct counts,
+    * and A→B holds iff |distinct A| = |distinct (A,B)| with the
+    * difference counting violating determinant bindings.
+    */
+  def fdProfile(spark: SparkSession, dir: String): DataFrame = {
+    val unrolled = t(spark, dir, "orders").selectExpr(
+      """stack(4,
+        | 'o_orderkey->o_custkey', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+        | 'o_custkey->o_orderpriority', CAST(o_custkey AS STRING), o_orderpriority,
+        | 'o_orderdate->o_orderstatus', CAST(o_orderdate AS STRING), o_orderstatus,
+        | 'o_orderpriority->o_orderstatus', o_orderpriority, o_orderstatus
+        |) AS (fd, lhs, rhs)""".stripMargin)
+    unrolled.groupBy(col("fd"))
+      .agg(countDistinct(col("lhs")).as("n_lhs"),
+        countDistinct(concat_ws("|", col("lhs"), col("rhs"))).as("n_pairs"))
+      .select(col("fd"), col("n_lhs"), col("n_pairs"),
+        (col("n_pairs") - col("n_lhs")).as("violating_lhs"),
+        (col("n_pairs") === col("n_lhs")).as("holds"))
+      .orderBy(col("fd"))
+  }
+
+  /** Deterministic negative sampling for contrastive training: each
+    * document draws 3 pseudo-random negatives via the q65 portable
+    * multiply–xorshift mix over (doc_id·8 + j) mod N, self-collisions
+    * remapped to the next id. Reproducible across engines and runs (the
+    * oracle replays the mix bit-for-bit); the only non-scan work is the
+    * hash join fetching each negative's metadata, keyed on the sampled
+    * id — no randomness, no driver state (N rides a broadcast scalar).
+    */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val anchors = docs.select(col("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("__n"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+    val mix = graft.operators.Sampling.mixOf(col("doc_id") * lit(8) + col("j"))
+    val raw = mix % col("__n")
+    val neg = when(raw === col("doc_id"), (raw + 1) % col("__n")).otherwise(raw)
+    anchors.select(col("doc_id"), col("j"), neg.as("neg_id"))
+      .join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
+        Seq("neg_id"))
+      .select(col("doc_id"), col("j"), col("neg_id"), col("neg_lang"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  /** Trailing-14-day EWMA (base ½) of daily revenue per order priority
+    * ([[graft.operators.Smoothing.ewmaTrailing]]) — gap-robust metric
+    * smoothing as a lag spray + one combinable reassembly, not a
+    * running-fold window (inexpressible) or an O(n·window) range
+    * self-join. Base ½ keeps every weight an exact dyadic so the
+    * cross-engine compare can't trip on pow rounding.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+    graft.operators.Smoothing
+      .ewmaTrailing(daily, Seq("pri"), "d", sum(col("o_totalprice")), window = 14)
+      .select(col("pri"), col("d"), round(col("ewma"), 4).as("ewma"))
+      .orderBy(col("pri"), col("d"))
+  }
+
   def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))

@@ -296,7 +296,19 @@ object SparkEntry {
     // q-gram-prefiltered bounded Levenshtein self-join (typo pairs)
     "q165_edit_distance_join" -> Queries.editDistancePairs _,
     // bigram-LM cross-entropy per document (conditional fluency)
-    "q166_bigram_xent"       -> Queries.bigramCrossEntropy _
+    "q166_bigram_xent"       -> Queries.bigramCrossEntropy _,
+    // 2-D Pareto frontier (max size, min price) without the O(n^2) join
+    "q167_skyline"           -> Queries.skylineParts _,
+    // iterative 2-core peel of the support-thresholded co-purchase graph
+    "q168_kcore"             -> Queries.kCoreParts _,
+    // trailing 7-day exact distinct users per day (rolling reach)
+    "q169_sliding_distinct"  -> Queries.slidingDistinct _,
+    // functional-dependency audit from one scan (key discovery)
+    "q170_fd_profile"        -> Queries.fdProfile _,
+    // deterministic contrastive negative sampling (portable mix)
+    "q171_negative_sample"   -> Queries.negativeSample _,
+    // trailing EWMA of daily revenue via lag spray (no window fold)
+    "q172_ewma_daily"        -> Queries.ewmaDaily _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -403,6 +415,37 @@ object SparkEntry {
     }.mkString
     head + steps +
       s"\nSELECT node AS user_id, round(rank, 8) AS rank FROM r$iters ORDER BY node"
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.kCore]] on the
+    * support-≥2 co-purchase graph: `rounds` fixed peel rounds. Must be
+    * ≥ the converged peel depth at every tested SF (observed max 6 at
+    * sf0.1); extra rounds are no-ops, so a converged Spark result and
+    * the fixed-depth replay agree exactly.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH op AS MATERIALIZED (
+        | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        | SELECT x.l_partkey AS a, y.l_partkey AS b
+        | FROM op x JOIN op y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s""",
+        |k$i AS MATERIALIZED (
+        | SELECT v FROM (SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i)
+        | GROUP BY v HAVING count(*) >= $k),
+        |e${i + 1} AS MATERIALIZED (
+        | SELECT e.a, e.b FROM e$i e
+        | JOIN k$i ka ON e.a = ka.v JOIN k$i kb ON e.b = kb.v)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+        |SELECT v AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+        |GROUP BY v ORDER BY node""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2236,6 +2279,77 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         | round(avg(-log2(c12.c12 / c1.c1)), 4) AS xent
         |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q167_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part a
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM part b
+        | WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+        |  AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+        |ORDER BY p_size, p_retailprice, p_partkey""".stripMargin,
+    "q168_kcore" -> kCoreOracleSql(k = 2, rounds = 12),
+    "q169_sliding_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS ed, user_id FROM events),
+        |days AS (SELECT DISTINCT ed AS d FROM ev)
+        |SELECT d, count(DISTINCT user_id) AS users_7d,
+        | CAST(count(*) AS BIGINT) AS events_7d
+        |FROM days JOIN ev ON ev.ed BETWEEN d - 6 AND d
+        |GROUP BY d ORDER BY d""".stripMargin,
+    "q170_fd_profile" ->
+      """WITH u AS (
+        | SELECT 'o_orderkey->o_custkey' AS fd,
+        |  CAST(o_orderkey AS VARCHAR) AS lhs, CAST(o_custkey AS VARCHAR) AS rhs
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_custkey->o_orderpriority',
+        |  CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+        | UNION ALL
+        | SELECT 'o_orderdate->o_orderstatus',
+        |  CAST(o_orderdate AS VARCHAR), o_orderstatus FROM orders
+        | UNION ALL
+        | SELECT 'o_orderpriority->o_orderstatus',
+        |  o_orderpriority, o_orderstatus FROM orders)
+        |SELECT fd, count(DISTINCT lhs) AS n_lhs,
+        | count(DISTINCT lhs || '|' || rhs) AS n_pairs,
+        | count(DISTINCT lhs || '|' || rhs) - count(DISTINCT lhs) AS violating_lhs,
+        | count(DISTINCT lhs || '|' || rhs) = count(DISTINCT lhs) AS holds
+        |FROM u GROUP BY fd ORDER BY fd""".stripMargin,
+    // Same multiply-xorshift mix as q65 over (doc_id*8 + j), mod N, with
+    // self-collisions remapped to the next id.
+    "q171_negative_sample" ->
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |a AS (
+        | SELECT doc_id, j, (((doc_id * 8 + j) + 42) % 2147483648) AS x0
+        | FROM documents
+        | CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j)),
+        |m AS (
+        | SELECT doc_id, j,
+        |  xor(m2, m2 >> 13) AS mix
+        | FROM (
+        |  SELECT doc_id, j,
+        |   (xor(m1, m1 >> 15) * 1597334677) % 2147483648 AS m2
+        |  FROM (
+        |   SELECT doc_id, j, (x0 * 2654435761) % 2147483648 AS m1 FROM a))),
+        |neg AS (
+        | SELECT doc_id, j,
+        |  CASE WHEN mix % nd = doc_id THEN (mix % nd + 1) % nd
+        |       ELSE mix % nd END AS neg_id
+        | FROM m CROSS JOIN n)
+        |SELECT neg.doc_id, neg.j, neg.neg_id, d.lang AS neg_lang
+        |FROM neg JOIN documents d ON neg.neg_id = d.doc_id
+        |ORDER BY neg.doc_id, neg.j""".stripMargin,
+    "q172_ewma_daily" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+        |  sum(o_totalprice) AS v
+        | FROM orders GROUP BY 1, 2),
+        |spray AS (
+        | SELECT pri, d + CAST(lag AS INTEGER) AS ad,
+        |  v * pow(0.5e0, lag) AS wv, pow(0.5e0, lag) AS w
+        | FROM daily
+        | CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS lag))
+        |SELECT s.pri, s.ad AS d, round(sum(s.wv) / sum(s.w), 4) AS ewma
+        |FROM spray s JOIN daily dd ON s.pri = dd.pri AND s.ad = dd.d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

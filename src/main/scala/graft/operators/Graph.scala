@@ -77,6 +77,57 @@ object Graph {
     * orientation rank is compared as the (deg, id) tuple, never packed
     * into one integer, so arbitrary 64-bit node ids can't overflow.
     */
+  /** The k-core of an undirected graph `edges(a, b)` (each unordered
+    * pair once): iteratively peel nodes of degree < k until fixpoint —
+    * the maximal subgraph with minimum degree ≥ k. The standard
+    * community-density filter (dedup-cluster triage, spam-graph
+    * pruning) and, with the chain of k values, the degeneracy ordering.
+    *
+    * Each round is one degree aggregate plus two semi-joins keyed on
+    * node ids — the same two-exchange superstep as [[pageRank]] — with
+    * per-round `localCheckpoint` + [[Checkpoints.release]] so neither
+    * the plan nor executor storage grows with round count. The loop
+    * early-exits on edge-count fixpoint (one driver scalar per round);
+    * total rounds are bounded by the graph's peel depth. Extra rounds
+    * past convergence are no-ops, which is what lets a fixed-depth
+    * unrolled SQL replay (the oracle) match the converged answer.
+    *
+    * Returns surviving (node, deg) with degrees in the core subgraph;
+    * empty when the k-core is empty.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds && n > 0) {
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      val next = e
+        .join(keep.select(col("v").as("a")), Seq("a"), "semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n2 = next.count()
+      Checkpoints.release(e)
+      e = next
+      converged = n2 == n
+      n = n2
+      rounds += 1
+    }
+    require(converged || n == 0,
+      s"k-core did not converge within $maxRounds rounds")
+    val out = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val staged = Dedup.stage(out, "kcore")
+    Checkpoints.release(e)
+    staged
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b"))
     val deg = e.select(col("a").as("v"))

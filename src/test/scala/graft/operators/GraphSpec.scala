@@ -83,6 +83,38 @@ class GraphSpec extends SparkSpec {
     assert(t == 19L)
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("a", "b"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: chain peels to nothing, cycle survives whole") {
+    // path 1-2-3-4-5: endpoints have degree 1 → 2-core empty (multi-round peel)
+    assert(core((1L until 5L).map(i => (i, i + 1)), 2).isEmpty)
+    // 5-cycle: every node degree 2 → fixpoint immediately
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(core(c5, 2) == (1L to 5L).map(_ -> 2L).toMap)
+  }
+
+  test("kCore: pendant tail is stripped, triangle core remains") {
+    // triangle 1-2-3 with tail 3-4-5-6: peel removes 6, then 5, then 4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: removal can cascade across the whole graph") {
+    // K4 with a chain hung off one corner; 3-core keeps exactly the K4
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 1L))
+    assert(core(edges, 3) == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("kCore leaves no persistent RDDs behind, including the empty-core path") {
+    core((1L until 6L).map(i => (i, i + 1)), 2)
+    core(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 2)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "checkpoint storage outlived kCore")
+  }
+
   test("pageRank leaves no persistent RDDs behind") {
     val out = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), 3)
     out.count()
