@@ -129,7 +129,13 @@ object Graph {
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    // The edge frame feeds the degree aggregate, the orientation join,
+    // and the edge count — and `oriented` feeds both wedge sides plus
+    // the closing join. DataFrame references get no CSE (each consumer
+    // re-executes the whole subplan), so stage both exactly once: an
+    // edge list built from an expensive upstream (e.g. a co-occurrence
+    // self-join) must not be recomputed five times.
+    val e = Dedup.stage(edges.select(col("a"), col("b")), "tri_edges")
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -138,20 +144,27 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    val oriented = Dedup.stage(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
-      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
-    val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("vdeg"))
-    val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("wdeg"))
-    val wedges = e1.join(e2, Seq("src"))
-      .filter(col("vdeg") < col("wdeg") ||
-        (col("vdeg") === col("wdeg") && col("v") < col("w")))
-    val closed = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      when(aFirst, col("b")).otherwise(col("a")).as("dst")), "tri_oriented")
+    // "Forward" counting: a triangle x<y<z (in (deg,id) order) orients as
+    // x→y, x→z, y→z and is found exactly once — as a common out-neighbor
+    // of edge (x,y)'s endpoints. Materializing the Σ outdeg² wedge rows
+    // through a shuffle (the join formulation) moves tens of millions of
+    // rows for a graph of a million edges; intersecting the two
+    // endpoints' out-adjacency ARRAYS does the same element-touches
+    // scan-locally, so only the |E| edge rows and the |V| adjacency rows
+    // ever cross the network. Out-lists are O(√m)-bounded by the
+    // orientation, so no row is hub-sized.
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val tris = oriented
+      .join(adj.select(col("src"), col("nbrs").as("ns")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nd")), Seq("dst"))
+      .select(size(array_intersect(col("ns"), col("nd"))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
-    broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTris))
+    broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(broadcast(tris))
   }
 }
