@@ -2895,6 +2895,104 @@ object Queries {
       .orderBy(col("pri"), col("d"))
   }
 
+  /** Exact ROC-AUC of a score column against a binary label (is the
+    * document English?) via the Mann-Whitney rank-sum with average
+    * ranks for ties — the classifier-eval metric a quality-filter
+    * pipeline computes per model snapshot. Scale shape: scores are
+    * grouped FIRST (combinable counts per distinct score), so the
+    * global rank window runs over |distinct scores| rows (313 here,
+    * never the data), and the final AUC is one more tiny aggregate.
+    * The naive global row_number over all rows would be a
+    * single-partition sort of the corpus.
+    */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = t(spark, dir, "documents")
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+    val w = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    ranked.agg(
+        sum(col("npos")).as("n_pos"),
+        (sum(col("cnt")) - sum(col("npos"))).as("n_neg"),
+        sum(col("npos") * (col("cum_before") + (col("cnt") + 1) / lit(2.0)))
+          .as("pos_rank_sum"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("pos_rank_sum") - col("n_pos") * (col("n_pos") + 1) / lit(2.0))
+          / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Pairwise vocabulary Jaccard between sources — the set-overlap
+    * companion to q164's distributional JSD (how much raw vocabulary do
+    * two crawl sources share, ignoring frequency). The token self-join
+    * shuffles on the token key with combinable pair counts; per-source
+    * vocabulary sizes ride a broadcast onto the |sources|² pair frame.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = t(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+    val inter = vocab.select(col("source").as("src_a"), col("tok"))
+      .join(vocab.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("vsize").as("va"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("vsize").as("vb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common") / (col("va") + col("vb") - col("n_common")), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Content-defined chunking (Rabin-style): chunk boundaries where the
+    * base-31 hash of the trailing 8-char window is ≡ 0 mod 64 (~64-char
+    * expected chunks) — the shift-robust dedup segmentation that
+    * fixed-size chunking cannot give (an insertion early in a document
+    * only perturbs one chunk, so shared tails still dedup). Per-doc
+    * boundary detection and chunk slicing are pure scan-local
+    * higher-order functions (the q35 bounded-accumulator hash, ANSI
+    * overflow-safe); only chunk hashes cross the shuffle for the
+    * corpus-level distinct count, never chunk text.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val mask = 64
+    // chars/len staged as row attributes so the boundary lambda binds
+    // them once per row — inlining the split would recompute it per
+    // position (O(len²) per document)
+    val prepared = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        filter(split(col("text"), ""), c => length(c) > 0).as("chars"))
+    // h(i): base-31 fold of chars [i-w+1 .. i] (1-based), kept < 2^30 so
+    // ANSI arithmetic can't overflow (the q35 accumulator bound)
+    val winHash = (i: org.apache.spark.sql.Column) => aggregate(
+      slice(col("chars"), i - (w - 1), lit(w)),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % lit(1000000007L))
+    val cuts = filter(sequence(lit(w), greatest(col("len"), lit(w))),
+      i => i <= col("len") && winHash(i) % mask === 0)
+    val withBounds = prepared
+      .select(col("doc_id"), col("text"),
+        array_sort(array_union(cuts, array(col("len")))).as("bounds"))
+      .withColumn("prevs",
+        concat(array(lit(0)),
+          slice(col("bounds"), lit(1), size(col("bounds")) - 1)))
+    withBounds
+      .select(col("doc_id"), col("text"),
+        explode(arrays_zip(col("prevs").as("p"), col("bounds").as("e"))).as("z"))
+      .select(col("doc_id"),
+        col("text").substr(col("z.p") + 1, col("z.e") - col("z.p")).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+      .agg(count(lit(1)).as("total_chunks"),
+        countDistinct(md5(col("chunk"))).as("distinct_chunks"),
+        round(avg(length(col("chunk"))), 4).as("avg_chunk_len"))
+  }
+
   def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))

@@ -308,7 +308,13 @@ object SparkEntry {
     // deterministic contrastive negative sampling (portable mix)
     "q171_negative_sample"   -> Queries.negativeSample _,
     // trailing EWMA of daily revenue via lag spray (no window fold)
-    "q172_ewma_daily"        -> Queries.ewmaDaily _
+    "q172_ewma_daily"        -> Queries.ewmaDaily _,
+    // exact ROC-AUC via rank-sum over distinct-score aggregates
+    "q173_roc_auc"           -> Queries.rocAuc _,
+    // pairwise vocabulary Jaccard between sources (set-overlap drift)
+    "q174_vocab_overlap"     -> Queries.vocabOverlap _,
+    // content-defined chunking (Rabin boundaries, corpus dedup ratio)
+    "q175_cdc_chunks"        -> Queries.cdcChunks _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2350,6 +2356,81 @@ object SparkEntry {
         | CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS lag))
         |SELECT s.pri, s.ad AS d, round(sum(s.wv) / sum(s.w), 4) AS ewma
         |FROM spray s JOIN daily dd ON s.pri = dd.pri AND s.ad = dd.d
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q173_roc_auc" ->
+      """WITH per_score AS (
+        | SELECT n_chars AS score, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos
+        | FROM documents GROUP BY 1),
+        |ranked AS (
+        | SELECT score, cnt, npos,
+        |  coalesce(CAST(sum(cnt) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS cum_before
+        | FROM per_score),
+        |tot AS (
+        | SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt) - sum(npos) AS BIGINT) AS n_neg,
+        |  sum(npos * (cum_before + (cnt + 1) / 2e0)) AS pos_rank_sum
+        | FROM ranked)
+        |SELECT n_pos, n_neg,
+        | round((pos_rank_sum - n_pos * (n_pos + 1) / 2e0) / (n_pos * n_neg), 6)
+        |  AS auc
+        |FROM tot""".stripMargin,
+    "q174_vocab_overlap" ->
+      """WITH vocab AS (
+        | SELECT DISTINCT source,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        | FROM documents),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS vsize
+        |          FROM vocab GROUP BY 1),
+        |inter AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        | FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        | round(CAST(n_common AS DOUBLE) / (sa.vsize + sb.vsize - n_common), 6)
+        |  AS jaccard
+        |FROM inter JOIN sizes sa ON src_a = sa.source
+        | JOIN sizes sb ON src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    // Replays the base-31 windowed fold: DuckDB's list_reduce seeds with
+    // the first element, which for this fold equals the 0-seeded result
+    // (0*31 + c1 = c1), so both engines hash identically.
+    "q175_cdc_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS n FROM documents),
+        |pos AS (
+        | SELECT doc_id, text, n,
+        |  unnest(generate_series(8, greatest(n, 8))) AS i
+        | FROM d),
+        |cuts AS (
+        | SELECT doc_id, i FROM pos
+        | WHERE i <= n AND
+        |  list_reduce(
+        |   list_transform(
+        |    list_filter(string_split_regex(substr(text, CAST(i - 7 AS INTEGER),
+        |      8), ''), c -> len(c) > 0),
+        |    c -> CAST(unicode(c) AS BIGINT)),
+        |   (a, b) -> (a * 31 + b) % 1000000007) % 64 = 0),
+        |bounds AS (
+        | SELECT doc_id, i FROM cuts
+        | UNION
+        | SELECT doc_id, n FROM d),
+        |ordered AS (
+        | SELECT doc_id, i AS e,
+        |  coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p
+        | FROM bounds),
+        |chunks AS (
+        | SELECT o.doc_id, substr(d.text, CAST(o.p + 1 AS INTEGER),
+        |   CAST(o.e - o.p AS INTEGER)) AS chunk
+        | FROM ordered o JOIN d ON o.doc_id = d.doc_id
+        | WHERE o.e > o.p)
+        |SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+        | CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
+        | round(avg(length(chunk)), 4) AS avg_chunk_len
+        |FROM chunks""".stripMargin
   )
 }
