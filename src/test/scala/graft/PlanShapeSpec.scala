@@ -238,4 +238,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("word_ngram_hashes"),
       "set table not staged; gram pipeline re-executes per consumer")
   }
+
+  test("fd profile unrolls four FDs from ONE scan of orders") {
+    // pre-execution plan: the AQE final-plan string doubles node counts
+    val df = Queries.fdProfile(spark, sf0001)
+    val scans = "Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"stack generator must not fan out to $scans scans")
+  }
+
+  test("skyline joins frontier stats by broadcast; no sort-merge, no cartesian") {
+    val df = Queries.skylineParts(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "frontier stats must broadcast back onto the scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "skyline must never shuffle or cross-join the data for dominance")
+  }
+
+  test("ewma lag spray plans no window function and no data self-join") {
+    val df = Queries.ewmaDaily(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "ewma must be a spray+agg, not a running-fold window")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "ewma must not range-self-join the daily series")
+  }
+
+  test("cdc chunking keeps chunk text out of the shuffle (hashes only)") {
+    val df = Queries.cdcChunks(spark, sf0001)
+    df.collect()
+    // the only shuffled attribute below the distinct-count agg is the md5
+    // hash; chunk text must be consumed scan-side
+    val aggPlan = df.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("md5"), "distinct chunks must count md5 hashes")
+    assert(!"Exchange hashpartitioning\\(chunk".r
+      .findFirstIn(aggPlan).isDefined,
+      "raw chunk strings crossed the shuffle")
+  }
 }
