@@ -2993,6 +2993,70 @@ object Queries {
         round(avg(length(col("chunk"))), 4).as("avg_chunk_len"))
   }
 
+  /** Zipf-law fit over the term rank-frequency curve: least-squares
+    * slope/r² of ln(freq) on ln(rank) for the top-1000 terms — the
+    * corpus-health diagnostic (natural text slopes ≈ −1; template spam
+    * and boilerplate bend the curve). Counting is a combinable agg; the
+    * top-1000 cut is a TakeOrdered (never a global sort), and the rank
+    * window runs over those 1000 rows only, not the vocabulary.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(1000)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    ranked
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(y, x)"), 6).as("slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+        round(expr("regr_r2(y, x)"), 6).as("r2"))
+  }
+
+  /** Mergeable top-k candidate summaries with deterministic error
+    * bounds — the heavy-hitters analog of the q150/q151 sketch rows.
+    * Each batch (doc_id mod 4 stands in for an ingest partition) keeps
+    * only its top-`k` terms plus one scalar (`dropped_max`, the largest
+    * truncated count); merging sums the surviving counts (a LOWER
+    * bound) and charges each absent batch's dropped_max as the only
+    * possible undercount (the UPPER bound). Any term with true global
+    * count > Σ dropped_max must surface — the SpaceSaving/Misra-Gries
+    * guarantee, but deterministic and engine-replayable, so unlike a
+    * probabilistic sketch this one is hash-gated against DuckDB rather
+    * than envelope-gated. Per-batch truncation is a batch-partitioned
+    * window (scan-parallel at scale); merged state is ≤ |batches|·k
+    * rows + |batches| scalars, never the vocabulary.
+    */
+  def topkCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val counts = t(spark, dir, "documents")
+      .select((col("doc_id") % 4).as("batch"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("batch"), col("tok")).agg(count(lit(1)).as("c"))
+    val rankedB = counts.withColumn("rn", row_number().over(
+      Window.partitionBy(col("batch")).orderBy(col("c").desc, col("tok"))))
+    val kept = rankedB.filter(col("rn") <= k)
+    val droppedMax = rankedB.filter(col("rn") > k)
+      .groupBy(col("batch")).agg(max(col("c")).as("dropped_max"))
+    val totalDropped = droppedMax
+      .agg(coalesce(sum(col("dropped_max")), lit(0L)).as("total_dropped"))
+    val perTerm = kept
+      .join(broadcast(droppedMax), Seq("batch"), "left")
+      .na.fill(0L, Seq("dropped_max"))
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).as("lower_bound"),
+        count(lit(1)).as("n_batches_present"),
+        sum(col("dropped_max")).as("present_dropped"))
+    perTerm.crossJoin(broadcast(totalDropped))
+      .select(col("tok"), col("lower_bound"),
+        (col("lower_bound") + col("total_dropped") - col("present_dropped"))
+          .as("upper_bound"),
+        col("n_batches_present"))
+      .orderBy(col("lower_bound").desc, col("tok")).limit(20)
+  }
+
   def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))

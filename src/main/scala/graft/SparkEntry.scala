@@ -314,7 +314,11 @@ object SparkEntry {
     // pairwise vocabulary Jaccard between sources (set-overlap drift)
     "q174_vocab_overlap"     -> Queries.vocabOverlap _,
     // content-defined chunking (Rabin boundaries, corpus dedup ratio)
-    "q175_cdc_chunks"        -> Queries.cdcChunks _
+    "q175_cdc_chunks"        -> Queries.cdcChunks _,
+    // Zipf rank-frequency fit over the top-1000 terms
+    "q176_zipf_fit"          -> Queries.zipfFit _,
+    // mergeable top-k candidates with deterministic bounds
+    "q177_topk_candidates"   -> Queries.topkCandidates _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2431,6 +2435,51 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS total_chunks,
         | CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
         | round(avg(length(chunk)), 4) AS avg_chunk_len
-        |FROM chunks""".stripMargin
+        |FROM chunks""".stripMargin,
+    "q176_zipf_fit" ->
+      """WITH counts AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS tok FROM documents)
+        | GROUP BY tok),
+        |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 1000),
+        |ranked AS (
+        | SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        | FROM top),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |        ln(CAST(cnt AS DOUBLE)) AS y FROM ranked)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        | round(regr_slope(y, x), 6) AS slope,
+        | round(regr_intercept(y, x), 6) AS intercept,
+        | round(regr_r2(y, x), 6) AS r2
+        |FROM xy""".stripMargin,
+    "q177_topk_candidates" ->
+      """WITH counts AS (
+        | SELECT doc_id % 4 AS batch, tok, CAST(count(*) AS BIGINT) AS c
+        | FROM (
+        |  SELECT doc_id,
+        |   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |     x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT batch, tok, c,
+        |  row_number() OVER (PARTITION BY batch ORDER BY c DESC, tok) AS rn
+        | FROM counts),
+        |kept AS (SELECT batch, tok, c FROM ranked WHERE rn <= 50),
+        |dm AS (SELECT batch, max(c) AS dropped_max FROM ranked
+        |       WHERE rn > 50 GROUP BY batch),
+        |td AS (SELECT coalesce(CAST(sum(dropped_max) AS BIGINT), 0)
+        |        AS total_dropped FROM dm),
+        |pt AS (
+        | SELECT tok, CAST(sum(c) AS BIGINT) AS lower_bound,
+        |  CAST(count(*) AS BIGINT) AS n_batches_present,
+        |  CAST(sum(coalesce(dm.dropped_max, 0)) AS BIGINT) AS present_dropped
+        | FROM kept LEFT JOIN dm USING (batch) GROUP BY tok)
+        |SELECT tok, lower_bound,
+        | lower_bound + total_dropped - present_dropped AS upper_bound,
+        | n_batches_present
+        |FROM pt CROSS JOIN td
+        |ORDER BY lower_bound DESC, tok LIMIT 20""".stripMargin
   )
 }
