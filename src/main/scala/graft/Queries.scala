@@ -3057,6 +3057,64 @@ object Queries {
       .orderBy(col("lower_bound").desc, col("tok")).limit(20)
   }
 
+  /** Interval overlap join between two event-derived interval sets
+    * ([[graft.operators.Intervals.overlapJoin]]): even-id events vs
+    * odd-id events, each an interval [ts, ts + (id%7+1)·60] in epoch
+    * seconds (the q131 construction). Pairs aggregate to per-type-pair
+    * overlap counts and seconds. The operator buckets by hour bins and
+    * assigns each pair to its overlap-start bin, so the non-equi
+    * condition becomes one equi-join with NO pair dedup — the oracle
+    * replays the naive inequality join and must agree exactly.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val iv = t(spark, dir, "events").select(
+      col("event_id"), col("event_type"),
+      col("ts").cast("long").as("s"),
+      (col("ts").cast("long") + (col("event_id") % 7 + 1) * 60).as("e"))
+    val a = iv.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("id_a"), col("event_type").as("type_a"),
+        col("s").as("s_a"), col("e").as("e_a"))
+    val b = iv.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("id_b"), col("event_type").as("type_b"),
+        col("s").as("s_b"), col("e").as("e_b"))
+    graft.operators.Intervals.overlapJoin(a, b, binSeconds = 3600L)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_sec"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Population stability index per event type between the first and
+    * second half of the event stream (split at the median day) — the
+    * standard drift gate an ML feature pipeline runs before retraining.
+    * Values bin into 10 fixed-width buckets (domain-pinned, so bins
+    * mean the same thing in both periods and both engines);
+    * Laplace-smoothed proportions keep ln defined on empty bins.
+    * Everything is two combinable aggregates and a broadcast-sized
+    * |types|×|bins| frame.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = t(spark, dir, "events").select(
+      col("event_type"),
+      (to_date(col("ts")) <= lit(java.sql.Date.valueOf("2024-01-15")))
+        .as("is_a"),
+      least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(9.0))
+        .cast("long").as("bin"))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = (col("ca") + 1) / (col("na") + 10)
+    val pb = (col("cb") + 1) / (col("nb") + 10)
+    counts.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))

@@ -318,7 +318,11 @@ object SparkEntry {
     // Zipf rank-frequency fit over the top-1000 terms
     "q176_zipf_fit"          -> Queries.zipfFit _,
     // mergeable top-k candidates with deterministic bounds
-    "q177_topk_candidates"   -> Queries.topkCandidates _
+    "q177_topk_candidates"   -> Queries.topkCandidates _,
+    // binned interval overlap join (non-equi -> equi, no pair dedup)
+    "q178_interval_join"     -> Queries.intervalJoin _,
+    // population stability index drift gate per event type
+    "q179_psi_drift"         -> Queries.psiDrift _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2480,6 +2484,44 @@ object SparkEntry {
         | lower_bound + total_dropped - present_dropped AS upper_bound,
         | n_batches_present
         |FROM pt CROSS JOIN td
-        |ORDER BY lower_bound DESC, tok LIMIT 20""".stripMargin
+        |ORDER BY lower_bound DESC, tok LIMIT 20""".stripMargin,
+    // The oracle replays the NAIVE inequality join; the Spark side must
+    // produce identical aggregates through the bin-bucketed equi-join.
+    "q178_interval_join" ->
+      """WITH iv AS (
+        | SELECT event_id, event_type,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+        |  CAST(epoch_us(ts) // 1000000 + (event_id % 7 + 1) * 60 AS BIGINT) AS e
+        | FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+        |  AS overlap_sec
+        |FROM (SELECT * FROM iv WHERE event_id % 2 = 0) a
+        |JOIN (SELECT * FROM iv WHERE event_id % 2 = 1) b
+        | ON a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q179_psi_drift" ->
+      """WITH binned AS (
+        | SELECT event_type,
+        |  CAST(ts AS DATE) <= DATE '2024-01-15' AS is_a,
+        |  CAST(least(greatest(floor(value / 50e0), 0e0), 9e0) AS BIGINT) AS bin
+        | FROM events),
+        |counts AS (
+        | SELECT event_type, bin,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        | FROM binned GROUP BY 1, 2),
+        |totals AS (
+        | SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb
+        | FROM counts GROUP BY 1)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        | round(sum(
+        |  ((c.ca + 1e0) / (t.na + 10e0) - (c.cb + 1e0) / (t.nb + 10e0)) *
+        |  ln(((c.ca + 1e0) / (t.na + 10e0)) / ((c.cb + 1e0) / (t.nb + 10e0)))
+        | ), 6) AS psi
+        |FROM counts c JOIN totals t ON c.event_type = t.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
