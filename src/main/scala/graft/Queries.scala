@@ -3115,6 +3115,111 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Bounded multi-source BFS ([[graft.operators.Graph.bfsHops]]) over
+    * the q132 user-transition graph: minimal hop count from the seed
+    * set (user_id ≡ 0 mod 97) to everything within 4 hops — the
+    * contamination-blast-radius / crawl-frontier query. The oracle is a
+    * DuckDB recursive CTE over the same edges with the same depth cap,
+    * so level-synchronous frontier expansion must equal the declarative
+    * fixpoint exactly.
+    */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .select(col("user_id").as("src"), lead(col("user_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val sources = ev.select(col("user_id").as("node"))
+      .filter(col("node") % 97 === 0).distinct()
+    graft.operators.Graph.bfsHops(edges, sources, maxHops = 4)
+      .select(col("node").as("user_id"), col("hops"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Theil–Sen robust trend per event type: the median of all pairwise
+    * slopes of the daily event count — outlier-resistant where q157's
+    * least-squares line is not (one bot-spike day drags OLS, not the
+    * pairwise median). The self-join is |days|² per type BY DESIGN:
+    * pairs grow with the bounded time dimension, not the row count, so
+    * 100 TB of events still yields ~days² slope rows per type. For
+    * unbounded day ranges the O(n) regression (q157) is the scale path.
+    */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))
+    a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("c2") - col("c1")) / (col("d2") - col("d1"))).as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data / instrumentation-bug screen. First digit comes
+    * from the decimal string of the integer part (never floor(log10):
+    * an ulp flip near a power of ten would move a value across digits
+    * in one engine only). Per-digit observed vs expected proportions
+    * plus the χ² contribution; everything is one combinable aggregate
+    * and a 9-row broadcast.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = t(spark, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    val pExp = log(10.0, lit(1) + lit(1.0) / col("digit"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs") / col("n_total"), 6).as("p_obs"),
+        round(pExp, 6).as("p_exp"),
+        round(pow(col("n_obs") - col("n_total") * pExp, 2) /
+          (col("n_total") * pExp), 6).as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+
+  /** Mergeable histogram-sketch quantiles
+    * ([[graft.operators.Sketches.histByGroup]]): the event stream is
+    * split into three batches (event_id mod 3 — standing in for daily
+    * appends), each batch contributes one fixed-domain sketch row per
+    * type, and the merged sketch answers p50/p90/p99 by cumulative bin
+    * walk (right-edge estimate). The oracle bins the WHOLE table in one
+    * pass — equality is the end-to-end merge law `hist(A∪B∪C) ==
+    * merge(hist(A), hist(B), hist(C))`, exact because counts add.
+    */
+  def histSketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val batches = (0 until 3).map { i =>
+      graft.operators.Sketches.histByGroup(
+        ev.filter(col("event_id") % 3 === i), "event_type", "value",
+        lo = 0.0, width = 25.0, nBins = 20)
+    }
+    val merged = graft.operators.Sketches.histMergeByGroup(
+      batches.reduce(_ unionAll _), "event_type")
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("pos"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = merged
+      .select(col("event_type"), posexplode(col("hist")).as(Seq("pos", "cnt")))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+    def est(q: Double) = min(when(col("cum") >= ceil(lit(q) * col("total")),
+      lit(25.0) * (col("pos") + 1)))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("total")).as("n_rows"),
+        round(est(0.5), 6).as("p50_est"),
+        round(est(0.9), 6).as("p90_est"),
+        round(est(0.99), 6).as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
   def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))

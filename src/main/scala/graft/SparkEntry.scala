@@ -322,7 +322,15 @@ object SparkEntry {
     // binned interval overlap join (non-equi -> equi, no pair dedup)
     "q178_interval_join"     -> Queries.intervalJoin _,
     // population stability index drift gate per event type
-    "q179_psi_drift"         -> Queries.psiDrift _
+    "q179_psi_drift"         -> Queries.psiDrift _,
+    // bounded multi-source BFS hop distance (recursive-CTE oracle)
+    "q180_bfs_reach"         -> Queries.bfsReach _,
+    // Theil-Sen robust trend: median of pairwise daily-count slopes
+    "q181_theil_sen"         -> Queries.theilSenTrend _,
+    // Benford first-digit audit with chi-square contributions
+    "q182_benford"           -> Queries.benfordAudit _,
+    // mergeable fixed-bin histogram sketch -> p50/p90/p99 by bin walk
+    "q183_hist_sketch"       -> Queries.histSketchQuantiles _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2522,6 +2530,76 @@ object SparkEntry {
         |  ln(((c.ca + 1e0) / (t.na + 10e0)) / ((c.cb + 1e0) / (t.nb + 10e0)))
         | ), 6) AS psi
         |FROM counts c JOIN totals t ON c.event_type = t.event_type
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Declarative fixpoint (recursive CTE, UNION-deduped on (node, hops),
+    // capped at the same depth) vs Spark's level-synchronous frontier
+    // loop; min(hops) is the BFS distance.
+    "q180_bfs_reach" ->
+      """WITH RECURSIVE edges AS MATERIALIZED (
+        | SELECT src, dst FROM (
+        |  SELECT user_id AS src,
+        |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+        |  FROM events)
+        | WHERE dst IS NOT NULL AND src <> dst),
+        |srcs AS MATERIALIZED (
+        | SELECT DISTINCT user_id AS node FROM events WHERE user_id % 97 = 0),
+        |r(node, hops) AS (
+        | SELECT node, 0 FROM srcs
+        | UNION
+        | SELECT e.dst, r.hops + 1
+        | FROM r JOIN edges e ON e.src = r.node WHERE r.hops < 4)
+        |SELECT node AS user_id, CAST(min(hops) AS BIGINT) AS hops
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q181_theil_sen" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(count(*) AS DOUBLE) AS c
+        | FROM events GROUP BY 1, 2)
+        |SELECT a.event_type,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(quantile_cont((b.c - a.c) / (b.day - a.day), 0.5), 6)
+        |  AS ts_slope
+        |FROM daily a JOIN daily b
+        | ON a.event_type = b.event_type AND a.day < b.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // First digit via the decimal string of the integer part on both
+    // sides (never floor(log10) — ulp flips near powers of ten).
+    "q182_benford" ->
+      """WITH d AS (
+        | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        | FROM orders),
+        |dd AS (SELECT digit FROM d WHERE digit BETWEEN 1 AND 9),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dd)
+        |SELECT digit, CAST(count(*) AS BIGINT) AS n_obs,
+        | round(count(*) / CAST(n_total AS DOUBLE), 6) AS p_obs,
+        | round(log10(1 + 1e0 / digit), 6) AS p_exp,
+        | round(pow(count(*) - n_total * log10(1 + 1e0 / digit), 2) /
+        |  (n_total * log10(1 + 1e0 / digit)), 6) AS chi2_contrib
+        |FROM dd CROSS JOIN tot
+        |GROUP BY digit, n_total ORDER BY digit""".stripMargin,
+    // Single-pass binning: equality with Spark's batch-split-and-merge
+    // path IS the end-to-end merge law hist(A∪B∪C)==merge(hists).
+    "q183_hist_sketch" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CAST(least(greatest(floor(value / 25e0), 0e0), 19e0) AS INTEGER)
+        |   AS pos
+        | FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, pos, count(*) AS cnt FROM v GROUP BY 1, 2),
+        |cm AS (
+        | SELECT event_type, pos, cnt,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY pos) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS total
+        | FROM c)
+        |SELECT event_type, CAST(max(total) AS BIGINT) AS n_rows,
+        | round(min(CASE WHEN cum >= ceil(0.5 * total)
+        |   THEN 25e0 * (pos + 1) END), 6) AS p50_est,
+        | round(min(CASE WHEN cum >= ceil(0.9 * total)
+        |   THEN 25e0 * (pos + 1) END), 6) AS p90_est,
+        | round(min(CASE WHEN cum >= ceil(0.99 * total)
+        |   THEN 25e0 * (pos + 1) END), 6) AS p99_est
+        |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -64,6 +64,53 @@ object Graph {
     out
   }
 
+  /** Bounded multi-source BFS over a directed edge list `edges(src,
+    * dst)`: the minimal hop count from any node of `sources(node)` to
+    * every node reachable within `maxHops` (sources themselves at hop
+    * 0). The k-hop-neighborhood primitive behind crawl frontier
+    * expansion, contamination blast-radius queries ("everything within
+    * 3 links of a flagged page"), and feature propagation.
+    *
+    * Level-synchronous frontier expansion: each round joins the current
+    * frontier (nodes first reached last round) against the edge list on
+    * the node key — one shuffle per hop, the Pregel superstep shape —
+    * then anti-joins the visited set so a node is emitted at its FIRST
+    * (= minimal) hop only. Frontier and visited are `localCheckpoint`ed
+    * per round with [[Checkpoints.release]] on the previous generation,
+    * so neither the plan nor executor storage grows with depth; the one
+    * driver scalar per round (frontier size) drives early exit. The
+    * bounded depth is the contract, not a cap on correctness: within
+    * `maxHops` the distances are exact (per-pair minimality asserted in
+    * spec against a brute-force oracle).
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = visited
+    var hop = 0L
+    var frontierSize = frontier.count()
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("hops"))
+        .localCheckpoint()
+      val nextVisited = visited.unionAll(next).localCheckpoint()
+      frontierSize = next.count()
+      Checkpoints.release(visited)
+      if (frontier ne visited) Checkpoints.release(frontier)
+      frontier = next
+      visited = nextVisited
+    }
+    val out = Dedup.stage(visited, "bfs_hops")
+    Checkpoints.release(visited)
+    if (frontier ne visited) Checkpoints.release(frontier)
+    out
+  }
+
   /** Degree-oriented triangle count over an undirected edge list
     * `edges(a, b)` (each unordered pair once, a ≠ b). Every edge is
     * oriented from its lower-(degree, id) endpoint to its higher one;

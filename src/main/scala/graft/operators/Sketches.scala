@@ -90,4 +90,42 @@ object Sketches {
     */
   def cmsEstimate(sketch: Array[Byte], item: Long): Long =
     CountMinSketch.readFrom(sketch).estimateCount(java.lang.Long.valueOf(item))
+
+  /** Fixed-domain equi-width histogram sketch: per-group array of
+    * `nBins` counts over `[lo, lo + nBins·width)`, out-of-range values
+    * clamped into the edge bins. The quantile member of the mergeable
+    * family (HLL distinct above, CMS frequency above, zone-map min/max
+    * manifests): counts add element-wise, so `hist(A ∪ B) ==
+    * merge(hist(A), hist(B))` EXACTLY — not within ε like HLL — and a
+    * quantile read off the merged sketch has error bounded by one bin
+    * width. One combinable pass per batch (`nBins` sum-whens, all
+    * codegen'd); the sketch row is `nBins` longs, never data.
+    */
+  def histByGroup(batch: DataFrame, groupCol: String, valueCol: String,
+                  lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(width > 0, s"width must be > 0, got $width")
+    val bin = least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val perBin = (0 until nBins).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).as(s"__b$i"))
+    batch.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(perBin.head, perBin.tail: _*)
+      .select(col(groupCol),
+        array((0 until nBins).map(i => col(s"__b$i")): _*).as("hist"))
+  }
+
+  /** Element-wise sum of per-batch histogram sketches back to one row
+    * per group. Input is |batches| × |groups| sketch rows; the explode
+    * fans each out to `nBins` (pos, cnt) rows — still metadata-sized —
+    * and both aggregates are combinable partials.
+    */
+  def histMergeByGroup(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches
+      .select(col(groupCol), posexplode(col("hist")).as(Seq("pos", "cnt")))
+      .groupBy(col(groupCol), col("pos")).agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cnt")))),
+        x => x.getField("cnt")).as("hist"))
 }

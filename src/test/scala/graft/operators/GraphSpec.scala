@@ -87,6 +87,47 @@ class GraphSpec extends SparkSpec {
     Graph.kCore(edges.toDF("a", "b"), k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def hopsOf(edges: Seq[(Long, Long)], sources: Seq[Long],
+                     maxHops: Int): Map[Long, Long] =
+    Graph.bfsHops(edges.toDF("src", "dst"), sources.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def bruteHops(edges: Seq[(Long, Long)], sources: Seq[Long],
+                        maxHops: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = sources.distinct.map(_ -> 0L).toMap
+    var frontier = sources.distinct.toSet
+    for (h <- 1L to maxHops) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h)
+    }
+    dist
+  }
+
+  test("bfsHops: matches brute force on a directed graph with cycles") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val sources = Seq(0L, 13L, 27L)
+    for (k <- Seq(0, 1, 3, 6)) {
+      assert(hopsOf(edges, sources, k) == bruteHops(edges, sources, k),
+        s"maxHops=$k: BFS disagrees with brute force")
+    }
+  }
+
+  test("bfsHops: hop bound is respected and sources sit at hop 0") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = hopsOf(chain, Seq(1L), 2)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      s"chain bounded at 2 hops: $got")
+  }
+
+  test("bfsHops: unreachable and out-of-graph sources") {
+    val got = hopsOf(Seq((1L, 2L), (3L, 4L)), Seq(1L, 99L), 5)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 99L -> 0L), s"got $got")
+  }
+
   test("kCore: chain peels to nothing, cycle survives whole") {
     // path 1-2-3-4-5: endpoints have degree 1 → 2-core empty (multi-round peel)
     assert(core((1L until 5L).map(i => (i, i + 1)), 2).isEmpty)
@@ -120,5 +161,12 @@ class GraphSpec extends SparkSpec {
     out.count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "checkpoint storage outlived pageRank")
+  }
+
+  test("bfsHops leaves no persistent RDDs behind, including early exit") {
+    hopsOf(Seq((1L, 2L), (2L, 3L)), Seq(1L), 10) // frontier empties at hop 2
+    hopsOf(Seq((1L, 2L), (2L, 1L)), Seq(1L), 3)  // cycle, bound exits
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "checkpoint storage outlived bfsHops")
   }
 }

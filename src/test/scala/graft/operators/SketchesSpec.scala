@@ -77,4 +77,29 @@ class SketchesSpec extends SparkSpec {
         s"CMS overcount beyond eps envelope for user $u: $e vs $n (total $total)")
     }
   }
+
+  private def histRows(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+    df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+  test("hist: merge of per-batch sketches equals the single-pass sketch, exactly") {
+    val batches = (0 until 3).map(i =>
+      Sketches.histByGroup(events.filter(col("event_id") % 3 === i),
+        "event_type", "value", lo = 0.0, width = 25.0, nBins = 20))
+    val merged = histRows(
+      Sketches.histMergeByGroup(batches.reduce(_ unionAll _), "event_type"))
+    val direct = histRows(
+      Sketches.histByGroup(events, "event_type", "value", 0.0, 25.0, 20))
+    assert(merged == direct,
+      s"hist merge is not lossless: merged=$merged direct=$direct")
+    assert(merged.values.forall(_.length == 20), "sketch width drifted")
+  }
+
+  test("hist: out-of-range values clamp into the edge bins; counts are total") {
+    import spark.implicits._
+    val df = Seq(("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 10.0),
+      ("a", 99.9), ("a", 1e9)).toDF("g", "v")
+    val h = histRows(Sketches.histByGroup(df, "g", "v", 0.0, 10.0, 10))("a")
+    assert(h.sum == 6, s"rows lost in clamping: $h")
+    assert(h(0) == 3 && h(1) == 1 && h(9) == 2, s"clamp bins wrong: $h")
+  }
 }
