@@ -3220,6 +3220,110 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Association rules over order baskets: support, both directional
+    * confidences, and lift for the top co-ordered part pairs — the rule
+    * layer on top of q137's raw 2-itemsets. Per-item counts ride a
+    * broadcast onto the pair aggregate (pairs ≫ items); the top-20 cut
+    * is a TakeOrdered with a full tie-break, never a global sort.
+    */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    // items feeds four consumers (basket count, item counts, both pair
+    // sides); DataFrame references get no CSE, so stage the distinct
+    // once instead of re-running its shuffle per consumer
+    val itemsPath = scratch(spark, "assoc-items")
+    items.write.mode("overwrite").parquet(itemsPath)
+    val staged = spark.read.parquet(itemsPath)
+    val nBaskets = staged.select(col("basket")).distinct().count().toDouble
+    val itemCnt = staged.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = staged.as("x").join(staged.as("y"), Seq("basket"))
+      .filter(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(itemCnt.select(col("item").as("a"), col("cnt").as("ca"))), "a")
+      .join(broadcast(itemCnt.select(col("item").as("b"), col("cnt").as("cb"))), "b")
+      .select(col("a"), col("b"), col("n_pair"),
+        round(col("n_pair") / nBaskets, 6).as("support"),
+        round(col("n_pair") / col("ca"), 6).as("conf_ab"),
+        round(col("n_pair") / col("cb"), 6).as("conf_ba"),
+        round(col("n_pair") * nBaskets / (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("n_pair").desc, col("a"), col("b")).limit(20)
+  }
+
+  /** Longest consecutive-day activity streak per user — the
+    * islands-and-gaps pattern: within a user's distinct active days,
+    * `day − row_number()` is constant exactly along a run of
+    * consecutive days, so one window + one groupBy finds every island
+    * without self-joins or iteration. Top-20 by (streak, active days,
+    * user) with a full tie-break.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("best_streak"), sum(col("len")).as("n_active_days"))
+      .orderBy(col("best_streak").desc, col("n_active_days").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent prior `view`, carried by a running `last(..., ignoreNulls)`
+    * window — one shuffle on user_id, no self-join, no as-of join
+    * machinery (the window IS the backward as-of here because both
+    * sides live in one stream). Daily rollup of purchases, attributed
+    * share, and mean view→purchase lag.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("ts").cast("long").as("sec"))
+    ev.withColumn("last_view_sec",
+        last(when(col("event_type") === "view", col("sec")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("last_view_sec").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed"),
+        round(avg(col("sec") - col("last_view_sec")), 2).as("avg_lag_sec"))
+      .orderBy(col("day"))
+  }
+
+  /** Day-of-week seasonality profile per event type: each weekday's
+    * mean daily count as an index against the type's overall daily
+    * mean (index 1 = flat). Two combinable aggregates and a broadcast
+    * of |types| rows — the pre-detrending step any anomaly gate runs
+    * before alerting on "traffic dropped" at a weekend.
+    */
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("dow", dayofweek(col("day")))
+    val overall = daily.groupBy(col("event_type"))
+      .agg(avg(col("c")).as("overall_avg"))
+    daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), avg(col("c")).as("dow_avg"))
+      .join(broadcast(overall), "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round(col("dow_avg"), 6).as("dow_avg"),
+        round(col("dow_avg") / col("overall_avg"), 6).as("seasonal_idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))

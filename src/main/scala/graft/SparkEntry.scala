@@ -330,7 +330,15 @@ object SparkEntry {
     // Benford first-digit audit with chi-square contributions
     "q182_benford"           -> Queries.benfordAudit _,
     // mergeable fixed-bin histogram sketch -> p50/p90/p99 by bin walk
-    "q183_hist_sketch"       -> Queries.histSketchQuantiles _
+    "q183_hist_sketch"       -> Queries.histSketchQuantiles _,
+    // association rules: support / confidence / lift over order baskets
+    "q184_assoc_rules"       -> Queries.associationRules _,
+    // islands-and-gaps: longest consecutive-day activity streak per user
+    "q185_streaks"           -> Queries.activityStreaks _,
+    // last-touch attribution via running ignore-nulls window (no self-join)
+    "q186_attribution"       -> Queries.lastTouchAttribution _,
+    // day-of-week seasonality index per event type
+    "q187_seasonality"       -> Queries.seasonalityProfile _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2600,6 +2608,76 @@ object SparkEntry {
         |   THEN 25e0 * (pos + 1) END), 6) AS p90_est,
         | round(min(CASE WHEN cum >= ceil(0.99 * total)
         |   THEN 25e0 * (pos + 1) END), 6) AS p99_est
-        |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q184_assoc_rules" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        | FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n FROM items),
+        |ic AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
+        |pairs AS (
+        | SELECT x.item AS a, y.item AS b, count(*) AS n_pair
+        | FROM items x JOIN items y ON x.basket = y.basket AND x.item < y.item
+        | GROUP BY 1, 2)
+        |SELECT a, b, CAST(n_pair AS BIGINT) AS n_pair,
+        | round(n_pair / nb.n, 6) AS support,
+        | round(n_pair / CAST(ca.cnt AS DOUBLE), 6) AS conf_ab,
+        | round(n_pair / CAST(cb.cnt AS DOUBLE), 6) AS conf_ba,
+        | round(n_pair * nb.n / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN ic ca ON pairs.a = ca.item
+        |JOIN ic cb ON pairs.b = cb.item
+        |CROSS JOIN nb
+        |ORDER BY n_pair DESC, a, b LIMIT 20""".stripMargin,
+    "q185_streaks" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        | FROM events),
+        |islands AS (
+        | SELECT user_id,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        | FROM days),
+        |runs AS (
+        | SELECT user_id, grp, count(*) AS len
+        | FROM islands GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+        | CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1
+        |ORDER BY best_streak DESC, n_active_days DESC, user_id
+        |LIMIT 20""".stripMargin,
+    "q186_attribution" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, event_id, ts,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+        | FROM events),
+        |carried AS (
+        | SELECT *,
+        |  last_value(CASE WHEN event_type = 'view' THEN sec END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS last_view_sec
+        | FROM ev)
+        |SELECT CAST(ts AS DATE) AS day,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(sum(CASE WHEN last_view_sec IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_attributed,
+        | round(avg(sec - last_view_sec), 2) AS avg_lag_sec
+        |FROM carried WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB dayofweek() is 0=Sunday; Spark's is 1=Sunday -> +1.
+    "q187_seasonality" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS DOUBLE) AS c
+        | FROM events GROUP BY 1, 2),
+        |overall AS (
+        | SELECT event_type, avg(c) AS overall_avg FROM daily GROUP BY 1)
+        |SELECT d.event_type, dayofweek(d.day) + 1 AS dow,
+        | CAST(count(*) AS BIGINT) AS n_days,
+        | round(avg(d.c), 6) AS dow_avg,
+        | round(avg(d.c) / max(o.overall_avg), 6) AS seasonal_idx
+        |FROM daily d JOIN overall o ON d.event_type = o.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -267,6 +267,23 @@ class PlanShapeSpec extends SparkSpec {
       "ewma must not range-self-join the daily series")
   }
 
+  test("interval overlap join is an equi-join on the bin key, never a nested loop") {
+    val df = Queries.intervalJoin(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "the non-equi overlap condition must be bucketed into an equi-join; " +
+        "a nested-loop plan means the bin key was lost")
+  }
+
+  test("attribution plans one user shuffle: window and daily agg, no self-join") {
+    val df = Queries.lastTouchAttribution(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "last-touch must ride the running window, not an as-of self-join")
+  }
+
   test("cdc chunking keeps chunk text out of the shuffle (hashes only)") {
     val df = Queries.cdcChunks(spark, sf0001)
     df.collect()
