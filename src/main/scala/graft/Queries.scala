@@ -3343,4 +3343,256 @@ object Queries {
         round(avg(-log(2.0, col("c12") / col("c1"))), 4).as("xent"))
       .orderBy(col("doc_id"))
   }
+
+  /** Exact weighted percentiles (p25/p50/p75) of extended price weighted
+    * by quantity, per return flag — the order-statistics sibling of
+    * q120's unweighted exact percentiles (a weighted median is
+    * inexpressible via `percentile`). Values are grouped FIRST
+    * (combinable weight sums per distinct value), so the cumulative
+    * window runs over |distinct values| rows per group in one
+    * deterministic sorted order — both engines add the same doubles in
+    * the same sequence, so the running weights are bit-identical. The
+    * per-group sorted walk is the irreducible cost of EXACT weighted
+    * order statistics; the approximate scale path is the q183 histogram
+    * sketch with per-bin weight sums.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity")).as("w"))
+    val wOrd = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("flag"))
+    val cum = grouped
+      .withColumn("cw", sum(col("w")).over(wOrd))
+      .withColumn("tw", sum(col("w")).over(wAll))
+    // first value whose cumulative weight reaches q·W (q dyadic, so the
+    // threshold product is exact)
+    def pick(q: Double) = min(when(col("cw") >= lit(q) * col("tw"), col("v")))
+    cum.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_distinct_values"),
+        round(max(col("tw")), 2).as("total_weight"),
+        round(pick(0.25), 2).as("wp25"),
+        round(pick(0.5), 2).as("wp50"),
+        round(pick(0.75), 2).as("wp75"))
+      .orderBy(col("flag"))
+  }
+
+  /** Gini concentration of positive account balances per market segment
+    * (G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending balances) — the
+    * inequality diagnostic a mixture-sampling pipeline checks before
+    * trusting per-source budgets. One rank window per segment; equal
+    * values contribute identically under any stable order, so the
+    * row_number tie-break cannot change the sum. The rank·value products
+    * stay exact-integer-scaled (rank is integral), and the only
+    * cross-engine float ops are the two final divisions.
+    */
+  def giniBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val pos = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"),
+        col("c_custkey"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("bal"), col("c_custkey"))
+    pos.withColumn("i", row_number().over(w).cast("double"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_accounts"),
+        round(sum(col("bal")), 2).as("total_bal"),
+        round(lit(2.0) * sum(col("i") * col("bal"))
+            / (count(lit(1)) * sum(col("bal")))
+          - (count(lit(1)) + 1) / count(lit(1)).cast("double"), 6).as("gini"))
+      .orderBy(col("segment"))
+  }
+
+  /** Autocorrelation of the daily event-count series at calendar lags
+    * 1/2/3/7 per event type — the periodicity detector behind q187's
+    * seasonality index (a weekly cycle shows as an ACF spike at lag 7).
+    * The lag spray is an equi-join on (type, day − lag) against the
+    * DAILY aggregate (|days| rows, never raw events), and the Pearson
+    * correlation is assembled from six combinable LONG sums — counts
+    * are integers, so every shuffled partial is exact and the only
+    * float math is the final closed form (no Welford merge-order drift).
+    */
+  def dailyAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val sprayed = daily
+      .withColumn("lag", explode(array(lit(1), lit(2), lit(3), lit(7))))
+    val prev = daily.select(col("event_type").as("ptype"),
+      col("day").as("pday"), col("c").as("pc"))
+    val pairs = sprayed.join(prev,
+      sprayed("event_type") === prev("ptype")
+        && sprayed("day") - sprayed("lag") === prev("pday"))
+      .select(sprayed("event_type"), sprayed("lag"),
+        sprayed("c").as("x"), prev("pc").as("y"))
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** CUSUM changepoint scan over each type's daily count series: the
+    * day maximizing |Σ_{i≤t}(cᵢ − mean)|, plus the normalized statistic
+    * max|S| / (sd·√n). The running deviation is kept EXACT by scaling:
+    * cum(n·cᵢ − T) over longs (T = total) equals n·S_t, so the shuffle
+    * and the ordered cumsum never touch a float; mean, sd (from exact
+    * long moments) and the final ratios are closed-form driver-free
+    * math. Argmax is a combinable max(struct) with earliest-day
+    * tie-break — never a second pass.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("tot"),
+        sum(col("c") * col("c")).as("sqtot"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = daily.join(broadcast(stats), "event_type")
+      .withColumn("ns", sum(col("n") * col("c") - col("tot")).over(wOrd))
+    val sd = sqrt((col("n_days") * col("sqtot") - col("tot") * col("tot"))
+      .cast("double") / (col("n_days") * (col("n_days") - 1)))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), max(col("tot")).as("tot"),
+        max(col("sqtot")).as("sqtot"),
+        max(struct(abs(col("ns")).as("a"), (-col("day")).as("md")))
+          .as("best"))
+      .select(col("event_type"), col("n_days"), (-col("best.md")).as("cp_day"),
+        round(col("best.a") / col("n_days").cast("double"), 6)
+          .as("max_abs_dev"),
+        round(col("best.a") / col("n_days") / (sd * sqrt(col("n_days")
+          .cast("double"))), 6).as("cusum_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Degree assortativity of the q132/q180 user-transition graph:
+    * Pearson correlation between the endpoint total degrees across
+    * edges — do heavy users link to heavy users (assortative, > 0) or
+    * to one-hit users (disassortative, < 0)? Degrees come from one
+    * combinable count over the stacked endpoint list; the two
+    * degree-fetch joins shuffle on the node key (deliberately unhinted:
+    * |nodes| is corpus-scale). Correlation is the q190 exact-long-sums
+    * closed form — degrees are integers, so nothing drifts.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val edges = t(spark, dir, "events")
+      .select(col("user_id").as("src"), lead(col("user_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    // edges feeds three consumers (degree build + both fetch sides);
+    // stage it once — DataFrame reuse gets no CSE, so each consumer
+    // would otherwise re-run the window
+    val edgesPath = scratch(spark, "assort-edges")
+    edges.write.mode("overwrite").parquet(edgesPath)
+    val staged = spark.read.parquet(edgesPath)
+    val deg = staged.select(col("src").as("node"))
+      .unionAll(staged.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    staged
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n_edges"),
+        round((col("n_edges") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_edges") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 6).as("assortativity"))
+  }
+
+  /** Per-dimension embedding-column profile (mean/std/min/max per
+    * coordinate) — the feature-drift / dead-dimension diagnostic run
+    * before training an ANN index or quantizer on a new corpus drop.
+    * posexplode + groupBy(dim) is combinable: map-side partials reduce
+    * the shuffle to |dims|·|partitions| rows regardless of corpus size.
+    * Float sums drift with add order, so drifting aggregates are
+    * rounded to 4 (the q114 precedent); min/max are exact.
+    */
+  def embeddingProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("v")), 4).as("mean"),
+        round(stddev_samp(col("v")), 4).as("std"),
+        round(min(col("v")), 4).as("vmin"),
+        round(max(col("v")), 4).as("vmax"))
+      .orderBy(col("dim"))
+
+  /** Top event-type trigrams over per-user clickstreams (two leads in
+    * ONE window pass — the n-gram generalization of q125's bigram
+    * transition matrix). One shuffle on user_id; the count agg is
+    * combinable over ≤|types|³ keys; top-20 is a TakeOrdered with a
+    * full tie-break.
+    */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  /** Referential-integrity audit over the whole star schema: for each
+    * FK edge, child rows / null keys / orphans (non-null keys with no
+    * parent) / orphan rate — the reference's row-count reconciliation
+    * (X1's per-table counts, load_tables_daily.py:365–372) upgraded to
+    * actual key-level integrity. Each edge is one LEFT ANTI join; the
+    * six dimension parents ride broadcasts, and the one fact-fact edge
+    * (lineitem→orders) shuffles on the key like any big join. Counts
+    * are 1-row aggregates crossJoined back (broadcast singletons).
+    */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(fk: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame = {
+      val keys = child.select(col(key).as("k"))
+      val base = keys.agg(count(lit(1)).as("n_child"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+      val orphans = keys.filter(col("k").isNotNull)
+        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      base.crossJoin(orphans)
+        .select(lit(fk).as("fk"), col("n_child"), col("n_null"),
+          col("n_orphan"),
+          round(col("n_orphan") / col("n_child").cast("double"), 6)
+            .as("orphan_rate"))
+    }
+    val li = t(spark, dir, "lineitem")
+    Seq(
+      audit("customer.nation", t(spark, dir, "customer"), "c_nationkey",
+        t(spark, dir, "nation"), "n_nationkey"),
+      audit("lineitem.orders", li, "l_orderkey",
+        t(spark, dir, "orders"), "o_orderkey"),
+      audit("lineitem.part", li, "l_partkey",
+        t(spark, dir, "part"), "p_partkey"),
+      audit("lineitem.supplier", li, "l_suppkey",
+        t(spark, dir, "supplier"), "s_suppkey"),
+      audit("nation.region", t(spark, dir, "nation"), "n_regionkey",
+        t(spark, dir, "region"), "r_regionkey"),
+      audit("orders.customer", t(spark, dir, "orders"), "o_custkey",
+        t(spark, dir, "customer"), "c_custkey"),
+      audit("supplier.nation", t(spark, dir, "supplier"), "s_nationkey",
+        t(spark, dir, "nation"), "n_nationkey")
+    ).reduce(_ unionAll _).orderBy(col("fk"))
+  }
 }

@@ -338,7 +338,23 @@ object SparkEntry {
     // last-touch attribution via running ignore-nulls window (no self-join)
     "q186_attribution"       -> Queries.lastTouchAttribution _,
     // day-of-week seasonality index per event type
-    "q187_seasonality"       -> Queries.seasonalityProfile _
+    "q187_seasonality"       -> Queries.seasonalityProfile _,
+    // exact weighted percentiles via grouped cumulative-weight walk
+    "q188_weighted_median"   -> Queries.weightedMedian _,
+    // Gini concentration of positive balances per market segment
+    "q189_gini"              -> Queries.giniBySegment _,
+    // daily-count autocorrelation at calendar lags 1/2/3/7
+    "q190_daily_acf"         -> Queries.dailyAcf _,
+    // CUSUM changepoint day + normalized statistic per event type
+    "q191_cusum"             -> Queries.cusumChangepoint _,
+    // degree assortativity of the user-transition graph
+    "q192_assortativity"     -> Queries.degreeAssortativity _,
+    // per-dimension embedding mean/std/min/max profile
+    "q193_embed_profile"     -> Queries.embeddingProfile _,
+    // top event-type trigrams over per-user clickstreams
+    "q194_path_trigrams"     -> Queries.pathTrigrams _,
+    // star-schema FK orphan audit (one anti-join per edge)
+    "q195_ref_integrity"     -> Queries.refIntegrity _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -2678,6 +2694,187 @@ object SparkEntry {
         | round(avg(d.c), 6) AS dow_avg,
         | round(avg(d.c) / max(o.overall_avg), 6) AS seasonal_idx
         |FROM daily d JOIN overall o ON d.event_type = o.event_type
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Values grouped first, so the cumulative window adds the same
+    // doubles in the same sorted order in both engines (bit-identical
+    // running weights); q·W thresholds are dyadic products.
+    "q188_weighted_median" ->
+      """WITH grouped AS (
+        | SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |  sum(l_quantity) AS w
+        | FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        | SELECT flag, v, w,
+        |  sum(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+        |  sum(w) OVER (PARTITION BY flag) AS tw
+        | FROM grouped)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_distinct_values,
+        | round(max(tw), 2) AS total_weight,
+        | round(min(CASE WHEN cw >= 0.25 * tw THEN v END), 2) AS wp25,
+        | round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 2) AS wp50,
+        | round(min(CASE WHEN cw >= 0.75 * tw THEN v END), 2) AS wp75
+        |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
+    "q189_gini" ->
+      """WITH pos AS (
+        | SELECT c_mktsegment AS segment, c_acctbal AS bal, c_custkey
+        | FROM customer WHERE c_acctbal > 0),
+        |ranked AS (
+        | SELECT segment, bal,
+        |  CAST(row_number() OVER (PARTITION BY segment
+        |    ORDER BY bal, c_custkey) AS DOUBLE) AS i
+        | FROM pos)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_accounts,
+        | round(sum(bal), 2) AS total_bal,
+        | round(2e0 * sum(i * bal) / (count(*) * sum(bal))
+        |  - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Pearson from exact BIGINT sums (counts are integers) — no
+    // Welford merge-order drift; float math only in the final ratio.
+    "q190_daily_acf" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+        |pairs AS (
+        | SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+        | FROM daily a CROSS JOIN lags l
+        | JOIN daily b ON b.event_type = a.event_type
+        |  AND b.day = a.day - l.lag),
+        |sums AS (
+        | SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy
+        | FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        | round((n_pairs * sxy - sx * sy) /
+        |  sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+        |       CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) AS acf
+        |FROM sums ORDER BY event_type, lag""".stripMargin,
+    // The running deviation is the scaled EXACT long cumsum
+    // n·S_t = cum(n·c − T); argmax tie-breaks to the earliest day.
+    "q191_cusum" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |stats AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS tot,
+        |  CAST(sum(c * c) AS BIGINT) AS sqtot
+        | FROM daily GROUP BY 1),
+        |cum AS (
+        | SELECT d.event_type, d.day, s.n, s.tot, s.sqtot,
+        |  CAST(sum(s.n * d.c - s.tot)
+        |   OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS ns
+        | FROM daily d JOIN stats s USING (event_type)),
+        |ranked AS (
+        | SELECT event_type, n, tot, sqtot, day, abs(ns) AS a,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(ns) DESC, day) AS rn
+        | FROM cum)
+        |SELECT event_type, n AS n_days, day AS cp_day,
+        | round(a / CAST(n AS DOUBLE), 6) AS max_abs_dev,
+        | round(a / n / (sqrt(CAST(n * sqtot - tot * tot AS DOUBLE)
+        |   / (n * (n - 1))) * sqrt(CAST(n AS DOUBLE))), 6) AS cusum_stat
+        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q192_assortativity" ->
+      """WITH edges AS MATERIALIZED (
+        | SELECT src, dst FROM (
+        |  SELECT user_id AS src,
+        |   lead(user_id) OVER (PARTITION BY event_type
+        |     ORDER BY ts, event_id) AS dst
+        |  FROM events)
+        | WHERE dst IS NOT NULL AND src <> dst),
+        |deg AS (
+        | SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT src AS node FROM edges
+        |  UNION ALL SELECT dst AS node FROM edges)
+        | GROUP BY 1),
+        |j AS (
+        | SELECT dx.deg AS dx, dy.deg AS dy
+        | FROM edges e JOIN deg dx ON e.src = dx.node
+        |  JOIN deg dy ON e.dst = dy.node),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  sum(dx) AS sx, sum(dy) AS sy, sum(dx * dy) AS sxy,
+        |  sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+        | FROM j)
+        |SELECT n_edges,
+        | round((n_edges * sxy - sx * sy) /
+        |  sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE) *
+        |       CAST(n_edges * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+        |FROM s""".stripMargin,
+    // Drifting float aggregates rounded to 4 (the q114 precedent);
+    // min/max are exact. `+ 0` canonicalizes IEEE −0.0 → +0.0: DuckDB's
+    // round keeps the sign of a tiny negative mean, Spark's
+    // BigDecimal-based round never emits negative zero.
+    "q193_embed_profile" ->
+      """WITH e AS (
+        | SELECT unnest(embedding) AS v,
+        |  unnest(generate_series(0, len(embedding) - 1)) AS dim
+        | FROM embeddings)
+        |SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        | round(avg(CAST(v AS DOUBLE)), 4) + 0 AS mean,
+        | round(stddev_samp(CAST(v AS DOUBLE)), 4) + 0 AS std,
+        | round(min(CAST(v AS DOUBLE)), 4) + 0 AS vmin,
+        | round(max(CAST(v AS DOUBLE)), 4) + 0 AS vmax
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+    "q194_path_trigrams" ->
+      """WITH tri AS (
+        | SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER w AS t2,
+        |  lead(event_type, 2) OVER w AS t3
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM tri WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "q195_ref_integrity" ->
+      """WITH edges AS (
+        | SELECT 'customer.nation' AS fk, c_nationkey AS k,
+        |  (SELECT count(*) FROM nation n
+        |   WHERE n.n_nationkey = c_nationkey) AS hits
+        | FROM customer
+        | UNION ALL
+        | SELECT 'lineitem.orders', l_orderkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_orderkey = l_orderkey)
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem.part', l_partkey,
+        |  (SELECT count(*) FROM part p WHERE p.p_partkey = l_partkey)
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem.supplier', l_suppkey,
+        |  (SELECT count(*) FROM supplier s
+        |   WHERE s.s_suppkey = l_suppkey)
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'nation.region', n_regionkey,
+        |  (SELECT count(*) FROM region r
+        |   WHERE r.r_regionkey = n_regionkey)
+        | FROM nation
+        | UNION ALL
+        | SELECT 'orders.customer', o_custkey,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE c.c_custkey = o_custkey)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'supplier.nation', s_nationkey,
+        |  (SELECT count(*) FROM nation n
+        |   WHERE n.n_nationkey = s_nationkey)
+        | FROM supplier)
+        |SELECT fk, CAST(count(*) AS BIGINT) AS n_child,
+        | CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_null,
+        | CAST(sum(CASE WHEN k IS NOT NULL AND hits = 0 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_orphan,
+        | round(sum(CASE WHEN k IS NOT NULL AND hits = 0 THEN 1 ELSE 0 END)
+        |  / CAST(count(*) AS DOUBLE), 6) AS orphan_rate
+        |FROM edges GROUP BY fk ORDER BY fk""".stripMargin
   )
 }

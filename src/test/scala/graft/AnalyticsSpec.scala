@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for the q188–q195 analytics batch: each query's result
+  * is re-derived independently (brute force or closed form) at sf0.001.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q188 weighted percentiles match a brute-force weighted walk") {
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = Queries.weightedMedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (flag, fr) =>
+      val byV = fr.groupBy(_._2).map { case (v, g) => (v, g.map(_._3).sum) }
+        .toSeq.sortBy(_._1)
+      val tw = byV.map(_._2).sum
+      def pick(q: Double): Double = {
+        var cum = 0.0
+        byV.find { case (_, w) => cum += w; cum >= q * tw }.get._1
+      }
+      val (p25, p50, p75) = got(flag)
+      assert(math.abs(p25 - pick(0.25)) < 0.005, s"$flag wp25")
+      assert(math.abs(p50 - pick(0.5)) < 0.005, s"$flag wp50")
+      assert(math.abs(p75 - pick(0.75)) < 0.005, s"$flag wp75")
+    }
+  }
+
+  test("q189 gini matches the direct formula and stays in [0, 1)") {
+    val bals = spark.read.parquet(s"$sf0001/customer.parquet")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = Queries.giniBySegment(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    bals.groupBy(_._1).foreach { case (seg, g) =>
+      val xs = g.map(_._2).sorted
+      val n = xs.length.toDouble
+      val expected =
+        2.0 * xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum /
+          (n * xs.sum) - (n + 1) / n
+      assert(math.abs(got(seg) - expected) < 1e-5, s"$seg gini")
+      assert(got(seg) >= 0.0 && got(seg) < 1.0, s"$seg gini out of range")
+    }
+  }
+
+  test("q190 ACF values are valid correlations and match a direct recompute") {
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    val rows = Queries.dailyAcf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tp, lag, acf) = (r.getString(0), r.getInt(1), r.getDouble(3))
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, s"$tp lag $lag acf $acf")
+      // NB: .toSeq BEFORE collect — collect on a Map producing pairs
+      // rebuilds a Map and silently dedups pairs by their first element
+      val pairs = daily.toSeq.collect {
+        case ((t, d), x) if t == tp && daily.contains((t, d - lag)) =>
+          (x.toDouble, daily((t, d - lag)).toDouble)
+      }
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val expected = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(acf - expected) < 1e-5, s"$tp lag $lag")
+    }
+  }
+
+  test("q191 CUSUM peak matches a sequential scan and tie-breaks earliest") {
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    Queries.cusumChangepoint(spark, sf0001).collect().foreach { r =>
+      val (tp, nDays, cpDay, maxAbs) =
+        (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+      val series = daily.filter(_._1 == tp).sortBy(_._2)
+      assert(series.length.toLong == nDays)
+      val mean = series.map(_._3).sum.toDouble / series.length
+      var s = 0.0
+      var best = (0.0, Int.MaxValue)
+      series.foreach { case (_, d, c) =>
+        s += c - mean
+        if (math.abs(s) > best._1 + 1e-9) best = (math.abs(s), d)
+      }
+      assert(math.abs(maxAbs - best._1) < 1e-4, s"$tp max |S|")
+      assert(cpDay == best._2, s"$tp cp_day")
+    }
+  }
+
+  test("q192 assortativity is a valid correlation and deterministic") {
+    val a = Queries.degreeAssortativity(spark, sf0001).collect().head
+    val b = Queries.degreeAssortativity(spark, sf0001).collect().head
+    assert(a == b, "non-deterministic result")
+    val r = a.getDouble(1)
+    assert(r >= -1.0 && r <= 1.0, s"assortativity $r out of range")
+    assert(a.getLong(0) > 0)
+  }
+
+  test("q193 per-dimension profile is internally consistent") {
+    val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val rows = Queries.embeddingProfile(spark, sf0001).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVecs)
+      val (mean, std, vmin, vmax) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(vmin <= mean + 1e-4 && mean <= vmax + 1e-4)
+      assert(std >= 0.0)
+    }
+  }
+
+  test("q194 top trigram matches a brute-force recount") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = ev.groupBy(_._1).values.flatMap { g =>
+      val seq = g.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+    }.toSeq.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val top = Queries.pathTrigrams(spark, sf0001).collect()
+    assert(top.length <= 20 && top.nonEmpty)
+    val got = top.head
+    val gotKey = (got.getString(0), got.getString(1), got.getString(2))
+    assert(counts(gotKey) == got.getLong(3), "top-1 count mismatch")
+    assert(counts.values.max == got.getLong(3), "not the true max")
+    // ranking is non-increasing
+    assert(top.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q195 finds zero orphans on the clean star schema, with true child counts") {
+    val rows = Queries.refIntegrity(spark, sf0001).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, s"${r.getString(0)} n_null")
+      assert(r.getLong(3) == 0L, s"${r.getString(0)} n_orphan")
+      assert(r.getDouble(4) == 0.0)
+    }
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(rows.find(_.getString(0) == "lineitem.orders").get.getLong(1) == li)
+  }
+}
