@@ -3595,4 +3595,146 @@ object Queries {
         t(spark, dir, "nation"), "n_nationkey")
     ).reduce(_ unionAll _).orderBy(col("fk"))
   }
+
+  /** One-way ANOVA of daily counts by day-of-week per event type: how
+    * much of the daily variance the weekday explains (η² = SS_between /
+    * SS_total) plus the F statistic — the significance layer on top of
+    * q187's descriptive seasonality index. Every sum is an exact LONG
+    * partial (counts are integers), so the shuffled moments cannot
+    * drift; the only float math is the ≤7-term between-groups fold and
+    * the final ratios.
+    */
+  def dowAnova(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", dayofweek(col("day")))
+    val perDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("c")).as("sd"))
+    val perType = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    val agg = perDow.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("sd") * col("sd") / col("nd")).as("between_raw"))
+      .join(broadcast(perType), "event_type")
+    val grand = col("s") * col("s") / col("n")
+    val ssBetween = col("between_raw") - grand
+    val ssTotal = col("ss") - grand
+    agg.select(col("event_type"), col("n").as("n_days"), col("k").as("n_dows"),
+        round(ssBetween / ssTotal, 6).as("eta_sq"),
+        round((ssBetween / (col("k") - 1)) /
+          ((ssTotal - ssBetween) / (col("n") - col("k"))), 6).as("f_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme): base-31 rolling
+    * hashes of 5-char grams, one fingerprint per window of 4 consecutive
+    * gram hashes (its minimum), deduplicated per document — guaranteed
+    * to catch any shared substring of length ≥ k + w − 1 = 8 while
+    * storing ~1/w of the gram hashes. The selection is entirely
+    * scan-local (the q175 bounded-accumulator fold over HOFs); only the
+    * winnowed fingerprints cross the shuffle for the corpus rollup
+    * (total / distinct / shared-across-docs / docs-per-fingerprint).
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    NativeTextExpressions.register(spark)
+    winnowRollup(perDocFps(spark, dir,
+      d => d.select(col("doc_id"), expr("winnow_hashes(text, 5, 4)").as("fps"))))
+  }
+
+  /** The HOF formulation of [[winnowFingerprints]]'s selection — kept as
+    * the parity oracle for the native `winnow_hashes` expression (the
+    * spec asserts identical fingerprint sets per document at sf0.001).
+    * ~10× slower than the native pass: every gram hash and window min is
+    * an interpreted lambda evaluation. The let-binding via a 1-element
+    * transform is load-bearing: the window lambda references the lambda
+    * VARIABLE h, which Catalyst cannot inline — without it,
+    * CollapseProject substitutes the O(len·k) hash build into every
+    * window's slice and the plan goes O(len²·k) per document (observed:
+    * sf0.001 ran minutes instead of milliseconds).
+    */
+  private[graft] def winnowFpsHof(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = 4
+    val prepared = t(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        filter(split(col("text"), ""), c => length(c) > 0).as("chars"))
+    val gramHash = (i: org.apache.spark.sql.Column) => aggregate(
+      slice(col("chars"), i - (k - 1), lit(k)),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % lit(1000000007L))
+    val hashes = transform(
+      filter(sequence(lit(k), greatest(col("len"), lit(k))), i => i <= col("len")),
+      i => gramHash(i))
+    prepared
+      .filter(col("len") >= k + w - 1)
+      .select(col("doc_id"),
+        element_at(transform(array(hashes), h =>
+          array_distinct(transform(
+            sequence(lit(1), col("len") - (k + w - 2)),
+            j => array_min(slice(h, j, lit(w)))))), 1).as("fps"))
+  }
+
+  private def perDocFps(spark: SparkSession, dir: String,
+                        build: DataFrame => DataFrame): DataFrame =
+    build(t(spark, dir, "documents"))
+      .filter(size(col("fps")) > 0)
+
+  private def winnowRollup(wins: DataFrame): DataFrame =
+    wins.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .agg(count(lit(1)).as("distinct_fps"),
+        sum(col("nd")).as("total_fps"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_fps"),
+        round(avg(col("nd")), 4).as("avg_docs_per_fp"))
+
+  /** Spearman rank correlation between the first 8 embedding dimensions
+    * (28 pairs): exact ranks via one row_number window PER DIMENSION
+    * (dims are independent partitions — scan-parallel), then Pearson
+    * over the integer ranks from exact LONG sums, so nothing drifts.
+    * Monotone dependence that q155's Pearson misses shows up here; at
+    * 100 TB the exact per-dim rank sort is the irreducible cost, and
+    * the approximate path is ranking against q123's equi-depth edges.
+    */
+  def spearmanPairs(spark: SparkSession, dir: String): DataFrame = {
+    val coords = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("dim") < 8)
+    val ranked = coords.withColumn("r",
+      row_number().over(Window.partitionBy(col("dim"))
+        .orderBy(col("v"), col("vec_id"))).cast("long"))
+    val a = ranked.select(col("vec_id"), col("dim").as("di"), col("r").as("ri"))
+    val b = ranked.select(col("vec_id"), col("dim").as("dj"), col("r").as("rj"))
+    a.join(b, Seq("vec_id")).filter(col("di") < col("dj"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ri")).as("sx"), sum(col("rj")).as("sy"),
+        sum(col("ri") * col("rj")).as("sxy"),
+        sum(col("ri") * col("ri")).as("sxx"),
+        sum(col("rj") * col("rj")).as("syy"))
+      .select(col("di"), col("dj"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("spearman"))
+      .orderBy(col("di"), col("dj"))
+  }
+
+  /** HITS hubs & authorities over the q132 user-transition graph
+    * ([[graft.operators.Graph.hits]], 3 iterations): top-20 users by
+    * authority with full tie-break. The oracle replays the identical
+    * sequential update (auth ← Eᵀh, normalize; hub ← E·auth, normalize)
+    * unrolled in SQL — the q132 PageRank validation pattern.
+    */
+  def hitsRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val edges = t(spark, dir, "events")
+      .select(col("user_id").as("src"), lead(col("user_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    graft.operators.Graph.hits(edges, iters = 3)
+      .select(col("node").as("user_id"),
+        round(col("hub"), 8).as("hub"), round(col("auth"), 8).as("auth"))
+      .orderBy(col("user_id"))
+  }
 }

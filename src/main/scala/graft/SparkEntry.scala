@@ -354,7 +354,15 @@ object SparkEntry {
     // top event-type trigrams over per-user clickstreams
     "q194_path_trigrams"     -> Queries.pathTrigrams _,
     // star-schema FK orphan audit (one anti-join per edge)
-    "q195_ref_integrity"     -> Queries.refIntegrity _
+    "q195_ref_integrity"     -> Queries.refIntegrity _,
+    // day-of-week ANOVA: eta-squared + F per event type
+    "q196_dow_anova"         -> Queries.dowAnova _,
+    // winnowing (MOSS) fingerprint selection + corpus rollup
+    "q197_winnowing"         -> Queries.winnowFingerprints _,
+    // Spearman rank correlation between embedding dimensions
+    "q198_spearman"          -> Queries.spearmanPairs _,
+    // HITS hubs/authorities over the user-transition graph
+    "q199_hits"              -> Queries.hitsRank _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -434,6 +442,48 @@ object SparkEntry {
     * bit-identical literals ((1 - 0.85) in DuckDB would be DECIMAL 0.15
     * exactly, not the IEEE 0.15000000000000002 the Scala side folds in).
     */
+  /** Unrolled DuckDB replay of [[graft.operators.Graph.hits]]: the
+    * classic sequential update per iteration (auth ← Eᵀ·hub,
+    * L1-normalize, then hub ← E·auth, L1-normalize), starting from
+    * all-ones, over the q132 edge list. Mirrors pageRankOracleSql's
+    * structure; round(…, 8) absorbs sum-order ulps on both sides.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val head =
+      """WITH edges AS MATERIALIZED (
+        | SELECT src, dst FROM (
+        |  SELECT user_id AS src,
+        |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+        |  FROM events)
+        | WHERE dst IS NOT NULL AND src <> dst),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |s0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s""",
+        |ar$i AS MATERIALIZED (
+        | SELECT n.node, coalesce(c.a, 0) AS a
+        | FROM nodes n LEFT JOIN (
+        |   SELECT e.dst AS node, sum(s.hub) AS a
+        |   FROM edges e JOIN s$i s ON e.src = s.node GROUP BY 1) c
+        |  ON n.node = c.node),
+        |auth$i AS MATERIALIZED (
+        | SELECT node, a / (SELECT sum(a) FROM ar$i) AS auth FROM ar$i),
+        |hr$i AS MATERIALIZED (
+        | SELECT n.node, coalesce(c.h, 0) AS h
+        | FROM nodes n LEFT JOIN (
+        |   SELECT e.src AS node, sum(x.auth) AS h
+        |   FROM edges e JOIN auth$i x ON e.dst = x.node GROUP BY 1) c
+        |  ON n.node = c.node),
+        |s${i + 1} AS MATERIALIZED (
+        | SELECT h.node, h.h / (SELECT sum(h) FROM hr$i) AS hub, x.auth
+        | FROM hr$i h JOIN auth$i x ON h.node = x.node)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+        |SELECT node AS user_id, round(hub, 8) AS hub, round(auth, 8) AS auth
+        |FROM s$iters ORDER BY node""".stripMargin
+  }
+
   private def pageRankOracleSql(iters: Int, damping: Double = 0.85): String = {
     val head =
       """WITH edges AS MATERIALIZED (
@@ -2875,6 +2925,92 @@ object SparkEntry {
         |  AS BIGINT) AS n_orphan,
         | round(sum(CASE WHEN k IS NOT NULL AND hits = 0 THEN 1 ELSE 0 END)
         |  / CAST(count(*) AS DOUBLE), 6) AS orphan_rate
-        |FROM edges GROUP BY fk ORDER BY fk""".stripMargin
+        |FROM edges GROUP BY fk ORDER BY fk""".stripMargin,
+    // Moments are exact BIGINT sums; DuckDB dow convention mapped (+1).
+    "q196_dow_anova" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type, dayofweek(day) + 1 AS dow, c FROM daily),
+        |perdow AS (
+        | SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(c) AS BIGINT) AS sd
+        | FROM dd GROUP BY 1, 2),
+        |pertype AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+        | FROM dd GROUP BY 1),
+        |agg AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |  sum(CAST(sd * sd AS DOUBLE) / nd) AS between_raw
+        | FROM perdow GROUP BY 1)
+        |SELECT a.event_type, t.n AS n_days, a.k AS n_dows,
+        | round((a.between_raw - CAST(t.s * t.s AS DOUBLE) / t.n) /
+        |  (t.ss - CAST(t.s * t.s AS DOUBLE) / t.n), 6) AS eta_sq,
+        | round(((a.between_raw - CAST(t.s * t.s AS DOUBLE) / t.n) / (a.k - 1)) /
+        |  (((t.ss - CAST(t.s * t.s AS DOUBLE) / t.n) -
+        |    (a.between_raw - CAST(t.s * t.s AS DOUBLE) / t.n)) / (t.n - a.k)),
+        |  6) AS f_stat
+        |FROM agg a JOIN pertype t USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
+    // Replays the q175 base-31 fold per 5-gram, then window-of-4 minima;
+    // list_reduce's first-element seed equals the 0-seeded fold.
+    "q197_winnowing" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  list_transform(
+        |   list_filter(generate_series(5, greatest(n, 5)), i -> i <= n),
+        |   i -> list_reduce(
+        |     list_transform(
+        |      list_filter(string_split_regex(substr(text,
+        |        CAST(i - 4 AS INTEGER), 5), ''), c -> len(c) > 0),
+        |      c -> CAST(unicode(c) AS BIGINT)),
+        |     (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        | FROM d),
+        |wins AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(hs) - 3),
+        |    j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+        | FROM h WHERE len(hs) >= 4),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        |byfp AS (SELECT fp, CAST(count(*) AS BIGINT) AS nd
+        |         FROM fp GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS distinct_fps,
+        | CAST(sum(nd) AS BIGINT) AS total_fps,
+        | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS shared_fps,
+        | round(avg(nd), 4) AS avg_docs_per_fp
+        |FROM byfp""".stripMargin,
+    // Ranks are integers (row_number with a vec_id tie-break), so the
+    // Pearson-on-ranks sums are exact in both engines.
+    "q198_spearman" ->
+      """WITH coords AS (
+        | SELECT vec_id, unnest(embedding) AS v,
+        |  unnest(generate_series(0, len(embedding) - 1)) AS dim
+        | FROM embeddings),
+        |c8 AS (SELECT vec_id, CAST(dim AS INT) AS dim, v
+        |       FROM coords WHERE dim < 8),
+        |ranked AS (
+        | SELECT vec_id, dim,
+        |  CAST(row_number() OVER (PARTITION BY dim ORDER BY v, vec_id)
+        |   AS BIGINT) AS r
+        | FROM c8),
+        |p AS (
+        | SELECT a.dim AS di, b.dim AS dj, a.r AS ri, b.r AS rj
+        | FROM ranked a JOIN ranked b
+        |  ON a.vec_id = b.vec_id AND a.dim < b.dim),
+        |s AS (
+        | SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+        |  sum(ri) AS sx, sum(rj) AS sy, sum(ri * rj) AS sxy,
+        |  sum(ri * ri) AS sxx, sum(rj * rj) AS syy
+        | FROM p GROUP BY 1, 2)
+        |SELECT di, dj, n,
+        | round((n * sxy - sx * sy) /
+        |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman
+        |FROM s ORDER BY di, dj""".stripMargin,
+    "q199_hits" -> hitsOracleSql(3)
   )
 }

@@ -57,6 +57,61 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme) in ONE fused pass: base-31
+    * rolling hashes of the character `k`-grams (the q175/q197 portable
+    * fold — (acc·31 + codepoint) mod 1e9+7, replayable in any engine),
+    * then the minimum of every window of `w` consecutive gram hashes,
+    * deduplicated and sorted. Bit-identical to the HOF formulation
+    * (filter/transform/slice/array_min — parity-spec'd) but without the
+    * interpreted per-element lambda evaluation: the HOF form costs ~10×
+    * (5.3 s vs 0.5 s for its family at sf0.01) because every gram hash
+    * and window min is an interpreted expression-tree walk.
+    */
+  case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_hashes"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"winnow_hashes expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString
+        .codePoints().toArray
+      val n = cps.length
+      if (n < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
+      val nh = n - k + 1
+      val hashes = new Array[Long](nh)
+      var i = 0
+      while (i < nh) {
+        var h = 0L
+        var j = 0
+        while (j < k) { h = (h * 31 + cps(i + j)) % 1000000007L; j += 1 }
+        hashes(i) = h
+        i += 1
+      }
+      val set = new java.util.HashSet[java.lang.Long](math.max(nh / w, 16))
+      var s = 0
+      while (s <= nh - w) {
+        var m = hashes(s)
+        var j = 1
+        while (j < w) { if (hashes(s + j) < m) m = hashes(s + j); j += 1 }
+        set.add(m)
+        s += 1
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator()
+      var p = 0
+      while (it.hasNext) { arr(p) = it.next(); p += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** MinHash signature from a shingle-hash array: lane i = min over the set
     * of XXH64(h, seed=i). Min over a multiset equals min over the set, so
     * no dedup is needed here.
@@ -577,7 +632,8 @@ object NativeTextExpressions {
     "deflate_len" -> (c => DeflateLen(c.head, litInt(c(1), "level"))),
     "canon_text" -> (c => CanonText(c.head)),
     "sorted_dot" -> (c => SortedDot(c)),
-    "bloom_might_contain" -> (c => BloomMightContain(c.head, c(1))))
+    "bloom_might_contain" -> (c => BloomMightContain(c.head, c(1))),
+    "winnow_hashes" -> (c => WinnowHashes(c.head, litInt(c(1), "k"), litInt(c(2), "w"))))
 
   /** Register every native function on the session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -64,6 +64,61 @@ object Graph {
     out
   }
 
+  /** K iterations of HITS (hubs & authorities) over `edges(src, dst)`
+    * — the bipartite-reinforcement companion to [[pageRank]]: a good
+    * hub points at good authorities and vice versa (link-spam triage,
+    * hub-page discovery for crawl seeding). Classic sequential update
+    * per iteration: auth ← Eᵀ·hub, L1-normalize, then hub ← E·auth,
+    * L1-normalize.
+    *
+    * Scale posture mirrors pageRank exactly: two shuffles per
+    * iteration (join on src for the auth sum, on dst for the hub sum),
+    * multi-edges act as weights, scores localCheckpoint each round with
+    * [[Checkpoints.release]] on the previous generation, and the only
+    * driver values are the two L1 norms per round (single aggregates).
+    * Nodes with no in-edges carry auth 0 (resp. hub 0 for no
+    * out-edges) — kept as rows so the output covers every node.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var scores = nodes
+      .select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val authRaw = e.join(scores.select(col("node"), col("hub")),
+          e("src") === col("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("a"))
+      val withAuth = nodes.join(authRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+        .localCheckpoint()
+      val an = withAuth.agg(sum(col("a"))).first().getDouble(0)
+      val normAuth = withAuth.select(col("node"), (col("a") / an).as("auth"))
+      val hubRaw = e.join(normAuth.select(col("node"), col("auth")),
+          e("dst") === col("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("h"))
+      val withHub = nodes.join(hubRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+        .localCheckpoint()
+      val hn = withHub.agg(sum(col("h"))).first().getDouble(0)
+      val next = withHub.join(withAuth, Seq("node"))
+        .select(col("node"), (col("h") / hn).as("hub"),
+          (col("a") / an).as("auth"))
+        .localCheckpoint()
+      Checkpoints.release(scores)
+      Checkpoints.release(withAuth)
+      Checkpoints.release(withHub)
+      scores = next
+    }
+    val out = Dedup.stage(scores, "hits")
+    Checkpoints.release(scores)
+    Checkpoints.release(nodes)
+    out
+  }
+
   /** Bounded multi-source BFS over a directed edge list `edges(src,
     * dst)`: the minimal hop count from any node of `sources(node)` to
     * every node reachable within `maxHops` (sources themselves at hop

@@ -116,4 +116,81 @@ object LayoutMaintenance {
                       groupCol: String): DataFrame =
     graft.operators.Sketches.hllMergeByGroup(
       spark.read.parquet(statsPath), groupCol)
+
+  /** Streaming HEAVY-HITTER maintenance — the deterministic-bounds
+    * sibling of [[hllMaintainedSink]], maintaining the q177
+    * SpaceSaving-style summaries live: every micro-batch keeps only its
+    * top-`k` keys by count plus ONE `dropped_max` scalar row (key NULL,
+    * the largest truncated count), appended to a stats store that stays
+    * ≤ |batches|·(k+1) rows no matter how much data streamed through.
+    * [[mergedTopk]] reconstructs, for every surviving key, a LOWER bound
+    * (the kept counts, an undercount only where a batch truncated the
+    * key) and an UPPER bound (lower + Σ dropped_max over the batches
+    * where the key is absent) — so any key whose true global count
+    * exceeds Σ dropped_max is guaranteed present, and the bounds are
+    * exact arithmetic, replayable by any engine. The per-batch sketch
+    * rows double as the commit marker (single write per batch — replays
+    * skip on batch_id, nothing can half-land).
+    */
+  def topkMaintainedSink(stream: DataFrame, keyCol: String, k: Int,
+                         statsPath: String, checkpointDir: String) =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        topkProcessBatch(batch, batchId, keyCol, k, statsPath)
+      }
+
+  private[graft] def topkProcessBatch(batch: DataFrame, batchId: Long,
+                                      keyCol: String, k: Int,
+                                      statsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val already =
+      try !spark.read.parquet(statsPath)
+        .filter(col("batch_id") === batchId).isEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!already) {
+      val counts = batch
+        .groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      // consumed three times (top-k + both anti-join sides); cache so
+      // the batch isn't re-aggregated per consumer. The top-k cut is a
+      // TakeOrdered (distributed partial top-k per partition), NEVER a
+      // global row_number window — the count table is vocabulary-sized.
+      counts.persist()
+      try {
+        val kept = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+        val dropped = counts.join(kept.select(col("key")), Seq("key"), "left_anti")
+          .agg(coalesce(max(col("cnt")), lit(0L)).as("cnt"))
+          .select(lit(null).cast("string").as("key"), col("cnt"))
+        kept.unionAll(dropped)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(statsPath)
+      } finally counts.unpersist()
+    }
+  }
+
+  /** Reduce the per-batch top-k store to (key, lower_bound, upper_bound,
+    * n_batches_present) — the q177 merge law over the streamed store.
+    */
+  def mergedTopk(spark: SparkSession, statsPath: String): DataFrame = {
+    val stats = spark.read.parquet(statsPath)
+    val kept = stats.filter(col("key").isNotNull)
+    val dropped = stats.filter(col("key").isNull)
+      .select(col("batch_id"), col("cnt").as("dropped_max"))
+    val totalDropped = dropped
+      .agg(coalesce(sum(col("dropped_max")), lit(0L)).as("total_dropped"))
+    kept
+      .join(broadcast(dropped), Seq("batch_id"), "left")
+      .na.fill(0L, Seq("dropped_max"))
+      .groupBy(col("key"))
+      .agg(sum(col("cnt")).as("lower_bound"),
+        count(lit(1)).as("n_batches_present"),
+        sum(col("dropped_max")).as("present_dropped"))
+      .crossJoin(broadcast(totalDropped))
+      .select(col("key"), col("lower_bound"),
+        (col("lower_bound") + col("total_dropped") - col("present_dropped"))
+          .as("upper_bound"),
+        col("n_batches_present"))
+  }
 }

@@ -141,6 +141,99 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("q196 ANOVA eta-squared matches a direct recompute and is a valid fraction") {
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", dayofweek(col("day")))
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(2)))
+    val got = Queries.dowAnova(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    daily.groupBy(_._1).foreach { case (tp, rows) =>
+      val n = rows.length.toDouble
+      val s = rows.map(_._3).sum.toDouble
+      val ss = rows.map(r => r._3.toDouble * r._3).sum
+      val between = rows.groupBy(_._2).values.map { g =>
+        val sd = g.map(_._3).sum.toDouble
+        sd * sd / g.length
+      }.sum - s * s / n
+      val total = ss - s * s / n
+      val (eta, f) = got(tp)
+      assert(math.abs(eta - between / total) < 1e-5, s"$tp eta_sq")
+      assert(eta >= 0.0 && eta <= 1.0, s"$tp eta_sq range")
+      assert(f >= 0.0, s"$tp f_stat")
+    }
+  }
+
+  test("q197 winnowing summary is internally consistent") {
+    val r = Queries.winnowFingerprints(spark, sf0001).collect().head
+    val (distinct, total, shared, avg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(distinct > 0 && total >= distinct, "fingerprints missing")
+    assert(shared <= distinct, "shared exceeds distinct")
+    assert(math.abs(avg - total.toDouble / distinct) < 5e-4, "avg mismatch")
+    // winnowing keeps ~1/w of gram hashes per doc: far fewer positions
+    // than total characters
+    val chars = spark.read.parquet(s"$sf0001/documents.parquet")
+      .agg(sum(length(col("text")))).first().getLong(0)
+    assert(total < chars / 2, s"winnowing kept too much: $total of $chars")
+  }
+
+  test("q197 native winnow_hashes matches the HOF formulation per document") {
+    graft.functions.NativeTextExpressions.register(spark)
+    val native = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), expr("winnow_hashes(text, 5, 4)").as("fps"))
+      .filter(size(col("fps")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val hof = Queries.winnowFpsHof(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(native.keySet == hof.keySet, "document coverage differs")
+    native.foreach { case (id, fps) =>
+      assert(fps == hof(id), s"doc $id fingerprint set differs")
+    }
+  }
+
+  test("q198 Spearman pairs are valid and match a brute-force rank correlation") {
+    val rows = Queries.spearmanPairs(spark, sf0001).collect()
+    assert(rows.length == 28)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    // brute-force dims (0, 1)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def ranks(d: Int): Map[Long, Long] =
+      vecs.map(v => (v._1, v._2(d))).sortBy(p => (p._2, p._1))
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }.toMap
+    val (r0, r1) = (ranks(0), ranks(1))
+    val pairs = vecs.map(v => (r0(v._1).toDouble, r1(v._1).toDouble))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expected = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 1).get.getDouble(3)
+    assert(math.abs(got - expected) < 1e-5, s"dim(0,1) spearman")
+  }
+
+  test("q199 HITS scores are L1-normalized, non-negative, and cover every node") {
+    val rows = Queries.hitsRank(spark, sf0001).collect()
+    val hubs = rows.map(_.getDouble(1))
+    val auths = rows.map(_.getDouble(2))
+    assert(hubs.forall(_ >= 0.0) && auths.forall(_ >= 0.0))
+    assert(math.abs(hubs.sum - 1.0) < 1e-4, s"hub mass ${hubs.sum}")
+    assert(math.abs(auths.sum - 1.0) < 1e-4, s"auth mass ${auths.sum}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val nNodes = Tables(spark, sf0001, "events")
+      .select(col("user_id").as("src"), lead(col("user_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(explode(array(col("src"), col("dst"))).as("n"))
+      .distinct().count()
+    assert(rows.length.toLong == nNodes, "must cover every node")
+  }
+
   test("q195 finds zero orphans on the clean star schema, with true child counts") {
     val rows = Queries.refIntegrity(spark, sf0001).collect()
     assert(rows.length == 7)

@@ -108,4 +108,48 @@ class LayoutMaintenanceSpec extends SparkSpec {
       batches.head.toDF("g", "u"), 0L, "g", "u", stats)
     assert(spark.read.parquet(stats).count() == rows, "replay double-appended sketches")
   }
+
+  test("streaming top-k maintenance: bounds contain truth, heavy keys surface, replays skip") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val (stats, ckpt) = (tmp("topk-stats"), tmp("topk-ckpt"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stats))
+    val q = LayoutMaintenance.topkMaintainedSink(
+      in.toDF().toDF("tok"), "tok", k = 5, stats, ckpt).start()
+    // heavy keys shift across batches; the long tail forces truncation
+    val batches = Seq(
+      Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+        (0 until 40).map(i => s"tail-$i"),
+      Seq.fill(40)("beta") ++ Seq.fill(35)("gamma") ++
+        (0 until 40).map(i => s"tail-${i % 7}"),
+      Seq.fill(60)("alpha") ++ Seq.fill(10)("gamma") ++
+        (0 until 30).map(i => s"tail-${i % 5}"))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val truth = batches.flatten.groupBy(identity)
+      .map { case (k2, v) => (k2, v.size.toLong) }
+    val merged = LayoutMaintenance.mergedTopk(spark, stats).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // store stays summary-sized: <= |batches| * (k + 1) rows
+    assert(spark.read.parquet(stats).count() <= batches.length * 6L)
+    // every surviving key's true count sits inside [lower, upper]
+    merged.foreach { case (key, (lo, hi)) =>
+      assert(lo <= truth(key) && truth(key) <= hi,
+        s"$key: true ${truth(key)} outside [$lo, $hi]")
+    }
+    // the SpaceSaving guarantee: any key with true count > sum of
+    // dropped_max over all batches MUST be present
+    val totalDropped = spark.read.parquet(stats)
+      .filter(col("key").isNull).agg(sum(col("cnt"))).first().getLong(0)
+    truth.filter(_._2 > totalDropped).keys.foreach { key =>
+      assert(merged.contains(key), s"guaranteed key $key missing")
+    }
+    assert(Seq("alpha", "beta", "gamma").forall(merged.contains))
+    // replay of a committed batch is a no-op
+    val rows = spark.read.parquet(stats).count()
+    LayoutMaintenance.topkProcessBatch(batches.head.toDF("tok"), 0L, "tok", 5, stats)
+    assert(spark.read.parquet(stats).count() == rows, "replay double-appended")
+  }
 }
