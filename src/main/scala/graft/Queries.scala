@@ -2960,25 +2960,16 @@ object Queries {
     * corpus-level distinct count, never chunk text.
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val w = 8
-    val mask = 64
-    // chars/len staged as row attributes so the boundary lambda binds
-    // them once per row — inlining the split would recompute it per
-    // position (O(len²) per document)
-    val prepared = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
-        filter(split(col("text"), ""), c => length(c) > 0).as("chars"))
-    // h(i): base-31 fold of chars [i-w+1 .. i] (1-based), kept < 2^30 so
-    // ANSI arithmetic can't overflow (the q35 accumulator bound)
-    val winHash = (i: org.apache.spark.sql.Column) => aggregate(
-      slice(col("chars"), i - (w - 1), lit(w)),
-      lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % lit(1000000007L))
-    val cuts = filter(sequence(lit(w), greatest(col("len"), lit(w))),
-      i => i <= col("len") && winHash(i) % mask === 0)
-    val withBounds = prepared
+    NativeTextExpressions.register(spark)
+    // boundary detection is the native fused pass (cdc_cuts — the q197
+    // lesson applied here after the HOF fold went 5.9× superlinear on
+    // the 10× SF step); chunk slicing/hashing stays declarative so the
+    // oracle replay is unchanged
+    val withBounds = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .select(col("doc_id"), col("text"),
-        array_sort(array_union(cuts, array(col("len")))).as("bounds"))
+        array_sort(array_union(expr("cdc_cuts(text, 8, 64)"),
+          array(col("len")))).as("bounds"))
       .withColumn("prevs",
         concat(array(lit(0)),
           slice(col("bounds"), lit(1), size(col("bounds")) - 1)))
@@ -2991,6 +2982,29 @@ object Queries {
       .agg(count(lit(1)).as("total_chunks"),
         countDistinct(md5(col("chunk"))).as("distinct_chunks"),
         round(avg(length(col("chunk"))), 4).as("avg_chunk_len"))
+  }
+
+  /** HOF formulation of the q175 boundary rule — the parity oracle for
+    * the native `cdc_cuts` expression (spec: identical cut positions per
+    * document). chars/len staged as row attributes so the boundary
+    * lambda binds them once per row — inlining the split would
+    * recompute it per position (O(len²) per document).
+    */
+  private[graft] def cdcCutsHof(spark: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val mask = 64
+    val prepared = t(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        filter(split(col("text"), ""), c => length(c) > 0).as("chars"))
+    // h(i): base-31 fold of chars [i-w+1 .. i] (1-based), kept < 2^30 so
+    // ANSI arithmetic can't overflow (the q35 accumulator bound)
+    val winHash = (i: org.apache.spark.sql.Column) => aggregate(
+      slice(col("chars"), i - (w - 1), lit(w)),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % lit(1000000007L))
+    val cuts = filter(sequence(lit(w), greatest(col("len"), lit(w))),
+      i => i <= col("len") && winHash(i) % mask === 0)
+    prepared.select(col("doc_id"), cuts.as("cuts"))
   }
 
   /** Zipf-law fit over the term rank-frequency curve: least-squares
@@ -3719,6 +3733,30 @@ object Queries {
             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
           .as("spearman"))
       .orderBy(col("di"), col("dj"))
+  }
+
+  /** The 100 TB path for q169's trailing 7-day distinct users: one HLL
+    * sketch row per day ([[graft.operators.Sketches.hllByGroup]]), each
+    * sprayed to the ≤7 window ends it falls within, then a register
+    * union per end day — the shuffle carries |days|·7 sketch rows
+    * (~2^lgK bytes each), NEVER the event rows q169's exact fan-out
+    * re-shuffles. Rows-only by design (HLL estimate); the spec gates it
+    * within the sketch envelope against q169's exact answer on the
+    * same days.
+    */
+  def slidingDistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daySketches = graft.operators.Sketches.hllByGroup(ev, "day", "user_id")
+    val days = ev.select(col("day").as("d")).distinct()
+    val sprayed = daySketches
+      .withColumn("d", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(days), "d")
+    graft.operators.Sketches.hllMergeByGroup(
+        sprayed.select(col("d"), col("hll"), col("n_rows")), "d")
+      .select(col("d"), col("distinct_est").as("users_7d_est"),
+        col("n_rows").as("events_7d"))
+      .orderBy(col("d"))
   }
 
   /** HITS hubs & authorities over the q132 user-transition graph

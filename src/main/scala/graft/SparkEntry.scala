@@ -362,7 +362,10 @@ object SparkEntry {
     // Spearman rank correlation between embedding dimensions
     "q198_spearman"          -> Queries.spearmanPairs _,
     // HITS hubs/authorities over the user-transition graph
-    "q199_hits"              -> Queries.hitsRank _
+    "q199_hits"              -> Queries.hitsRank _,
+    // sketch-path sliding distinct: day HLL rows sprayed to window ends
+    // (rows-only: envelope-gated vs q169's exact answer in spec)
+    "q200_sliding_distinct_sketch" -> Queries.slidingDistinctSketch _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k

@@ -112,6 +112,44 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** Content-defined chunk boundaries in ONE fused pass: 1-based
+    * positions i ∈ [w, len] where the base-31 fold of the trailing
+    * `w`-codepoint window ≡ 0 mod `mask` — the q175 boundary rule with
+    * the identical portable arithmetic ((acc·31 + codepoint) mod 1e9+7),
+    * minus the interpreted per-position lambda walk (the q197 lesson:
+    * ~30× on the same math). Chunk slicing/hashing stays declarative on
+    * top, so the DuckDB oracle replay is unchanged.
+    */
+  case class CdcCuts(child: Expression, w: Int, mask: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "cdc_cuts"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"cdc_cuts expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString
+        .codePoints().toArray
+      val n = cps.length
+      if (n < w) return new GenericArrayData(Array.emptyIntArray)
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = w - 1
+      while (i < n) {
+        var h = 0L
+        var j = i - (w - 1)
+        while (j <= i) { h = (h * 31 + cps(j)) % 1000000007L; j += 1 }
+        if (h % mask == 0) out += i + 1
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** MinHash signature from a shingle-hash array: lane i = min over the set
     * of XXH64(h, seed=i). Min over a multiset equals min over the set, so
     * no dedup is needed here.
@@ -633,7 +671,8 @@ object NativeTextExpressions {
     "canon_text" -> (c => CanonText(c.head)),
     "sorted_dot" -> (c => SortedDot(c)),
     "bloom_might_contain" -> (c => BloomMightContain(c.head, c(1))),
-    "winnow_hashes" -> (c => WinnowHashes(c.head, litInt(c(1), "k"), litInt(c(2), "w"))))
+    "winnow_hashes" -> (c => WinnowHashes(c.head, litInt(c(1), "k"), litInt(c(2), "w"))),
+    "cdc_cuts" -> (c => CdcCuts(c.head, litInt(c(1), "w"), litInt(c(2), "mask"))))
 
   /** Register every native function on the session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -193,6 +193,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q175 native cdc_cuts matches the HOF boundary rule per document") {
+    graft.functions.NativeTextExpressions.register(spark)
+    val native = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), expr("cdc_cuts(text, 8, 64)").as("cuts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val hof = Queries.cdcCutsHof(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, cuts) =>
+      assert(cuts == hof(id), s"doc $id cut positions differ")
+    }
+  }
+
   test("q198 Spearman pairs are valid and match a brute-force rank correlation") {
     val rows = Queries.spearmanPairs(spark, sf0001).collect()
     assert(rows.length == 28)
@@ -232,6 +245,21 @@ class AnalyticsSpec extends SparkSpec {
       .select(explode(array(col("src"), col("dst"))).as("n"))
       .distinct().count()
     assert(rows.length.toLong == nNodes, "must cover every node")
+  }
+
+  test("q200 sketch sliding distinct tracks the exact q169 answer within the envelope") {
+    val exact = Queries.slidingDistinct(spark, sf0001).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val est = Queries.slidingDistinctSketch(spark, sf0001).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est.keySet == exact.keySet, "day coverage differs from the exact path")
+    est.foreach { case (day, (users, events)) =>
+      val (exUsers, exEvents) = exact(day)
+      assert(events == exEvents, s"$day event totals must be exact")
+      // lgK=12 → ~1.6% rse; 5x is a deterministic envelope (sketches are seeded)
+      assert(math.abs(users - exUsers) <= math.max(exUsers * 0.08, 3.0),
+        s"$day estimate $users vs exact $exUsers outside envelope")
+    }
   }
 
   test("q195 finds zero orphans on the clean star schema, with true child counts") {
