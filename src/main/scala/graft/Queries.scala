@@ -3759,6 +3759,55 @@ object Queries {
       .orderBy(col("d"))
   }
 
+  /** Truncated-string zone maps ([[graft.operators.SkippingIndex]]):
+    * range-cluster `part` on `p_name`, keep 8-char truncated bounds per
+    * shard (the Iceberg lower/upper-bound trick — bytes per shard no
+    * matter how long the keys), and answer a name-range scan through
+    * the pruned path list. The layout is an optimization, never part of
+    * the answer: the oracle replays a plain WHERE over the raw table
+    * and must agree bit-for-bit (the q149 contract). Pruning soundness
+    * (truncation can cost extra reads, never rows) is spec-gated with
+    * adversarial shared-prefix keys.
+    */
+  def stringZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch(spark, "strzm-part")
+    graft.operators.SkippingIndex.writeStringLayout(
+      t(spark, dir, "part"), "p_name", n = 8, path)
+    val manifest = graft.operators.SkippingIndex.stringManifest(
+      spark.read.parquet(path), "p_name", prefixLen = 8)
+    graft.operators.SkippingIndex
+      .scanStringRange(spark, path, manifest, "p_name", "f", "o")
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_name")).as("first_name"),
+        max(col("p_name")).as("last_name"),
+        round(sum(col("p_retailprice")), 2).as("total_price"))
+  }
+
+  /** Per-shard bloom skipping ([[graft.operators.SkippingIndex]]): the
+    * orders layout is clustered by o_orderkey, so the zone map is
+    * VACUOUS for a customer lookup (o_custkey spans the full domain in
+    * every shard) — the bloom manifest answers "which shards might hold
+    * customer 42" from ~1.2 bytes/key of metadata, and the scan reads
+    * only those. Exactness is the contract (bloom prunes, the equality
+    * predicate decides); the oracle replays plain WHERE o_custkey = 42.
+    */
+  def bloomZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch(spark, "bloomzm-orders")
+    val sharded = graft.operators.ZoneMap.withShard(
+      t(spark, dir, "orders"), "o_orderkey", 16)
+    graft.operators.ZoneMap.writeLayout(sharded, path)
+    val layout = spark.read.parquet(path)
+    val bloom = graft.operators.SkippingIndex.bloomManifest(
+      layout, "o_custkey", expectedPerShard = math.max(
+        layout.count() / 16, 64L))
+    graft.operators.SkippingIndex
+      .scanEquals(spark, path, bloom, "o_custkey", 42L)
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+  }
+
   /** HITS hubs & authorities over the q132 user-transition graph
     * ([[graft.operators.Graph.hits]], 3 iterations): top-20 users by
     * authority with full tie-break. The oracle replays the identical

@@ -365,7 +365,11 @@ object SparkEntry {
     "q199_hits"              -> Queries.hitsRank _,
     // sketch-path sliding distinct: day HLL rows sprayed to window ends
     // (rows-only: envelope-gated vs q169's exact answer in spec)
-    "q200_sliding_distinct_sketch" -> Queries.slidingDistinctSketch _
+    "q200_sliding_distinct_sketch" -> Queries.slidingDistinctSketch _,
+    // truncated string bounds: range-clustered layout + pruned name scan
+    "q201_string_zonemap"    -> Queries.stringZoneMap _,
+    // per-shard bloom skipping on a non-clustering column
+    "q202_bloom_zonemap"     -> Queries.bloomZoneMap _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -3014,6 +3018,19 @@ object SparkEntry {
         |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman
         |FROM s ORDER BY di, dj""".stripMargin,
-    "q199_hits" -> hitsOracleSql(3)
+    "q199_hits" -> hitsOracleSql(3),
+    // The layout/pruning must not change the answer (the q149 contract):
+    // the oracle is the plain predicate over the raw table.
+    "q201_string_zonemap" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        | min(p_name) AS first_name, max(p_name) AS last_name,
+        | round(sum(p_retailprice), 2) AS total_price
+        |FROM part WHERE p_name >= 'f' AND p_name <= 'o'""".stripMargin,
+    "q202_bloom_zonemap" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        | min(o_orderkey) AS min_orderkey,
+        | max(o_orderkey) AS max_orderkey,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders WHERE o_custkey = 42""".stripMargin
   )
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Data-skipping indexes beyond [[ZoneMap]]'s long-key min/max: truncated
+  * STRING bounds (the Iceberg/Delta `lower_bound`/`upper_bound` trick)
+  * and per-shard BLOOM filters for equality skipping on columns the
+  * layout is NOT clustered by. Both are mergeable, manifest-sized
+  * statistics: an appended batch updates them from its own rows without
+  * rescanning the layout (the [[ZoneMap.mergeManifests]] contract), and
+  * a scan consults |shards| metadata rows to decide what to read.
+  *
+  * Soundness over tightness, in both: pruning may read a shard it didn't
+  * need (false positive), it must NEVER skip a shard holding a match
+  * (false negative) — spec-gated with adversarial prefix/collision
+  * cases. That asymmetry is what makes the truncation and the bloom
+  * admissible at 100 TB: stats stay bytes-per-shard no matter how wide
+  * the keys or how many rows.
+  */
+object SkippingIndex {
+
+  // ---- truncated string bounds ----------------------------------------
+
+  /** Range-clustered layout on a STRING key: repartitionByRange gives
+    * each output partition a contiguous key range (boundaries from a
+    * reservoir sample — the layout is an optimization, never part of an
+    * answer), `zshard` = the partition id. The string sibling of
+    * [[ZoneMap.withShard]] + [[ZoneMap.writeLayout]].
+    */
+  def writeStringLayout(df: DataFrame, keyCol: String, n: Int,
+                        path: String): Unit = {
+    val sharded = df.repartitionByRange(n, col(keyCol))
+      .withColumn("zshard", spark_partition_id().cast("long"))
+    sharded.write.mode("overwrite").partitionBy("zshard").parquet(path)
+  }
+
+  /** Per-shard TRUNCATED string bounds: `min_prefix` = the first
+    * `prefixLen` chars of the shard minimum (a valid lower bound —
+    * truncation is monotone, prefix(min) ≤ min), `max_prefix` = the
+    * first `prefixLen` chars of the shard maximum. A truncated max is
+    * NOT itself an upper bound (keys sharing the prefix sort above it),
+    * so [[scanStringRange]] compares against `max_prefix + U+FFFF` —
+    * sound for any key whose code points stay below U+FFFF (the BMP;
+    * documented limit of the 16-bit sentinel). Truncation is what keeps
+    * the manifest bytes-per-shard when keys are URLs or document ids
+    * hundreds of chars long. Mergeable: min/max are monotone under
+    * truncation, so min(prefix_a, prefix_b) == prefix(min(a, b)).
+    */
+  def stringManifest(sharded: DataFrame, keyCol: String,
+                     prefixLen: Int = 8): DataFrame =
+    sharded.groupBy(col("zshard"))
+      .agg(substring(min(col(keyCol)), 1, prefixLen).as("min_prefix"),
+        substring(max(col(keyCol)), 1, prefixLen).as("max_prefix"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge two string manifests — the [[ZoneMap.mergeManifests]] law for
+    * truncated bounds (valid because truncation is monotone).
+    */
+  def mergeStringManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("zshard"))
+      .agg(min(col("min_prefix")).as("min_prefix"),
+        max(col("max_prefix")).as("max_prefix"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** Stats-pruned scan for `keyCol BETWEEN lo AND hi` over a
+    * [[writeStringLayout]] directory: skip a shard only when the range
+    * provably misses it — `hi < min_prefix` (every shard key ≥
+    * min_prefix > hi) or `lo > max_prefix + U+FFFF` (every shard key ≤
+    * that ceiling < lo). Survivors re-apply the exact predicate, so
+    * truncation can only cost extra reads, never rows.
+    */
+  def scanStringRange(spark: SparkSession, path: String, manifestDf: DataFrame,
+                      keyCol: String, lo: String, hi: String): DataFrame = {
+    val ceiling = concat(col("max_prefix"), lit("￿"))
+    val surviving = manifestDf
+      .filter(lit(hi) >= col("min_prefix") && lit(lo) <= ceiling)
+      // partition-column type inference reads zshard back as INT
+      .select(col("zshard").cast("long")).collect().map(_.getLong(0)).sorted
+    if (surviving.isEmpty) {
+      spark.read.parquet(path).filter(lit(false))
+    } else {
+      spark.read.option("basePath", path)
+        .parquet(surviving.map(s => s"$path/zshard=$s"): _*)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    }
+  }
+
+  // ---- per-shard bloom filters -----------------------------------------
+
+  private class BloomAgg(expectedItems: Long, fpp: Double)
+    extends Aggregator[java.lang.Long, BloomFilter, Array[Byte]] {
+    override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    override def reduce(b: BloomFilter, v: java.lang.Long): BloomFilter = {
+      if (v != null) b.putLong(v)
+      b
+    }
+    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+      a.mergeInPlace(b)
+      a
+    }
+    override def finish(b: BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out)
+      out.toByteArray
+    }
+    override def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization(classOf[BloomFilter])
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** One serialized bloom filter per shard over `valueCol` — equality
+    * skipping for a column the layout is NOT clustered by (the zone
+    * map's min/max is vacuous there: an uncorrelated column spans the
+    * full domain in every shard). ~1.2 bytes/key at 1% fpp; the
+    * aggregate is combinable (bloom union = bitwise OR), so partials
+    * merge map-side like any sum.
+    */
+  def bloomManifest(sharded: DataFrame, valueCol: String,
+                    expectedPerShard: Long, fpp: Double = 0.01): DataFrame = {
+    val agg = udaf(new BloomAgg(expectedPerShard, fpp))
+    sharded.groupBy(col("zshard"))
+      .agg(agg(col(valueCol).cast("long")).as("bloom"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Equality-pruned scan: probe each shard's bloom ON THE DRIVER
+    * (|shards| deserializations — metadata, never data), read only
+    * shards that might contain `v`, re-apply the exact predicate.
+    * A bloom false positive costs one extra shard read; absence proofs
+    * are exact, so no false negatives (spec-gated).
+    */
+  def scanEquals(spark: SparkSession, path: String, bloomManifestDf: DataFrame,
+                 valueCol: String, v: Long): DataFrame = {
+    val surviving = bloomManifestDf
+      .select(col("zshard").cast("long"), col("bloom")).collect()
+      .filter { r =>
+        BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(v)
+      }
+      .map(_.getLong(0)).sorted
+    if (surviving.isEmpty) {
+      spark.read.parquet(path).filter(lit(false))
+    } else {
+      spark.read.option("basePath", path)
+        .parquet(surviving.map(s => s"$path/zshard=$s"): _*)
+        .filter(col(valueCol) === v)
+    }
+  }
+
+  /** Merge two bloom manifests (per-shard bitwise OR via the engine's
+    * own `mergeInPlace`) — appends update equality-skipping stats from
+    * the batch's own rows, never a layout rescan.
+    */
+  def mergeBloomManifests(a: DataFrame, b: DataFrame): DataFrame = {
+    val mergeAgg = udaf(new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      private def read(bytes: Array[Byte]) =
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      private def write(bf: BloomFilter): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        out.toByteArray
+      }
+      override def zero: Array[Byte] = Array.empty
+      override def reduce(acc: Array[Byte], row: Array[Byte]): Array[Byte] =
+        if (acc.isEmpty) row
+        else if (row.isEmpty) acc
+        else { val m = read(acc); m.mergeInPlace(read(row)); write(m) }
+      override def merge(a0: Array[Byte], b0: Array[Byte]): Array[Byte] =
+        reduce(a0, b0)
+      override def finish(r: Array[Byte]): Array[Byte] = r
+      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    })
+    a.unionByName(b)
+      .groupBy(col("zshard"))
+      .agg(mergeAgg(col("bloom")).as("bloom"), sum(col("n_rows")).as("n_rows"))
+  }
+}
