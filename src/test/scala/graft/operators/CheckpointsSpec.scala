@@ -54,4 +54,16 @@ class CheckpointsSpec extends SparkSpec {
     while (live > base && System.currentTimeMillis < deadline) Thread.sleep(50)
     assert(live == base, s"CC leaked ${live - base} RDDs")
   }
+
+  test("HITS leaves no persistent RDDs behind (3 checkpoints per iteration)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 2L))
+      .toDF("src", "dst")
+    val base = spark.sparkContext.getPersistentRDDs.size
+    Graph.hits(edges, iters = 3).count()
+    val deadline = System.currentTimeMillis + 10000
+    def live = spark.sparkContext.getPersistentRDDs.size
+    while (live > base && System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(live == base, s"HITS leaked ${live - base} checkpoint RDDs")
+  }
 }
