@@ -2457,7 +2457,11 @@ object Queries {
     * max merge exactly (the value rides DECIMAL so sums are associative
     * — a double sum would drift a ulp across merge orders), avg derives
     * at read. The oracle rebuilds from scratch; hash equality IS the
-    * maintenance contract.
+    * maintenance contract. avg_v is derived in exact integer space
+    * (cents*100 div n_rows, then one exact-rounded double divide):
+    * `round(double, 4)` at a `.xxxx5` tie goes opposite ways in Spark
+    * (BigDecimal HALF_UP on shortest repr) vs DuckDB (binary double) —
+    * the r9 red row. No float crosses an engine boundary.
     */
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(
@@ -2470,8 +2474,10 @@ object Queries {
       state(o.filter(col("o_orderkey") % 2 === 0))
         .unionByName(state(o.filter(col("o_orderkey") % 2 === 1))),
       Seq("day"))
-    merged.select(col("day"), col("n_rows"), col("sum_v"), col("min_v"), col("max_v"),
-        round(col("sum_v").cast("double") / col("n_rows"), 4).as("avg_v"))
+    merged
+      .withColumn("cents4", (col("sum_v") * 100).cast("long") * 100)
+      .select(col("day"), col("n_rows"), col("sum_v"), col("min_v"), col("max_v"),
+        (expr("cents4 DIV n_rows").cast("double") / 10000.0).as("avg_v"))
       .orderBy(col("day"))
   }
 

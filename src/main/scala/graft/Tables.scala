@@ -17,13 +17,28 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read nanos as long and convert with exact integer division
-      // (a double roundtrip would lose sub-µs bits at 2024-epoch magnitudes).
+      // events.parquet has shipped with two physical types for `ts`:
+      // TIMESTAMP(NANOS) — which the vectorized reader only accepts as
+      // int64 via nanosAsLong; convert with exact integer division (a
+      // double roundtrip would lose sub-µs bits at 2024-epoch magnitudes)
+      // — and TIMESTAMP(MICROS) isAdjustedToUTC=false, which Spark reads
+      // as TIMESTAMP_NTZ. Normalize both to session-tz TIMESTAMP (the
+      // session pins UTC) so every downstream query sees one type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      normalizeEventTs(raw)
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize an events-shaped frame's `ts` to TIMESTAMP regardless of
+    * which physical parquet type it was read as. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` queries can run
     * (used by the GROUPING SETS query and ad-hoc SQL surface). */

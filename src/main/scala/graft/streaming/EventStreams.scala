@@ -464,17 +464,14 @@ object EventStreams {
       }
 
   /** File-source streaming read of an events-shaped parquet directory —
-    * the nanos-timestamp handling mirrors [[graft.Tables.apply]].
+    * the timestamp normalization mirrors [[graft.Tables.apply]]. The
+    * stream schema is taken from a one-footer batch read so both the
+    * legacy TIMESTAMP(NANOS)-as-long and the current TIMESTAMP(MICROS)
+    * testdata shapes stream correctly.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val schema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(dir))
   }
 }
