@@ -2659,34 +2659,39 @@ object Queries {
       .orderBy(col("user_id"), col("day"))
   }
 
-  /** PMI-scored term co-occurrence — q137's count-only pair mining
-    * upgraded to pointwise mutual information over document-level
-    * co-occurrence: pmi = log₂(n_ab·N / (df_a·df_b)), support ≥ 5,
-    * top-50 by (pmi desc, pair). The association measure collocation
-    * extraction actually ranks by (raw counts just surface stopword
-    * pairs). Postings self-join on doc_id — same inverted-index shape
-    * as q137/q145, vocabulary-sized aggregates ride broadcasts.
+  /** PMI-ranked collocations over ADJACENT token pairs — q137's
+    * count-only pair mining upgraded to pointwise mutual information
+    * on the bigram contingency table: pmi = log₂(c_ab·N_b /
+    * (cL_a·cR_b)), where c_ab counts the adjacent pair, cL/cR are the
+    * left/right positional marginals, and N_b is the total bigram
+    * count; support ≥ 5, top-50 by (pmi desc, pair). Raw counts just
+    * surface stopword pairs — PMI is what collocation extraction
+    * actually ranks by. Bigrams come from the q166 scan-local
+    * arrays_zip of the token array against itself shifted by one, so
+    * the shuffle volume is LINEAR in token count (one row per token
+    * position); the r9 within-document all-pairs self-join (Σ per-doc
+    * vocab² rows) is gone. Marginals are vocabulary-sized broadcasts.
     */
   def pmiTerms(spark: SparkSession, dir: String): DataFrame = {
-    val dt = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .distinct()
-    val nDocs = dt.agg(countDistinct(col("doc_id")).as("nd"))
-    val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val pairs = dt.as("a").join(dt.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
-      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+    val toks = t(spark, dir, "documents")
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val big = toks.select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val nb = big.agg(count(lit(1)).cast("double").as("nb"))
+    val cl = big.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c_l"))
+    val cr = big.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("c_r"))
+    big.groupBy(col("w1").as("tok_a"), col("w2").as("tok_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 5)
-    pairs
-      .join(broadcast(df.withColumnRenamed("tok", "tok_a")
-        .withColumnRenamed("df", "df_a")), "tok_a")
-      .join(broadcast(df.withColumnRenamed("tok", "tok_b")
-        .withColumnRenamed("df", "df_b")), "tok_b")
-      .crossJoin(broadcast(nDocs))
+      .join(broadcast(cl), col("tok_a") === col("w1"))
+      .join(broadcast(cr), col("tok_b") === col("w2"))
+      .crossJoin(broadcast(nb))
       .select(col("tok_a"), col("tok_b"), col("n_pair"),
-        round(log(2.0, col("n_pair").cast("double") * col("nd") /
-          (col("df_a") * col("df_b"))), 6).as("pmi"))
+        round(log(2.0, col("n_pair").cast("double") * col("nb") /
+          (col("c_l") * col("c_r"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(50)
   }

@@ -2294,26 +2294,30 @@ object SparkEntry {
         | END, 4) AS value_filled,
         | CAST(day_value IS NULL AS INT) AS was_gap
         |FROM nb ORDER BY user_id, day""".stripMargin,
+    // Adjacent-pair collocation PMI on the bigram contingency table
+    // (left/right positional marginals), mirroring the Spark side's
+    // q166-shaped shifted-zip bigram derivation.
     "q162_pmi_terms" ->
-      """WITH dt AS (
-        | SELECT DISTINCT doc_id,
-        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |    x -> len(x) > 0)) AS tok
+      """WITH toks AS (
+        | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0) AS s
         | FROM documents),
-        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM dt),
-        |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY 1),
+        |big AS (
+        | SELECT unnest(list_slice(s, 1, len(s)-1)) AS w1,
+        |        unnest(list_slice(s, 2, len(s))) AS w2
+        | FROM toks WHERE len(s) >= 2),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM big),
+        |cl AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c_l FROM big GROUP BY 1),
+        |cr AS (SELECT w2, CAST(count(*) AS DOUBLE) AS c_r FROM big GROUP BY 1),
         |pairs AS (
-        | SELECT a.tok AS tok_a, b.tok AS tok_b,
-        |  CAST(count(*) AS BIGINT) AS n_pair
-        | FROM dt a JOIN dt b
-        |   ON a.doc_id = b.doc_id AND a.tok < b.tok
-        | GROUP BY 1, 2 HAVING count(*) >= 5)
+        | SELECT w1 AS tok_a, w2 AS tok_b, CAST(count(*) AS BIGINT) AS n_pair
+        | FROM big GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT tok_a, tok_b, n_pair,
-        | round(log2(n_pair * nd / (da.df * db.df)), 6) AS pmi
+        | round(log2(n_pair * nb / (c_l * c_r)), 6) AS pmi
         |FROM pairs
-        | JOIN df da ON tok_a = da.tok
-        | JOIN df db ON tok_b = db.tok
-        | CROSS JOIN nd
+        | JOIN cl ON tok_a = cl.w1
+        | JOIN cr ON tok_b = cr.w2
+        | CROSS JOIN nb
         |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin,
     "q163_triangle_count" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

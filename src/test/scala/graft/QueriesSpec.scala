@@ -194,22 +194,29 @@ class QueriesSpec extends SparkSpec {
     assert(bad == 0, s"$bad interpolated values escape the observed range")
   }
 
-  test("q162 PMI rows satisfy the formula and the support floor") {
+  test("q162 PMI rows are adjacent-pair collocations satisfying the formula") {
     import org.apache.spark.sql.functions._
-    import graft.functions.TextFunctions.tokens
     val rows = Queries.pmiTerms(spark, sf0001).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getLong(2) >= 5), "support floor violated")
-    val dt = spark.read.parquet(s"$sf0001/documents.parquet")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
-    val nDocs = dt.select("doc_id").distinct().count().toDouble
-    val df = dt.groupBy("tok").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val top = rows.head
-    val expected = math.log(top.getLong(2) * nDocs /
-      (df(top.getString(0)) * df(top.getString(1)).toDouble)) / math.log(2.0)
-    assert(math.abs(top.getDouble(3) - expected) < 1e-5,
-      s"pmi ${top.getDouble(3)} vs $expected")
+    // driver-side replay: bigrams from the raw text, positional marginals
+    val bigrams = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .flatMap(t => t.init.zip(t.tail))
+    val nb = bigrams.length.toDouble
+    val cAb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cL = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val cR = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length }
+    rows.foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(cAb.getOrElse((a, b), 0) == n,
+        s"($a,$b) n_pair $n != adjacent count ${cAb.getOrElse((a, b), 0)}")
+      val expected = math.log(n * nb / (cL(a).toDouble * cR(b))) / math.log(2.0)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-5,
+        s"pmi ${r.getDouble(3)} vs $expected for ($a,$b)")
+    }
   }
 
   test("q98 CMS estimates are overestimate-only and within eps*N of exact") {
