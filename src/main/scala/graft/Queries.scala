@@ -3808,9 +3808,13 @@ object Queries {
       t(spark, dir, "orders"), "o_orderkey", 16)
     graft.operators.ZoneMap.writeLayout(sharded, path)
     val layout = spark.read.parquet(path)
+    // expectedPerShard is deployment config, NOT derived from the data:
+    // filter geometry must stay constant so manifests built at different
+    // corpus sizes remain mergeable (see bloomManifest's contract). 16K
+    // covers every test SF's shard population; beyond it fpp degrades
+    // gracefully while absence proofs stay exact.
     val bloom = graft.operators.SkippingIndex.bloomManifest(
-      layout, "o_custkey", expectedPerShard = math.max(
-        layout.count() / 16, 64L))
+      layout, "o_custkey", expectedPerShard = 16384L)
     graft.operators.SkippingIndex
       .scanEquals(spark, path, bloom, "o_custkey", 42L)
       .agg(count(lit(1)).as("n_orders"),
@@ -3820,10 +3824,11 @@ object Queries {
   }
 
   /** HITS hubs & authorities over the q132 user-transition graph
-    * ([[graft.operators.Graph.hits]], 3 iterations): top-20 users by
-    * authority with full tie-break. The oracle replays the identical
-    * sequential update (auth ← Eᵀh, normalize; hub ← E·auth, normalize)
-    * unrolled in SQL — the q132 PageRank validation pattern.
+    * ([[graft.operators.Graph.hits]], 3 iterations): the hub
+    * and authority score for EVERY node (rounded to 8 decimals, ordered
+    * by user_id — no limit). The oracle replays the identical sequential
+    * update (auth ← Eᵀh, normalize; hub ← E·auth, normalize) unrolled in
+    * SQL — the q132 PageRank validation pattern.
     */
   def hitsRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))

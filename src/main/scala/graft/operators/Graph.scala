@@ -40,6 +40,12 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = nodes.count()
+    if (n == 0) { // empty edge list: no nodes, and 1.0/n below would blow up
+      val out = Dedup.stage(nodes.select(col("node"), lit(1.0).as("rank")), "pagerank")
+      Checkpoints.release(nodes)
+      Checkpoints.release(deg)
+      return out
+    }
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
@@ -85,9 +91,21 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    if (nodes.isEmpty) { // empty edge list: sum(a) is NULL and getDouble NPEs
+      val out = Dedup.stage(
+        nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth")), "hits")
+      Checkpoints.release(nodes)
+      return out
+    }
     var scores = nodes
       .select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
       .localCheckpoint()
+    // L1 norms stay > 0 for any nonempty edge list (every edge carries
+    // hub/auth 1.0 into the first round and the norms renormalize to 1
+    // after), but guard the divide anyway so a degenerate graph yields
+    // zeros rather than NaN rank corruption.
+    def safeNorm(v: java.lang.Double): Double =
+      if (v == null || v == 0.0) 1.0 else v.doubleValue()
     for (_ <- 0 until iters) {
       val authRaw = e.join(scores.select(col("node"), col("hub")),
           e("src") === col("node"))
@@ -95,7 +113,7 @@ object Graph {
       val withAuth = nodes.join(authRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
         .localCheckpoint()
-      val an = withAuth.agg(sum(col("a"))).first().getDouble(0)
+      val an = safeNorm(withAuth.agg(sum(col("a"))).first().getAs[java.lang.Double](0))
       val normAuth = withAuth.select(col("node"), (col("a") / an).as("auth"))
       val hubRaw = e.join(normAuth.select(col("node"), col("auth")),
           e("dst") === col("node"))
@@ -103,7 +121,7 @@ object Graph {
       val withHub = nodes.join(hubRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
         .localCheckpoint()
-      val hn = withHub.agg(sum(col("h"))).first().getDouble(0)
+      val hn = safeNorm(withHub.agg(sum(col("h"))).first().getAs[java.lang.Double](0))
       val next = withHub.join(withAuth, Seq("node"))
         .select(col("node"), (col("h") / hn).as("hub"),
           (col("a") / an).as("auth"))

@@ -40,46 +40,96 @@ object SkippingIndex {
   /** Per-shard TRUNCATED string bounds: `min_prefix` = the first
     * `prefixLen` chars of the shard minimum (a valid lower bound —
     * truncation is monotone, prefix(min) ≤ min), `max_prefix` = the
-    * first `prefixLen` chars of the shard maximum. A truncated max is
-    * NOT itself an upper bound (keys sharing the prefix sort above it),
-    * so [[scanStringRange]] compares against `max_prefix + U+FFFF` —
-    * sound for any key whose code points stay below U+FFFF (the BMP;
-    * documented limit of the 16-bit sentinel). Truncation is what keeps
-    * the manifest bytes-per-shard when keys are URLs or document ids
-    * hundreds of chars long. Mergeable: min/max are monotone under
-    * truncation, so min(prefix_a, prefix_b) == prefix(min(a, b)).
+    * first `prefixLen` chars of the shard maximum plus `max_truncated`
+    * recording whether truncation actually dropped characters. A
+    * truncated max is NOT itself an upper bound (keys sharing the
+    * prefix sort above it), so [[scanStringRange]] derives the ceiling
+    * Iceberg-style via [[incrementLastCodePoint]] — sound for ALL
+    * strings (any code point, any plane), unlike a `prefix + U+FFFF`
+    * sentinel which keys containing U+FFFF or supplementary characters
+    * can sort above. Truncation is what keeps the manifest
+    * bytes-per-shard when keys are URLs or document ids hundreds of
+    * chars long. Mergeable: min/max are monotone under truncation, so
+    * min(prefix_a, prefix_b) == prefix(min(a, b)), and the
+    * (max_prefix, max_truncated) pair merges as a struct max — for the
+    * same prefix the truncated variant represents the larger true key.
     */
   def stringManifest(sharded: DataFrame, keyCol: String,
                      prefixLen: Int = 8): DataFrame =
     sharded.groupBy(col("zshard"))
       .agg(substring(min(col(keyCol)), 1, prefixLen).as("min_prefix"),
         substring(max(col(keyCol)), 1, prefixLen).as("max_prefix"),
+        (length(max(col(keyCol))) > prefixLen).as("max_truncated"),
         count(lit(1)).as("n_rows"))
 
   /** Merge two string manifests — the [[ZoneMap.mergeManifests]] law for
-    * truncated bounds (valid because truncation is monotone).
+    * truncated bounds (valid because truncation is monotone; the max
+    * side rides a struct so an equal prefix resolves to the truncated —
+    * i.e. genuinely larger — variant).
     */
   def mergeStringManifests(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
       .groupBy(col("zshard"))
       .agg(min(col("min_prefix")).as("min_prefix"),
-        max(col("max_prefix")).as("max_prefix"),
+        max(struct(col("max_prefix"), col("max_truncated"))).as("mx"),
         sum(col("n_rows")).as("n_rows"))
+      .select(col("zshard"), col("min_prefix"),
+        col("mx.max_prefix").as("max_prefix"),
+        col("mx.max_truncated").as("max_truncated"),
+        col("n_rows"))
+
+  /** A strict upper bound for every string starting with `prefix`:
+    * increment the last code point (skipping the surrogate gap); if it
+    * is already U+10FFFF, drop it and carry into the previous one.
+    * Returns null when no finite bound exists (all code points are
+    * U+10FFFF) — callers must treat null as +infinity. Operating in
+    * code-point space keeps the bound sound under Spark's UTF-8 binary
+    * string comparison, where a larger code point is always a larger
+    * byte sequence.
+    */
+  private[operators] def incrementLastCodePoint(prefix: String): String = {
+    val cps = prefix.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        var next = cps(i) + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        return new String(cps.slice(0, i) :+ next, 0, i + 1)
+      }
+      i -= 1
+    }
+    null
+  }
+
+  /** The shard ids a `BETWEEN lo AND hi` scan must read, per the string
+    * manifest: a shard is skipped only when the range provably misses
+    * it — `hi < min_prefix` (every shard key ≥ min_prefix > hi) or
+    * `lo > ceiling`, where the ceiling is the exact max when the bound
+    * was not truncated and [[incrementLastCodePoint]] of the prefix when
+    * it was (null ceiling = unbounded = never skip). All comparisons run
+    * in Spark expressions so the pruning decision uses the engine's own
+    * binary string ordering, not the JVM's UTF-16 one.
+    */
+  private[operators] def survivingStringShards(manifestDf: DataFrame,
+                                               lo: String, hi: String): Seq[Long] = {
+    val incUdf = udf((p: String, truncated: Boolean) =>
+      if (truncated) incrementLastCodePoint(p) else p)
+    val ceiling = incUdf(col("max_prefix"), col("max_truncated"))
+    manifestDf
+      .filter(lit(hi) >= col("min_prefix") &&
+        (ceiling.isNull || lit(lo) <= ceiling))
+      // partition-column type inference reads zshard back as INT
+      .select(col("zshard").cast("long")).collect().map(_.getLong(0)).sorted.toSeq
+  }
 
   /** Stats-pruned scan for `keyCol BETWEEN lo AND hi` over a
-    * [[writeStringLayout]] directory: skip a shard only when the range
-    * provably misses it — `hi < min_prefix` (every shard key ≥
-    * min_prefix > hi) or `lo > max_prefix + U+FFFF` (every shard key ≤
-    * that ceiling < lo). Survivors re-apply the exact predicate, so
+    * [[writeStringLayout]] directory: read only
+    * [[survivingStringShards]], then re-apply the exact predicate — so
     * truncation can only cost extra reads, never rows.
     */
   def scanStringRange(spark: SparkSession, path: String, manifestDf: DataFrame,
                       keyCol: String, lo: String, hi: String): DataFrame = {
-    val ceiling = concat(col("max_prefix"), lit("￿"))
-    val surviving = manifestDf
-      .filter(lit(hi) >= col("min_prefix") && lit(lo) <= ceiling)
-      // partition-column type inference reads zshard back as INT
-      .select(col("zshard").cast("long")).collect().map(_.getLong(0)).sorted
+    val surviving = survivingStringShards(manifestDf, lo, hi)
     if (surviving.isEmpty) {
       spark.read.parquet(path).filter(lit(false))
     } else {
@@ -107,6 +157,11 @@ object SkippingIndex {
       b.writeTo(out)
       out.toByteArray
     }
+    // Java-serialized buffer: each buffer serialization round-trips the
+    // whole filter, which is fine ONLY because the grouping key is
+    // zshard — |shards| groups of manifest-sized state, never row data.
+    // Pointing this aggregator at a high-cardinality group column would
+    // pay that serialization per partial merge; don't.
     override def bufferEncoder: Encoder[BloomFilter] =
       Encoders.javaSerialization(classOf[BloomFilter])
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -118,6 +173,16 @@ object SkippingIndex {
     * full domain in every shard). ~1.2 bytes/key at 1% fpp; the
     * aggregate is combinable (bloom union = bitwise OR), so partials
     * merge map-side like any sum.
+    *
+    * `expectedPerShard` and `fpp` FIX the filter geometry (bit width,
+    * hash count): every manifest that will ever be merged into this one
+    * ([[mergeBloomManifests]]) must be built with the SAME two values,
+    * or `mergeInPlace` throws IncompatibleMergeException. Treat them as
+    * deployment configuration — a stable constant sized to the expected
+    * steady-state shard population — never something derived from the
+    * current batch's row count. Overshooting the estimate only degrades
+    * the false-positive rate (extra shard reads); absence proofs stay
+    * exact.
     */
   def bloomManifest(sharded: DataFrame, valueCol: String,
                     expectedPerShard: Long, fpp: Double = 0.01): DataFrame = {
@@ -154,7 +219,10 @@ object SkippingIndex {
 
   /** Merge two bloom manifests (per-shard bitwise OR via the engine's
     * own `mergeInPlace`) — appends update equality-skipping stats from
-    * the batch's own rows, never a layout rescan.
+    * the batch's own rows, never a layout rescan. Both inputs must have
+    * been built by [[bloomManifest]] with IDENTICAL (expectedPerShard,
+    * fpp) — filter geometry must match bit-for-bit to OR, and
+    * `mergeInPlace` throws IncompatibleMergeException otherwise.
     */
   def mergeBloomManifests(a: DataFrame, b: DataFrame): DataFrame = {
     val mergeAgg = udaf(new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {

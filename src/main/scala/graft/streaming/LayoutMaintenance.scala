@@ -120,8 +120,9 @@ object LayoutMaintenance {
   /** Streaming HEAVY-HITTER maintenance — the deterministic-bounds
     * sibling of [[hllMaintainedSink]], maintaining the q177
     * SpaceSaving-style summaries live: every micro-batch keeps only its
-    * top-`k` keys by count plus ONE `dropped_max` scalar row (key NULL,
-    * the largest truncated count), appended to a stats store that stays
+    * top-`k` keys by count plus ONE `dropped_max` scalar row (flagged by
+    * `is_marker` — NOT by a NULL key, which a real NULL stream key could
+    * forge — the largest truncated count), appended to a stats store that stays
     * ≤ |batches|·(k+1) rows no matter how much data streamed through.
     * [[mergedTopk]] reconstructs, for every surviving key, a LOWER bound
     * (the kept counts, an undercount only where a batch truncated the
@@ -160,10 +161,16 @@ object LayoutMaintenance {
       counts.persist()
       try {
         val kept = counts.orderBy(col("cnt").desc, col("key")).limit(k)
-        val dropped = counts.join(kept.select(col("key")), Seq("key"), "left_anti")
+        // null-safe anti join: a real NULL stream key groups to key=NULL
+        // and may legitimately occupy a top-k slot; plain equi-join
+        // would never match it and double-count it into dropped_max.
+        val dropped = counts.as("c")
+          .join(kept.select(col("key").as("k")),
+            col("c.key") <=> col("k"), "left_anti")
           .agg(coalesce(max(col("cnt")), lit(0L)).as("cnt"))
-          .select(lit(null).cast("string").as("key"), col("cnt"))
-        kept.unionAll(dropped)
+          .select(lit(null).cast("string").as("key"), col("cnt"),
+            lit(true).as("is_marker"))
+        kept.withColumn("is_marker", lit(false)).unionAll(dropped)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(statsPath)
       } finally counts.unpersist()
@@ -175,8 +182,8 @@ object LayoutMaintenance {
     */
   def mergedTopk(spark: SparkSession, statsPath: String): DataFrame = {
     val stats = spark.read.parquet(statsPath)
-    val kept = stats.filter(col("key").isNotNull)
-    val dropped = stats.filter(col("key").isNull)
+    val kept = stats.filter(!col("is_marker"))
+    val dropped = stats.filter(col("is_marker"))
       .select(col("batch_id"), col("cnt").as("dropped_max"))
     val totalDropped = dropped
       .agg(coalesce(sum(col("dropped_max")), lit(0L)).as("total_dropped"))

@@ -169,4 +169,12 @@ class GraphSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "checkpoint storage outlived bfsHops")
   }
+
+  test("hits and pageRank return empty (not NPE/divide-by-zero) on an empty edge list") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.hits(empty, 3).isEmpty)
+    assert(Graph.pageRank(empty, 3).isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "checkpoint storage outlived the empty-graph short-circuit")
+  }
 }

@@ -43,12 +43,46 @@ class SkippingIndexSpec extends SparkSpec {
     val path = tmp("strzm-prune")
     SkippingIndex.writeStringLayout(df, "k", 8, path)
     val man = SkippingIndex.stringManifest(spark.read.parquet(path), "k", 8)
-    val ceiling = concat(col("max_prefix"), lit("￿"))
-    val surviving = man
-      .filter(lit("b") >= col("min_prefix") && lit("a") <= ceiling).count()
+    val surviving = SkippingIndex.survivingStringShards(man, "a", "b").size
     assert(surviving < 8, s"selective range read all $surviving shards")
     val got = SkippingIndex.scanStringRange(spark, path, man, "k", "a", "b").count()
     assert(got == 20L)
+  }
+
+  test("string pruning is sound for keys containing U+FFFF and supplementary chars") {
+    // Both key families sort ABOVE a truncated-prefix + U+FFFF sentinel
+    // under Spark's UTF-8 binary comparison — the exact shape that made
+    // the old ceiling unsound. The increment-last-code-point ceiling
+    // must keep their shards readable.
+    val ffff = "prefix12￿￿zz"        // U+FFFF after the 8-char cut
+    val supp = "prefix12" + new String(Character.toChars(0x1F600)) + "tail"
+    val keys = Seq(ffff, supp, "prefix12aaa", "aaa", "zzz") ++
+      (0 until 40).map(i => f"filler-$i%03d")
+    val df = keys.toDF("k")
+    val path = tmp("strzm-nonbmp")
+    SkippingIndex.writeStringLayout(df, "k", 4, path)
+    val man = SkippingIndex.stringManifest(spark.read.parquet(path), "k", 8)
+    // ranges that include the exotic keys: every one must come back
+    Seq((ffff, ffff), (supp, supp), ("prefix12", "prefix13"), ("p", "q"))
+      .foreach { case (lo, hi) =>
+        val got = SkippingIndex.scanStringRange(spark, path, man, "k", lo, hi)
+          .select(col("k")).collect().map(_.getString(0)).sorted.toSeq
+        // reference predicate evaluated by Spark itself (binary collation)
+        val want = df.filter(col("k") >= lo && col("k") <= hi)
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(got == want, s"range [$lo, $hi]: $got vs $want")
+      }
+  }
+
+  test("incrementLastCodePoint produces a strict upper bound and handles carries") {
+    assert(SkippingIndex.incrementLastCodePoint("abc") == "abd")
+    // U+D7FF increments past the surrogate gap to U+E000
+    assert(SkippingIndex.incrementLastCodePoint("a퟿") == "a")
+    // U+10FFFF carries into the previous code point
+    val top = new String(Character.toChars(0x10FFFF))
+    assert(SkippingIndex.incrementLastCodePoint("b" + top) == "c")
+    // all-top prefix has no finite bound
+    assert(SkippingIndex.incrementLastCodePoint(top + top) == null)
   }
 
   test("string manifests merge: mergeStringManifests == stringManifest of the union") {

@@ -142,7 +142,7 @@ class LayoutMaintenanceSpec extends SparkSpec {
     // the SpaceSaving guarantee: any key with true count > sum of
     // dropped_max over all batches MUST be present
     val totalDropped = spark.read.parquet(stats)
-      .filter(col("key").isNull).agg(sum(col("cnt"))).first().getLong(0)
+      .filter(col("is_marker")).agg(sum(col("cnt"))).first().getLong(0)
     truth.filter(_._2 > totalDropped).keys.foreach { key =>
       assert(merged.contains(key), s"guaranteed key $key missing")
     }
@@ -151,5 +151,25 @@ class LayoutMaintenanceSpec extends SparkSpec {
     val rows = spark.read.parquet(stats).count()
     LayoutMaintenance.topkProcessBatch(batches.head.toDF("tok"), 0L, "tok", 5, stats)
     assert(spark.read.parquet(stats).count() == rows, "replay double-appended")
+  }
+
+  test("top-k maintenance: a heavy NULL key holds a slot without forging the marker") {
+    val stats = tmp("topk-null-stats")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stats))
+    // NULL is the heaviest key; 'rare' must be the one truncated
+    val batch = (Seq.fill(50)(null: String) ++ Seq.fill(30)("hot") ++
+      Seq.fill(7)("rare")).toDF("tok")
+    LayoutMaintenance.topkProcessBatch(batch, 0L, "tok", k = 2, stats)
+    val stored = spark.read.parquet(stats).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getBoolean(2)))
+    assert(stored.count(_._3) == 1, "exactly one marker row per batch")
+    assert(stored.contains((None, 50L, false)), "NULL key lost its top-k slot")
+    assert(stored.contains((Some("hot"), 30L, false)))
+    assert(stored.contains((None, 7L, true)),
+      s"dropped_max must be rare's 7, not the NULL key's count: ${stored.mkString(",")}")
+    val merged = LayoutMaintenance.mergedTopk(spark, stats).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged(None) == (50L, 50L), "NULL key bounds corrupted by the marker")
+    assert(merged(Some("hot")) == (30L, 30L))
   }
 }
