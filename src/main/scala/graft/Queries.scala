@@ -2239,6 +2239,32 @@ object Queries {
       t(spark, dir, "documents"), "doc_id", "text", 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** BOUNDED-output sibling of q148: the top-`k` nearest tf-idf cosine
+    * neighbors per document above a high-precision threshold, through
+    * the SAME [[graft.operators.PrefixJoin.weightedCosinePrefixJoin]]
+    * kernel. q148 is output-bound on template-dense corpora (6.6M pairs
+    * ≥ 0.6 at sf0.1 — the answer IS the cost); this is the operator a
+    * production pipeline actually runs: the 0.8 threshold collapses the
+    * prefix lengths (tail ≥ t keeps fewer, rarer terms — candidate
+    * volume falls superlinearly in t), and the per-doc cap bounds the
+    * emission no matter how dense the corpus. Deterministic: cosine is
+    * rounded to 4 BEFORE ranking and neighbor id breaks ties, so the
+    * top-k cut is engine-independent (the q148 oracle contract).
+    */
+  def prefixJoinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.PrefixJoin.weightedCosinePrefixJoin(
+      t(spark, dir, "documents"), "doc_id", "text", 0.8)
+    val sym = pairs
+      .select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"), col("cosine"))
+      .unionAll(pairs
+        .select(col("id_b").as("doc_id"), col("id_a").as("nbr_id"), col("cosine")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Survivorship policy over near-dup clusters — q92 keeps each
     * cluster's MIN-ID document; production dedup keeps the BEST copy.
     * Same exact pair graph (3-gram Jaccard ≥ 0.5) and connected

@@ -369,7 +369,9 @@ object SparkEntry {
     // truncated string bounds: range-clustered layout + pruned name scan
     "q201_string_zonemap"    -> Queries.stringZoneMap _,
     // per-shard bloom skipping on a non-clustering column
-    "q202_bloom_zonemap"     -> Queries.bloomZoneMap _
+    "q202_bloom_zonemap"     -> Queries.bloomZoneMap _,
+    // bounded-output q148: top-5 cosine neighbors per doc at t=0.8
+    "q203_prefix_topk"       -> Queries.prefixJoinTopK _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -3038,6 +3040,54 @@ object SparkEntry {
         | min(o_orderkey) AS min_orderkey,
         | max(o_orderkey) AS max_orderkey,
         | round(sum(o_totalprice), 2) AS total_price
-        |FROM orders WHERE o_custkey = 42""".stripMargin
+        |FROM orders WHERE o_custkey = 42""".stripMargin,
+    // q148's prefix-join oracle at t=0.8, symmetrized and cut to the
+    // top-5 per doc; round-before-rank + nbr_id tie-break make the cut
+    // engine-independent.
+    "q203_prefix_topk" ->
+      """WITH terms AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |w AS (
+        | SELECT doc_id, term, df, tf * ln(n_docs / df) AS w
+        | FROM tf JOIN dft USING (term), nn),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |unitv AS (
+        | SELECT w.doc_id AS doc_id, term, df, w / nrm AS u
+        | FROM w JOIN norms ON norms.doc_id = w.doc_id WHERE nrm > 0),
+        |tails AS (
+        | SELECT doc_id, term, u,
+        |  sqrt(sum(u * u) OVER (PARTITION BY doc_id ORDER BY df, term
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS tail
+        | FROM unitv),
+        |posting AS (SELECT doc_id, term, tail FROM tails WHERE tail >= 0.8),
+        |cands AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM posting a JOIN posting b
+        |  ON a.term = b.term AND a.doc_id < b.doc_id
+        | WHERE a.tail * b.tail >= 0.8 - 1e-9),
+        |dots AS (
+        | SELECT id_a, id_b, sum(ua.u * ub.u) AS dot
+        | FROM cands
+        | JOIN unitv ua ON ua.doc_id = id_a
+        | JOIN unitv ub ON ub.doc_id = id_b AND ub.term = ua.term
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT id_a, id_b, round(dot, 4) AS cosine
+        | FROM dots WHERE round(dot, 4) >= 0.8),
+        |sym AS (
+        | SELECT id_a AS doc_id, id_b AS nbr_id, cosine FROM pairs
+        | UNION ALL
+        | SELECT id_b AS doc_id, id_a AS nbr_id, cosine FROM pairs),
+        |ranked AS (
+        | SELECT doc_id, nbr_id, cosine, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY cosine DESC, nbr_id) AS rnk
+        | FROM sym)
+        |SELECT doc_id, nbr_id, cosine, CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
   )
 }
