@@ -435,13 +435,18 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** Language-ID heuristic + fingerprints + BPE-ish subword count —
-    * engine-specific hashes/heuristics, no oracle (rows-only).
+  /** Language-ID heuristic + fingerprints + BPE-ish subword count. Every
+    * column is portable arithmetic (base-31 folds mod 1e9+7, marker
+    * counts, boundary splits) — no engine-specific hash — so the panel
+    * is hash-checked against a DuckDB replay, not rows-only. The
+    * xxhash-based 64-bit simhash remains the q37 pairing signal;
+    * [[graft.functions.TextFunctions.portableSimhash32]] is its
+    * oracle-checkable sibling.
     */
   def textFingerprints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        simhash64(col("text")).as("simhash"),
+        portableSimhash32(col("text")).as("simhash"),
         rollingFingerprint(col("text")).as("fingerprint"),
         langId(col("text")).as("lang_pred"),
         subwordCount(col("text")).as("n_subwords"))
@@ -1042,9 +1047,10 @@ object Queries {
   /** Language-ID over the marker-word heuristic
     * ([[graft.functions.TextFunctions.langId]]): per-language marker-hit
     * scores plus the argmax prediction (first-wins ties, 'und' on all
-    * zero). Fully deterministic integer scoring, so unlike q35's bundled
-    * engine-specific hashes this one IS oracle-checkable — the DuckDB
-    * side replicates the tokenizer, marker lists, and tie-break order.
+    * zero). Fully deterministic integer scoring — the DuckDB side
+    * replicates the tokenizer, marker lists, and tie-break order (and
+    * since round 10, q35's whole fingerprint panel is portable and
+    * oracle-checked the same way).
     */
   def languageId(spark: SparkSession, dir: String): DataFrame = {
     val scored = langScores(col("text"))

@@ -413,6 +413,74 @@ object SparkEntry {
     head + stages
   }
 
+  /** Replay of the q35 portable fingerprint panel. Simhash lanes come
+    * from [[graft.functions.TextFunctions.simhashLanes]] so both engines
+    * literally share the constants; subword counting is rewritten
+    * lookaround-free (RE2): boundary-split tokens = maximal [a-z0-9]
+    * runs plus each non-alnum, non-whitespace character.
+    */
+  private def q35OracleSql: String = {
+    val m = 1000000007L
+    val laneSum = graft.functions.TextFunctions.simhashLanes.zipWithIndex.map {
+      case (p, j) =>
+        s"(CASE WHEN sum(CASE WHEN (h * $p) % $m >= 500000004 THEN 1 ELSE -1 END) > 0 THEN ${1L << (31 - j)} ELSE 0 END)"
+    }.mkString("\n   + ")
+    s"""WITH d AS (
+       | SELECT doc_id, text,
+       |  list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0) AS toks
+       | FROM documents),
+       |th AS (
+       | SELECT doc_id, list_transform(toks, t -> list_reduce(
+       |   list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(list_filter(string_split(t, ''), c -> len(c) > 0),
+       |       c -> CAST(unicode(c) AS BIGINT))),
+       |   (a, b) -> (a * 31 + b) % $m)) AS hs
+       | FROM d),
+       |hx AS (SELECT doc_id, unnest(hs) AS h FROM th),
+       |sh AS (
+       | SELECT doc_id, CAST($laneSum AS BIGINT) AS simhash
+       | FROM hx GROUP BY doc_id),
+       |fp AS (
+       | SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+       |   list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(list_filter(string_split(text, ''), c -> len(c) > 0),
+       |       c -> CAST(unicode(c) AS BIGINT))),
+       |   (a, b) -> (a * 31 + b) % $m) END AS fingerprint
+       | FROM d),
+       |ls AS (
+       | SELECT doc_id,
+       |  len(list_filter(toks, t -> list_contains(['the','and','of','is','to'], t))) AS s_en,
+       |  len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+       |  len(list_filter(toks, t -> list_contains(['der','und','die','das','ist'], t))) AS s_de,
+       |  len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
+       |  len(list_filter(toks, t -> list_contains(['de','shi','le','wo','ni'], t))) AS s_zh
+       | FROM d),
+       |lp AS (
+       | SELECT doc_id,
+       |  CASE WHEN best = 0 THEN 'und'
+       |   WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es'
+       |   WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr'
+       |   WHEN s_zh = best THEN 'zh' ELSE 'und' END AS lang_pred
+       | FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM ls)),
+       |sw AS (
+       | SELECT doc_id, CAST(
+       |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0))
+       |  + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+       |  AS INT) AS n_subwords
+       | FROM d)
+       |SELECT d.doc_id AS doc_id, coalesce(sh.simhash, 0) AS simhash,
+       | fp.fingerprint AS fingerprint, lp.lang_pred AS lang_pred,
+       | sw.n_subwords AS n_subwords
+       |FROM d
+       | LEFT JOIN sh ON sh.doc_id = d.doc_id
+       | JOIN fp ON fp.doc_id = d.doc_id
+       | JOIN lp ON lp.doc_id = d.doc_id
+       | JOIN sw ON sw.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeOracleSql(k: Int): String = {
     val sel = (0 until k).map(i =>
       s"SELECT ${i + 1} AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b$i")
@@ -720,6 +788,14 @@ object SparkEntry {
         |  AND len(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)) >= 20
         |ORDER BY doc_id""".stripMargin,
+    // Full replay of the portable fingerprint panel: base-31 char folds
+    // mod 1e9+7 (the q197 list_reduce seed trick), the 32 simhash lane
+    // multipliers interpolated from TextFunctions.simhashLanes (ONE
+    // source of truth), marker-count language argmax in the same
+    // first-wins order, and boundary-split subword counting rewritten
+    // without lookarounds (alnum runs + punctuation chars) because RE2
+    // has none.
+    "q35_text_fingerprints" -> q35OracleSql,
     "q38_topk_similar" ->
       """SELECT query_id, neighbor_id, cosine, rk FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -154,6 +154,42 @@ object TextFunctions {
       (acc, ch) => (acc * 31 + ascii(ch)) % mod)
   }
 
+  /** Per-lane multipliers for [[portableSimhash32]] — the ONE source of
+    * truth shared with the DuckDB oracle (SparkEntry interpolates these
+    * into the replay SQL), so both engines run literally the same
+    * arithmetic. Knuth multiplicative constant spread over the lanes,
+    * reduced mod 1e9+7 so `h * lane` stays < 2^63 (ANSI-safe).
+    */
+  private[graft] val simhashLanes: Seq[Long] =
+    (1 to 32).map(j => Math.floorMod(2654435761L * j, 1000000007L))
+
+  /** Portable 32-bit SimHash over base-31 token hashes — unlike
+    * [[simhash64]] (xxhash64-based, engine-specific values), every step
+    * is plain integer arithmetic mod 1e9+7 that any engine reproduces
+    * bit-for-bit: token hash = the [[rollingFingerprint]] fold over the
+    * token's chars; lane j votes +1 when (h·lane_j) mod M lands in the
+    * top half; sign → bit, bits folded MSB-first. This is what makes
+    * the q35 fingerprint panel hash-checkable against DuckDB rather
+    * than rows-only.
+    */
+  def portableSimhash32(text: Column): Column = {
+    val mod = lit(1000000007L)
+    val tokHash = (t: Column) => aggregate(
+      filter(split(t, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % mod)
+    val hashes = transform(tokens(text), t => tokHash(t))
+    val laneSigns = (h: Column) => array(simhashLanes.map { p =>
+      when((h * lit(p)) % mod >= lit(500000004L), lit(1L)).otherwise(lit(-1L))
+    }: _*)
+    val signs = aggregate(
+      hashes,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, laneSigns(h), (a, b) => a + b))
+    val bits = transform(signs, c => when(c > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
   /** Word n-grams (space-joined) for n-gram Jaccard similarity. */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val ts = tokens(text)
