@@ -2708,10 +2708,16 @@ object Queries {
     val toks = t(spark, dir, "documents")
       .select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    val big = toks.select(explode(arrays_zip(
+    // four consumers (N_b, both marginals, the pair counts) would each
+    // re-scan and re-explode the corpus (no CSE across DataFrame refs);
+    // stage the narrow bigram table once so the text is read ONCE
+    val bigPath = scratch(spark, "pmi-bigrams")
+    toks.select(explode(arrays_zip(
         slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
         slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .write.mode("overwrite").parquet(bigPath)
+    val big = spark.read.parquet(bigPath)
     val nb = big.agg(count(lit(1)).cast("double").as("nb"))
     val cl = big.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c_l"))
     val cr = big.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("c_r"))
