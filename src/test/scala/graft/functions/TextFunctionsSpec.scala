@@ -75,4 +75,19 @@ class TextFunctionsSpec extends SparkSpec {
     val n = one("don't stop-me now").select(subwordCount($"t")).first().getInt(0)
     assert(n == 7) // don ' t stop - me now
   }
+
+  test("portableSimhash32: deterministic, 32-bit, and hamming tracks token overlap") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",      // base
+      "the quick brown fox jumps over the lazy cat",      // 1 token differs
+      "entirely disjoint vocabulary with other words here" // no overlap
+    ).toDF("t").select(portableSimhash32($"t").as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0 && h < (1L << 32)), s"not 32-bit: ${hs.toSeq}")
+    assert(hs(0) == one("the quick brown fox jumps over the lazy dog")
+      .select(portableSimhash32($"t")).first().getLong(0), "not deterministic")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)),
+      s"near-dup hamming ${ham(hs(0), hs(1))} !< disjoint ${ham(hs(0), hs(2))}")
+  }
 }
