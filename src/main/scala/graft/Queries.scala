@@ -2489,11 +2489,14 @@ object Queries {
     * max merge exactly (the value rides DECIMAL so sums are associative
     * — a double sum would drift a ulp across merge orders), avg derives
     * at read. The oracle rebuilds from scratch; hash equality IS the
-    * maintenance contract. avg_v is derived in exact integer space
-    * (cents*100 div n_rows, then one exact-rounded double divide):
-    * `round(double, 4)` at a `.xxxx5` tie goes opposite ways in Spark
-    * (BigDecimal HALF_UP on shortest repr) vs DuckDB (binary double) —
-    * the r9 red row. No float crosses an engine boundary.
+    * maintenance contract. The derived average is emitted as
+    * `avg_e4 BIGINT` — the average in 1e-4 units, pure integer math
+    * (cents*100 DIV n_rows) with NO float anywhere in the compared
+    * surface: `round(double, 4)` at a `.xxxx5` tie goes opposite ways
+    * in Spark (BigDecimal HALF_UP on shortest repr) vs DuckDB (binary
+    * double) — the r9 red row — and even a final exact double divide
+    * leaves the row hostage to the checker's float formatting (the r10
+    * driver/replica divergence). Integers hash identically everywhere.
     */
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(
@@ -2509,7 +2512,7 @@ object Queries {
     merged
       .withColumn("cents4", (col("sum_v") * 100).cast("long") * 100)
       .select(col("day"), col("n_rows"), col("sum_v"), col("min_v"), col("max_v"),
-        (expr("cents4 DIV n_rows").cast("double") / 10000.0).as("avg_v"))
+        expr("cents4 DIV n_rows").as("avg_e4"))
       .orderBy(col("day"))
   }
 

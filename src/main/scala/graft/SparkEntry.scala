@@ -2215,15 +2215,17 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Full-rebuild oracle for the merged-state rollup: hash equality IS
     // the maintenance contract. DECIMAL value so sums are associative;
-    // avg_v derives via BIGINT integer division (cents*100 // n_rows)
-    // so no .xxxx5 double-round tie can split the engines (r9 red row).
+    // the average is avg_e4 BIGINT (1e-4 units, cents*100 // n_rows) —
+    // pure integer math, so neither a .xxxx5 double-round tie (r9 red)
+    // nor checker-side float formatting (r10 driver/replica divergence)
+    // can split the engines.
     "q153_incremental_rollup" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)
         |SELECT day, CAST(count(*) AS BIGINT) AS n_rows, sum(v) AS sum_v,
         | min(v) AS min_v, max(v) AS max_v,
-        | CAST((CAST(sum(v) * 100 AS BIGINT) * 100) // count(*) AS DOUBLE)
-        |   / 10000.0 AS avg_v
+        | CAST((CAST(sum(v) * 100 AS BIGINT) * 100) // count(*) AS BIGINT)
+        |   AS avg_e4
         |FROM o GROUP BY day ORDER BY day""".stripMargin,
     // Same z-interval constants as the Spark side (one Scala source of
     // truth: Queries.zzIntervals — driver math over the predicate

@@ -32,14 +32,38 @@ def norm(v):
         return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
     return str(v)
 
-def table_hash(cols, rows):
+def norm_lines(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+def table_hash(lines):
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+def first_diffs(s_lines, o_lines, k=5):
+    """First k (spark, oracle) normalized-line pairs that differ.
+
+    Both lists are sorted, so walk them in lockstep: equal lines are
+    consumed together; at a mismatch, emit the pair and advance the
+    lexicographically-smaller side (its line has no partner)."""
+    out, i, j = [], 0, 0
+    while (i < len(s_lines) or j < len(o_lines)) and len(out) < k:
+        s = s_lines[i] if i < len(s_lines) else None
+        o = o_lines[j] if j < len(o_lines) else None
+        if s == o:
+            i += 1; j += 1
+            continue
+        out.append((s, o))
+        if o is None or (s is not None and s < o):
+            i += 1
+        elif s is None or o < s:
+            j += 1
+        else:
+            i += 1; j += 1
+    return out
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -84,7 +108,17 @@ def main():
         ok_cols = s_cols == sorted(o_cols)
         ok_hash = False
         if ok_rows and ok_cols:
-            ok_hash = table_hash(tbl.column_names, s_rows) == table_hash(o_cols, o_rows)
+            sl = norm_lines(tbl.column_names, s_rows)
+            ol = norm_lines(o_cols, o_rows)
+            ok_hash = table_hash(sl) == table_hash(ol)
+            if not ok_hash:
+                # Divergence diagnostic: show the first differing
+                # normalized lines so a hash-red row is a 5-minute
+                # diagnosis, not a round-long mystery (VERDICT r10 #5).
+                print(f"  {name}: HASH DIVERGENCE (cols sorted: {s_cols})")
+                for s, o in first_diffs(sl, ol):
+                    print(f"    spark : {s}")
+                    print(f"    oracle: {o}")
         if ok_rows and ok_cols and ok_hash:
             n_pass += 1
         else:
