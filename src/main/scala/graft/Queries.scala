@@ -33,6 +33,20 @@ object Queries {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-$tag-${spark.sparkContext.applicationId}").getAbsolutePath
 
+  /** Materialize `df` once under [[scratch]] and read it back — the
+    * multi-consumer staging idiom: Spark does no CSE across DataFrame
+    * references, so each downstream ref would re-execute the whole
+    * subtree. The dir is registered for deletion on JVM exit so staged
+    * parquet doesn't accumulate in tmp across application runs.
+    */
+  private def stageScratch(spark: SparkSession, tag: String, df: DataFrame): DataFrame = {
+    val dir = scratch(spark, tag)
+    df.write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    spark.read.parquet(dir)
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
@@ -2231,18 +2245,23 @@ object Queries {
 
   /** Uncapped exact tf-idf cosine pairs — the weighted prefix join
     * ([[graft.operators.PrefixJoin.weightedCosinePrefixJoin]]) run over
-    * the FULL documents corpus at the q145 threshold: identical
-    * semantics to q145 with the `doc_id < 1000` exact-baseline cap
-    * removed, because candidates come from rare-term prefixes (suffix-L2
-    * bound) instead of the Σ df² term self-join. The overlap with q145
-    * on the capped slice is asserted equal in spec; the DuckDB oracle
-    * replays the same prefix mathematics through window functions (its
-    * own term ordering — losslessness is ordering-independent, so both
-    * engines land on the identical verified pair set).
+    * the FULL documents corpus: q145's semantics with the `doc_id <
+    * 1000` exact-baseline cap removed, because candidates come from
+    * rare-term prefixes (suffix-L2 bound) instead of the Σ df² term
+    * self-join. Threshold 0.7 (vs q145's 0.6): prefix lengths — and so
+    * candidate volume — fall superlinearly in t, and on the
+    * template-dense synthetic corpus the 0.6 answer alone is millions
+    * of pairs (the answer IS the cost; it was 27% of the whole bench).
+    * The 0.6-slice equivalence with q145 stays spec-gated on the kernel
+    * (PrefixJoinSpec); this query prices the uncapped production run.
+    * The DuckDB oracle replays the same prefix mathematics through
+    * window functions (its own term ordering — losslessness is
+    * ordering-independent, so both engines land on the identical
+    * verified pair set).
     */
   def weightedPrefixJoinPairs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.PrefixJoin.weightedCosinePrefixJoin(
-      t(spark, dir, "documents"), "doc_id", "text", 0.6)
+      t(spark, dir, "documents"), "doc_id", "text", 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
   /** BOUNDED-output sibling of q148: the top-`k` nearest tf-idf cosine
@@ -2258,8 +2277,13 @@ object Queries {
     * top-k cut is engine-independent (the q148 oracle contract).
     */
   def prefixJoinTopK(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.PrefixJoin.weightedCosinePrefixJoin(
-      t(spark, dir, "documents"), "doc_id", "text", 0.8)
+    // the pair kernel is the expensive subtree and the symmetrizing
+    // union references it TWICE (no CSE across DataFrame refs — each
+    // ref would re-generate and re-verify every candidate); stage the
+    // narrow pair set once and union the cheap staged scan
+    val pairs = stageScratch(spark, "prefixtopk-pairs",
+      graft.operators.PrefixJoin.weightedCosinePrefixJoin(
+        t(spark, dir, "documents"), "doc_id", "text", 0.8))
     val sym = pairs
       .select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"), col("cosine"))
       .unionAll(pairs
@@ -2714,13 +2738,11 @@ object Queries {
     // four consumers (N_b, both marginals, the pair counts) would each
     // re-scan and re-explode the corpus (no CSE across DataFrame refs);
     // stage the narrow bigram table once so the text is read ONCE
-    val bigPath = scratch(spark, "pmi-bigrams")
-    toks.select(explode(arrays_zip(
-        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
-        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .write.mode("overwrite").parquet(bigPath)
-    val big = spark.read.parquet(bigPath)
+    val big = stageScratch(spark, "pmi-bigrams",
+      toks.select(explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val nb = big.agg(count(lit(1)).cast("double").as("nb"))
     val cl = big.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c_l"))
     val cr = big.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("c_r"))

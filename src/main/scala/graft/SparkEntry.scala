@@ -1804,12 +1804,12 @@ object SparkEntry {
         |  sqrt(sum(u * u) OVER (PARTITION BY doc_id ORDER BY df, term
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS tail
         | FROM unitv),
-        |posting AS (SELECT doc_id, term, tail FROM tails WHERE tail >= 0.6),
+        |posting AS (SELECT doc_id, term, tail FROM tails WHERE tail >= 0.7),
         |cands AS (
         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         | FROM posting a JOIN posting b
         |  ON a.term = b.term AND a.doc_id < b.doc_id
-        | WHERE a.tail * b.tail >= 0.6 - 1e-9),
+        | WHERE a.tail * b.tail >= 0.7 - 1e-9),
         |dots AS (
         | SELECT id_a, id_b, sum(ua.u * ub.u) AS dot
         | FROM cands
@@ -1817,7 +1817,7 @@ object SparkEntry {
         | JOIN unitv ub ON ub.doc_id = id_b AND ub.term = ua.term
         | GROUP BY 1, 2)
         |SELECT id_a, id_b, round(dot, 4) AS cosine
-        |FROM dots WHERE round(dot, 4) >= 0.6
+        |FROM dots WHERE round(dot, 4) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
     "q143_join_cardinality" ->
       """WITH p1 AS (

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -19,6 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row, loops JIT-compiled), which is the preference order the engine
   * follows: built-ins first, then a native expression, before ever reaching
   * for mapPartitions. Hashes are XXH64, same family as Spark's `xxhash64`.
+  *
+  * CodegenFallback is the right trade for PER-DOCUMENT expressions (one
+  * virtual call per row amortizes over the loop inside), but NOT for the
+  * PER-PAIR verify kernels ([[SortedDot]], [[SortedLongJaccard]]): those
+  * run 10⁷+ times per query inside a join's inner loop, where the
+  * fallback's per-call row adaptor and boxed eval dominated the whole
+  * query (measured 41 µs/pair on the q148 verify — ~400× the merge loop
+  * itself). Those two implement `doGenCode`, so the merge stays inside
+  * whole-stage codegen.
   */
 object NativeTextExpressions {
 
@@ -190,7 +200,7 @@ object NativeTextExpressions {
     * array_intersect/array_union).
     */
   case class SortedLongJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "jaccard_sorted"
     override def checkInputDataTypes(): TypeCheckResult = {
@@ -216,6 +226,27 @@ object NativeTextExpressions {
       if (union == 0L) 0.0 else inter.toDouble / union
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+        s"""
+           |int $nx = $x.numElements();
+           |int $ny = $y.numElements();
+           |int $i = 0; int $j = 0; long $inter = 0L;
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $x.getLong($i);
+           |  long $yv = $y.getLong($j);
+           |  if ($xv == $yv) { $inter++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |long $union = (long) $nx + (long) $ny - $inter;
+           |${ev.value} = ($union == 0L) ? 0.0d : (double) $inter / (double) $union;
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
@@ -229,7 +260,7 @@ object NativeTextExpressions {
     * (the builder sorts by (df, tok) then re-sorts by tok for this).
     */
   case class SortedDot(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = children.exists(_.nullable)
     override def prettyName: String = "sorted_dot"
@@ -262,6 +293,39 @@ object NativeTextExpressions {
         }
         dot
       }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val gs = children.map(_.genCode(ctx))
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      val dot = ctx.freshName("dot")
+      val resultCode =
+        code"""
+          |${gs(0).code}
+          |${gs(1).code}
+          |${gs(2).code}
+          |${gs(3).code}
+          |boolean ${ev.isNull} = ${gs(0).isNull} || ${gs(1).isNull} ||
+          |  ${gs(2).isNull} || ${gs(3).isNull};
+          |double ${ev.value} = 0.0d;
+          |if (!${ev.isNull}) {
+          |  int $nx = ${gs(0).value}.numElements();
+          |  int $ny = ${gs(2).value}.numElements();
+          |  int $i = 0; int $j = 0; double $dot = 0.0d;
+          |  while ($i < $nx && $j < $ny) {
+          |    long $a = ${gs(0).value}.getLong($i);
+          |    long $b = ${gs(2).value}.getLong($j);
+          |    if ($a == $b) {
+          |      $dot += ${gs(1).value}.getDouble($i) * ${gs(3).value}.getDouble($j);
+          |      $i++; $j++;
+          |    } else if ($a < $b) { $i++; } else { $j++; }
+          |  }
+          |  ${ev.value} = $dot;
+          |}
+        """.stripMargin
+      ev.copy(code = resultCode)
     }
 
     override protected def withNewChildrenInternal(

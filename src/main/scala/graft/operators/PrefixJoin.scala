@@ -155,6 +155,20 @@ object PrefixJoin {
       s"threshold must be in (0, 1], got $threshold")
     NativeTextExpressions.register(docs.sparkSession)
     val nDocs = docs.count().toDouble
+    // Physical-strategy choice, same shape as Spark's broadcast-join
+    // decision: below `spark.graft.prefixJoin.bruteMaxDocs` (default
+    // 20 000) the unit-vector table broadcasts and the all-pairs
+    // nested-loop verify (codegen'd sorted_dot; n²/2 merge-dots) costs
+    // less than the index's extra shuffles — on a NEAR-DUP-DENSE corpus
+    // the prefix index degenerates anyway (measured at sf0.1: 11.4M
+    // candidates of 12.5M possible pairs, i.e. 9% pruning, with the
+    // posting self-join + pair dedup + verify joins costing ~15 s where
+    // the brute nested loop costs 1.2 s). Above the gate the lossless
+    // prefix index is the only distributed-safe plan: candidates stay
+    // ≤ all-pairs, nothing broadcasts, and pruning pays off exactly on
+    // the sparse corpora where exact pair joins are runnable at all.
+    val bruteMax = docs.sparkSession.conf
+      .getOption("spark.graft.prefixJoin.bruteMaxDocs").map(_.toLong).getOrElse(20000L)
     val terms = docs
       .select(col(idCol).as("id"),
         explode(filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)).as("term"))
@@ -167,6 +181,29 @@ object PrefixJoin {
     val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val unit = w.join(norms, "id").filter(col("nrm") > 0)
       .select(col("id"), col("tok"), col("df"), (col("w") / col("nrm")).as("u"))
+    if (nDocs <= bruteMax) {
+      // Dense/small regime: stage the sorted sparse vectors once, then
+      // an inner broadcast nested-loop join over id_a < id_b with the
+      // cosine computed IN the join projection — arrays never shuffle,
+      // no posting join, no pair dedup. The staged read-back is one
+      // tiny file (one partition), so the stream side is explicitly
+      // repartitioned or the n²/2 merge-dots run on a single core.
+      val vecs = Dedup.stage(
+        unit.groupBy(col("id"))
+          .agg(sort_array(collect_list(struct(col("tok"), col("u")))).as("kv"))
+          .select(col("id"),
+            transform(col("kv"), x => x.getField("tok")).as("ks"),
+            transform(col("kv"), x => x.getField("u")).as("vs")),
+        "wprefixjoin-brutevecs")
+      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      return vecs.repartition(fanout)
+        .select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va"))
+        .join(broadcast(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb"))),
+          col("id_a") < col("id_b"))
+        .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("tok"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,

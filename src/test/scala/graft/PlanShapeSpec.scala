@@ -208,7 +208,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("weighted prefix join consumes staged tails and broadcasts the verify vectors") {
-    val df = operators.PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.6)
+    // force the index path: the spec corpus sits under the brute gate
+    spark.conf.set("spark.graft.prefixJoin.bruteMaxDocs", "0")
+    val df = try operators.PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.6)
+      finally spark.conf.unset("spark.graft.prefixJoin.bruteMaxDocs")
     val plan = df.queryExecution.executedPlan.toString
     // staged: the tf/df/window pipeline must not re-execute downstream —
     // if tokenization appears in the final plan, staging regressed
@@ -218,6 +221,23 @@ class PlanShapeSpec extends SparkSpec {
     // so candidate rows never shuffle through the verify joins
     assert(plan.contains("BroadcastHashJoin"), s"verify joins not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("weighted prefix join's brute branch: staged vectors, broadcast nested loop, fanned-out stream") {
+    // under the default gate the spec corpus takes the all-pairs branch:
+    // vectors staged once (no term pipeline in the plan), the n²/2 merge
+    // dots ride an inner BroadcastNestedLoopJoin (id_a < id_b is its
+    // pruning condition — NOT a cartesian), and the stream side is
+    // repartitioned so the loop doesn't run on the staged file's single
+    // input partition
+    val df = operators.PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("xxhash64") && !plan.contains("lower("),
+      "vectors not staged; term pipeline re-executes per join side")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"all-pairs must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("Exchange RoundRobinPartitioning"),
+      s"stream side not fanned out; nested loop would run single-core:\n$plan")
   }
 
   test("q149 zone verdict is literal predicate work over a 64-row manifest agg") {

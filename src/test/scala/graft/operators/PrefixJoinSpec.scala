@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 class PrefixJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Force the prefix-index path: every spec corpus sits under the
+    * brute-force gate, so without this the losslessness assertions
+    * would only ever exercise the nested-loop branch.
+    */
+  private def forcingPrefixPath[T](f: => T): T = {
+    spark.conf.set("spark.graft.prefixJoin.bruteMaxDocs", "0")
+    try f finally spark.conf.unset("spark.graft.prefixJoin.bruteMaxDocs")
+  }
+
   private def gramSet(text: String, n: Int): Set[String] = {
     val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     (0 to math.max(ts.length - n, 0)).map(i => ts.slice(i, i + n).mkString(" ")).toSet
@@ -119,8 +128,10 @@ class PrefixJoinSpec extends SparkSpec {
   test("weighted prefix join is LOSSLESS on the full real corpus: pairs and cosines equal brute force") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val t = 0.6
-    val got = PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", t)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = forcingPrefixPath {
+      PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
     val rows = docs.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val brute = bruteTfidfCosine(rows, t)
@@ -136,8 +147,10 @@ class PrefixJoinSpec extends SparkSpec {
     // pair sets and rounded cosines must be identical
     val sliced = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 1000)
-    val viaPrefix = PrefixJoin.weightedCosinePrefixJoin(sliced, "doc_id", "text", 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaPrefix = forcingPrefixPath {
+      PrefixJoin.weightedCosinePrefixJoin(sliced, "doc_id", "text", 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
     val viaBrute = graft.Queries.tfidfCosinePairs(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(viaPrefix.keySet == viaBrute.keySet,
@@ -158,13 +171,29 @@ class PrefixJoinSpec extends SparkSpec {
           if (rnd.nextBoolean()) vocab(rnd.nextInt(5)) else vocab(rnd.nextInt(vocab.size))
         }.mkString(" "))
       }
-      val got = PrefixJoin.weightedCosinePrefixJoin(
-          docs.toDF("doc_id", "text"), "doc_id", "text", t)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = forcingPrefixPath {
+        PrefixJoin.weightedCosinePrefixJoin(
+            docs.toDF("doc_id", "text"), "doc_id", "text", t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
       val brute = bruteTfidfCosine(docs.toArray, t).keySet
       assert(got == brute,
         s"trial=$trial t=$t: missing ${brute -- got}, extra ${got -- brute}")
     }
+  }
+
+  test("the brute nested-loop branch is pair-for-pair identical to the prefix index") {
+    // the adaptive gate must be invisible in the answer: same pairs, same
+    // rounded cosines, whichever physical path the size gate picks
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = 0.6
+    def run() = PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaBrute = run() // under the default gate the spec corpus goes brute
+    val viaPrefix = forcingPrefixPath { run() }
+    assert(viaBrute == viaPrefix,
+      s"missing ${viaPrefix.keySet -- viaBrute.keySet}, extra ${viaBrute.keySet -- viaPrefix.keySet}")
+    assert(viaBrute.nonEmpty, "corpus has no qualifying pairs; test is vacuous")
   }
 
   test("long-tail vocabulary: unigram prefix pruning goes to zero where the full index is quadratic") {
