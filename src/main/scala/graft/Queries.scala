@@ -2295,6 +2295,65 @@ object Queries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** The ANN swap for bounded-k neighbor search — q203's honest 100 TB
+    * path, demonstrated on the same vector model instead of claimed in
+    * prose: the tf-idf unit vectors feature-hashed to dense float
+    * embeddings ([[graft.operators.PrefixJoin.hashedTfidfEmbeddings]],
+    * signed hashing kernel — hashed cosine is an unbiased estimate of
+    * the exact tf-idf cosine) and searched corpus-vs-corpus with
+    * IVF-flat ([[graft.operators.Similarity.ivfSearch]]): train
+    * k-means centroids, assign each vector to its inverted list
+    * scan-locally, probe only the nprobe nearest lists per query for a
+    * 25-candidate shortlist, then rerank the shortlist by EXACT sparse
+    * cosine and keep the top 5 at the q203 floor. Work is
+    * Σ(probe-list sizes) instead of n²/2 — sublinear per query, and
+    * every stage distributes (the lists shuffle on list_id, nothing
+    * quadratic materializes). Rows-only: ANN is approximate by design;
+    * recall ≥ 0.9 of q203's exact answer is spec-gated
+    * (PrefixJoinSpec), which is the contract that makes the swap safe.
+    */
+  def annTopkTfidf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeTextExpressions.register(spark)
+    // stage the unit tf-idf table once: the sparse rerank vectors and
+    // the hashed embeddings both derive from it, and the pipeline is
+    // several shuffles deep (no CSE across DataFrame refs)
+    val unit = stageScratch(spark, "ann-tfidf-unit",
+      graft.operators.PrefixJoin.unitTfidfTable(
+        t(spark, dir, "documents"), "doc_id", "text"))
+    val emb = stageScratch(spark, "ann-tfidf-emb",
+      graft.operators.PrefixJoin.hashedEmbeddingsFromUnit(unit, dim = 256))
+    val sparse = graft.operators.PrefixJoin.sortedVectorsFromUnit(unit)
+    // hashed index → 25-candidate shortlist; EXACT sparse rerank picks
+    // the final 5, so hash distortion can only cost recall via a probe
+    // miss, never by reordering the shortlist. Same floor + tie-break
+    // as q203, so the two answers are directly comparable.
+    // the staged embeddings read back as ONE partition; the inverted
+    // lists inherit that (assignment is scan-local), and the probe join
+    // would score every (query, candidate) pair in a single task — fan
+    // the corpus side out first
+    val fanout = 4 * spark.sparkContext.defaultParallelism
+    // hashed floor 0.6 = the exact 0.8 floor minus generous hash-
+    // distortion slack: candidates whose hashed cosine is below it are
+    // essentially never true ≥0.8 pairs, so the index prunes them
+    // before ranking (the recall gate in spec is the safety net)
+    val shortlist = graft.operators.Similarity
+      .ivfSearch(graft.operators.Similarity
+          .ivfBuild(emb.repartition(fanout), numCentroids = 16, trainIters = 2),
+        emb, k = 25, nprobe = 8, minCosine = Some(0.6))
+      .select(col("query_id").as("doc_id"), col("neighbor_id").as("nbr_id"))
+    val reranked = shortlist
+      .join(broadcast(sparse.select(col("id").as("doc_id"), col("ks").as("ka"), col("vs").as("va"))), "doc_id")
+      .join(broadcast(sparse.select(col("id").as("nbr_id"), col("ks").as("kb"), col("vs").as("vb"))), "nbr_id")
+      .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
+      .filter(col("cosine") >= 0.8)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("nbr_id"), col("cosine"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Survivorship policy over near-dup clusters — q92 keeps each
     * cluster's MIN-ID document; production dedup keeps the BEST copy.
     * Same exact pair graph (3-gram Jaccard ≥ 0.5) and connected

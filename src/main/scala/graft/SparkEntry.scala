@@ -371,7 +371,10 @@ object SparkEntry {
     // per-shard bloom skipping on a non-clustering column
     "q202_bloom_zonemap"     -> Queries.bloomZoneMap _,
     // bounded-output q148: top-5 cosine neighbors per doc at t=0.8
-    "q203_prefix_topk"       -> Queries.prefixJoinTopK _
+    "q203_prefix_topk"       -> Queries.prefixJoinTopK _,
+    // the ANN swap for q203: hashed tf-idf embeddings + IVF-flat top-5
+    // (rows-only; recall ≥ 0.9 vs the exact answer spec-gated)
+    "q204_ann_topk_tfidf"    -> Queries.annTopkTfidf _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k

@@ -169,18 +169,7 @@ object PrefixJoin {
     // the sparse corpora where exact pair joins are runnable at all.
     val bruteMax = docs.sparkSession.conf
       .getOption("spark.graft.prefixJoin.bruteMaxDocs").map(_.toLong).getOrElse(20000L)
-    val terms = docs
-      .select(col(idCol).as("id"),
-        explode(filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)).as("term"))
-      .select(col("id"), xxhash64(col("term")).as("tok"))
-    val tf = terms.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = tf.join(dfT, "tok")
-      .select(col("id"), col("tok"), col("df"),
-        (col("tf") * log(lit(nDocs) / col("df"))).as("w"))
-    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val unit = w.join(norms, "id").filter(col("nrm") > 0)
-      .select(col("id"), col("tok"), col("df"), (col("w") / col("nrm")).as("u"))
+    val unit = unitTfidfTerms(docs, idCol, textCol, nDocs)
     if (nDocs <= bruteMax) {
       // Dense/small regime: stage the sorted sparse vectors once, then
       // an inner broadcast nested-loop join over id_a < id_b with the
@@ -243,5 +232,83 @@ object PrefixJoin {
       .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** (id, tok, df, u): each document's L2-unit tf-idf weights over
+    * whitespace unigram terms (terms XXH64-hashed, idf = ln(N/df)) —
+    * the shared vector model of the weighted prefix join and the
+    * hashed-embedding ANN swap. Zero-norm documents are excluded
+    * (their cosine is undefined).
+    */
+  private[operators] def unitTfidfTerms(docs: DataFrame, idCol: String,
+                                        textCol: String, nDocs: Double): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)).as("term"))
+      .select(col("id"), xxhash64(col("term")).as("tok"))
+    val tf = terms.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfT, "tok")
+      .select(col("id"), col("tok"), col("df"),
+        (col("tf") * log(lit(nDocs) / col("df"))).as("w"))
+    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.join(norms, "id").filter(col("nrm") > 0)
+      .select(col("id"), col("tok"), col("df"), (col("w") / col("nrm")).as("u"))
+  }
+
+  /** Public form of [[unitTfidfTerms]]: the (id, tok, df, u) unit
+    * tf-idf table for `docs`. Callers that derive several artifacts
+    * from it (sparse vectors AND hashed embeddings) should stage the
+    * result once — Spark does no CSE across DataFrame references.
+    */
+  def unitTfidfTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    NativeTextExpressions.register(docs.sparkSession)
+    unitTfidfTerms(docs, idCol, textCol, docs.count().toDouble)
+  }
+
+  /** (id, ks, vs) sorted sparse vectors from a [[unitTfidfTable]] —
+    * the `sorted_dot` input format the exact verify paths use.
+    */
+  def sortedVectorsFromUnit(unit: DataFrame): DataFrame =
+    unit.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("u")))).as("kv"))
+      .select(col("id"),
+        transform(col("kv"), x => x.getField("tok")).as("ks"),
+        transform(col("kv"), x => x.getField("u")).as("vs"))
+
+  /** Feature-hashed dense embeddings of the tf-idf unit vectors —
+    * the bridge from the exact sparse pair joins to the ANN family
+    * ([[Similarity.ivfTopK]] etc.), which needs fixed-dimension
+    * `array<float>` input. Signed hashing kernel (Weinberger et al.,
+    * "Feature Hashing for Large Scale Multitask Learning"): slot =
+    * tok mod dim, sign = one independent hash bit, so collisions
+    * cancel in expectation and E[⟨φ(a), φ(b)⟩] = ⟨a, b⟩ — hashed
+    * cosine is an unbiased estimate of the exact tf-idf cosine, with
+    * variance shrinking in `dim`. Everything is scan-local after the
+    * per-doc agg: slot sums groupBy (id, slot), the dense array
+    * assembles from a slot→value map per document.
+    */
+  def hashedTfidfEmbeddings(docs: DataFrame, idCol: String, textCol: String,
+                            dim: Int = 256): DataFrame =
+    hashedEmbeddingsFromUnit(unitTfidfTable(docs, idCol, textCol), dim)
+
+  /** [[hashedTfidfEmbeddings]] over an existing (possibly staged)
+    * [[unitTfidfTable]].
+    */
+  def hashedEmbeddingsFromUnit(unit: DataFrame, dim: Int = 256): DataFrame = {
+    require(dim >= 2, s"embedding dim must be >= 2, got $dim")
+    val slotted = unit
+      .select(col("id"), pmod(col("tok"), lit(dim)).cast("int").as("slot"),
+        // an independent bit of the 64-bit hash decides the sign; tok
+        // mod dim uses the LOW bits, so take the sign bit from the top
+        when(shiftrightunsigned(col("tok"), 32) % 2 === 0, col("u"))
+          .otherwise(-col("u")).as("sv"))
+      .groupBy(col("id"), col("slot")).agg(sum(col("sv")).as("v"))
+    slotted.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("v")))).as("m"))
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          s => coalesce(element_at(col("m"), s), lit(0.0)).cast("float"))
+          .as("embedding"))
   }
 }

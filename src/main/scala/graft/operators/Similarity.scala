@@ -392,15 +392,23 @@ object Similarity extends org.apache.spark.internal.Logging {
       chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
-      val avgCols = (0 until dim).map(i =>
-        avg(element_at(col("vv"), i + 1)).as(s"m$i"))
+      // per-element cluster means via posexplode → (cid, pos) aggregate:
+      // one narrow shuffle of members × dim rows. The previous
+      // formulation (dim separate avg(element_at) aggregate columns)
+      // compiled a dim+1-expression aggregate per iteration — at dim 256
+      // the plan compile alone cost multiples of the data pass.
       val rows = corpus
         .select(nearestCentroid(col(vecCol), cents).as("cid"), col(vecCol).as("vv"))
+        .select(col("cid"), posexplode(col("vv")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("cid"))
-        .agg(avgCols.head, avgCols.tail.toSeq: _*)
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m")).as("mean"))
         .collect()
       val updated = rows
-        .map(r => (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)))
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).iterator.map(_.toFloat).toArray))
         .toMap
       // a cluster that lost every member keeps its previous centroid (it can
       // regain members as the others move) instead of silently shrinking k
@@ -450,7 +458,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     */
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
+                maxBroadcastQueries: Long = DefaultMaxBroadcastQueries,
+                minCosine: Option[Double] = None): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     // per query: the nprobe nearest centroid lists (scan-local as well).
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
@@ -461,9 +470,14 @@ object Similarity extends org.apache.spark.internal.Logging {
         maybeBroadcast(probes, queries.count(), maxBroadcastQueries), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
+    // optional floor, pushed INTO the probe scan: a caller that only
+    // wants neighbors above a threshold shouldn't rank the sub-floor
+    // candidates at all — on dense corpora the probed lists are large
+    // and this collapses the window input by orders of magnitude
+    val floored = minCosine.fold(scored)(f => scored.filter(col("cosine") >= f))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
+    floored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),

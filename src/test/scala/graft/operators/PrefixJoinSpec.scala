@@ -182,6 +182,44 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  test("ANN swap (q204): hashed-IVF shortlist + exact rerank recalls ≥ 0.9 of q203's exact answer") {
+    // the contract that makes the 100 TB swap safe: the approximate
+    // bounded-k path must find ≥ 90% of the exact (doc, neighbor) rows
+    val sf = "/root/testdata/sf0.01"
+    val exact = graft.Queries.prefixJoinTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.Queries.annTopkTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact answer empty; recall gate is vacuous")
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, f"ANN recall $recall%.4f < 0.9 (|exact|=${exact.size}, |ann|=${ann.size})")
+    // every emitted neighbor is exact-reranked, so precision on the
+    // thresholded pair space is structural: each ANN row is a TRUE
+    // cosine ≥ 0.8 pair (subset of the exact ≥0.8 pair graph)
+    val exactPairSpace = graft.operators.PrefixJoin.weightedCosinePrefixJoin(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 0.8)
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(ann.subsetOf(exactPairSpace), "ANN emitted a pair below the exact 0.8 floor")
+  }
+
+  test("feature hashing preserves tf-idf cosine at large dim (signed hashing kernel)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val exact = PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "no pairs above 0.5; fidelity test is vacuous")
+    val emb = PrefixJoin.hashedTfidfEmbeddings(docs, "doc_id", "text", dim = 4096)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val errs = exact.map { case ((a, b), c) => math.abs(cos(emb(a), emb(b)) - c) }
+    assert(errs.max < 0.05,
+      f"hashed cosine drifted ${errs.max}%.4f from exact at dim 4096")
+  }
+
   test("the brute nested-loop branch is pair-for-pair identical to the prefix index") {
     // the adaptive gate must be invisible in the answer: same pairs, same
     // rounded cosines, whichever physical path the size gate picks
