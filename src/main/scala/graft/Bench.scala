@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin UTC like Verify/Smoke/PlanAudit: normalizeEventTs casts
+      // TIMESTAMP_NTZ through the session zone, so an unpinned bench on
+      // a non-UTC machine would time different instants than verify
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

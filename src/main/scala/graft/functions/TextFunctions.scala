@@ -171,6 +171,17 @@ object TextFunctions {
     * top half; sign → bit, bits folded MSB-first. This is what makes
     * the q35 fingerprint panel hash-checkable against DuckDB rather
     * than rows-only.
+    *
+    * BMP-ONLY assumption (shared with [[rollingFingerprint]], as
+    * scanStringRange documents for its own fold): the char walk is
+    * `split(text, "")` + `ascii`, which in Spark yields UTF-16 CODE
+    * UNITS while the DuckDB oracle's `string_split(..., '')` +
+    * `unicode()` yields CODE POINTS. The two agree on every BMP
+    * character (the entire synthetic corpus) but a supplementary-plane
+    * character (emoji, rare CJK) would split into surrogate halves on
+    * the Spark side and hash differently. For corpora beyond the BMP,
+    * fold code points explicitly on the Spark side or fall back to
+    * [[simhash64]] (engine-specific values, rows-only checkable).
     */
   def portableSimhash32(text: Column): Column = {
     val mod = lit(1000000007L)

@@ -141,31 +141,33 @@ object SkippingIndex {
 
   // ---- per-shard bloom filters -----------------------------------------
 
-  private class BloomAgg(expectedItems: Long, fpp: Double)
-    extends Aggregator[java.lang.Long, BloomFilter, Array[Byte]] {
-    override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
-    override def reduce(b: BloomFilter, v: java.lang.Long): BloomFilter = {
-      if (v != null) b.putLong(v)
-      b
-    }
-    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
-      a.mergeInPlace(b)
-      a
-    }
-    override def finish(b: BloomFilter): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      b.writeTo(out)
-      out.toByteArray
-    }
-    // Java-serialized buffer: each buffer serialization round-trips the
-    // whole filter, which is fine ONLY because the grouping key is
-    // zshard — |shards| groups of manifest-sized state, never row data.
-    // Pointing this aggregator at a high-cardinality group column would
-    // pay that serialization per partial merge; don't.
-    override def bufferEncoder: Encoder[BloomFilter] =
-      Encoders.javaSerialization(classOf[BloomFilter])
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  /** Register Spark's own `BloomFilterAggregate` (the runtime-filter
+    * aggregate from catalyst, a `TypedImperativeAggregate`) under a
+    * graft name. The buffer is the LIVE `util.sketch.BloomFilter`
+    * object — serialization (the filter's native `writeTo`, the same
+    * bytes [[scanEquals]] and [[mergeBloomManifests]] read back) happens
+    * only at partial-aggregate shuffle boundaries, never per row. This
+    * retires the previous `Aggregator` with a Java-serialized buffer —
+    * the last `javaSerialization` encoder in main.
+    */
+  private def registerBloomAgg(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(getClass.getName, null, "graft_bloom_agg"),
+      c => new BloomFilterAggregate(c(0), c(1), c(2)))
   }
+
+  /** Bit width `util.sketch.BloomFilter.create(n, fpp)` would choose —
+    * the aggregate takes (n, numBits), so replicating the formula keeps
+    * the geometry identical to filters built via `create` (merge
+    * compatibility is bit-width + hash-count equality).
+    */
+  private def optimalNumOfBits(n: Long, fpp: Double): Long =
+    (-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
 
   /** One serialized bloom filter per shard over `valueCol` — equality
     * skipping for a column the layout is NOT clustered by (the zone
@@ -186,9 +188,11 @@ object SkippingIndex {
     */
   def bloomManifest(sharded: DataFrame, valueCol: String,
                     expectedPerShard: Long, fpp: Double = 0.01): DataFrame = {
-    val agg = udaf(new BloomAgg(expectedPerShard, fpp))
+    registerBloomAgg(sharded.sparkSession)
+    val numBits = optimalNumOfBits(expectedPerShard, fpp)
     sharded.groupBy(col("zshard"))
-      .agg(agg(col(valueCol).cast("long")).as("bloom"),
+      .agg(expr(s"graft_bloom_agg(CAST(`$valueCol` AS BIGINT), " +
+          s"${expectedPerShard}L, ${numBits}L)").as("bloom"),
         count(lit(1)).as("n_rows"))
   }
 
