@@ -428,6 +428,30 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfSearch minCosine floor: exactly the unfloored sequence filtered and re-ranked") {
+    // the floor is a pushed-down predicate, not a semantics change:
+    // dropping sub-floor candidates before ranking must yield the same
+    // above-floor neighbors in the same order, with ranks compressed
+    val queries = plantedCorpus.filter($"vec_id" < 10)
+    val index = Similarity.ivfBuild(plantedCorpus, numCentroids = 8)
+    val floor = 0.5
+    val unfloored = Similarity.ivfSearch(index, queries, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val floored = Similarity.ivfSearch(index, queries, k = 1000, minCosine = Some(floor))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(floored.nonEmpty, "floor dropped everything; test is vacuous")
+    // the floor applies to the RAW cosine, the emitted value is
+    // round(·, 4): a raw 0.49996 rounds to the floor itself, so rows
+    // whose ROUNDED value sits exactly at the boundary are undecidable
+    // from the output — compare strictly above it (and check floored
+    // never emits below the floor)
+    assert(floored.forall(_._3 >= floor), "floored emitted a sub-floor row")
+    val boundary = floor + 5e-5
+    val expected = unfloored.filter(_._3 >= boundary)
+    assert(floored.filter(_._3 >= boundary).toSeq.sorted == expected.toSeq.sorted,
+      s"floored != filtered unfloored away from the rounding boundary")
+  }
+
   test("approximate similarity plans never go cartesian; exact baseline does by design") {
     // banded LSH and IVF must stay equi-join shaped (bucket / list keys) —
     // a nested-loop or cartesian anywhere means the bucketing fell through.
