@@ -2338,7 +2338,7 @@ object Queries {
     // before ranking (the recall gate in spec is the safety net)
     val shortlist = graft.operators.Similarity
       .ivfSearch(graft.operators.Similarity
-          .ivfBuild(emb.repartition(fanout), numCentroids = 16, trainIters = 2),
+          .ivfBuild(emb.repartition(fanout), numCentroids = 16, trainIters = 1),
         emb, k = 25, nprobe = 8, minCosine = Some(0.6))
       .select(col("query_id").as("doc_id"), col("neighbor_id").as("nbr_id"))
     val reranked = shortlist

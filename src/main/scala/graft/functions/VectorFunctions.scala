@@ -208,6 +208,50 @@ case class QuantizedCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense `array<float>` of length `dim` from per-document sparse
+  * (slot, value) entries — the assembly step of the feature-hashed
+  * tf-idf embeddings. One allocation + one pass over the entries per
+  * document; the declarative alternative (`transform(sequence(0,
+  * dim−1), s → element_at(map, s))`) evaluates an interpreted HOF
+  * lambda per OUTPUT element with an O(entries) map scan inside —
+  * O(dim × entries) interpreted work per document, measured as the
+  * dominant cost of the embedding build at dim 256. Entries with
+  * out-of-range slots throw (they indicate a broken hash upstream);
+  * duplicate slots last-write-win (the upstream groupBy makes them
+  * unique).
+  */
+case class SparseToDense(child: Expression, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "sparse_to_dense"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+      if s.length == 2 && s(0).dataType == org.apache.spark.sql.types.IntegerType &&
+        s(1).dataType == DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sparse_to_dense expects array<struct<slot:int,v:double>>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val entries = input.asInstanceOf[ArrayData]
+    val out = new Array[Float](dim)
+    val n = entries.numElements()
+    var i = 0
+    while (i < n) {
+      val e = entries.getStruct(i, 2)
+      out(e.getInt(0)) = e.getDouble(1).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** (name → builder) for every vector function — the single source both
@@ -221,7 +265,8 @@ object VectorFunctions {
       litNum(c(1), "numTables").toInt, litNum(c(2), "bits").toInt,
       litNum(c(3), "seed"))),
     "quantize_i8" -> (c => QuantizeI8(c.head)),
-    "cosine_sim_i8" -> (c => QuantizedCosine(c.head, c(1))))
+    "cosine_sim_i8" -> (c => QuantizedCosine(c.head, c(1))),
+    "sparse_to_dense" -> (c => SparseToDense(c.head, litNum(c(1), "dim").toInt)))
 
   /** Register every vector function on this session's registry so they
     * are usable from both `expr(...)` and `spark.sql(...)`. Idempotent.

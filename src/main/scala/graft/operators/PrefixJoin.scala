@@ -293,10 +293,14 @@ object PrefixJoin {
     hashedEmbeddingsFromUnit(unitTfidfTable(docs, idCol, textCol), dim)
 
   /** [[hashedTfidfEmbeddings]] over an existing (possibly staged)
-    * [[unitTfidfTable]].
+    * [[unitTfidfTable]]. The dense assembly is the native
+    * `sparse_to_dense` (one pass per document) — the declarative
+    * map-lookup formulation paid O(dim × entries) interpreted HOF work
+    * per document and dominated the embedding build.
     */
   def hashedEmbeddingsFromUnit(unit: DataFrame, dim: Int = 256): DataFrame = {
     require(dim >= 2, s"embedding dim must be >= 2, got $dim")
+    graft.functions.VectorFunctions.register(unit.sparkSession)
     val slotted = unit
       .select(col("id"), pmod(col("tok"), lit(dim)).cast("int").as("slot"),
         // an independent bit of the 64-bit hash decides the sign; tok
@@ -305,10 +309,8 @@ object PrefixJoin {
           .otherwise(-col("u")).as("sv"))
       .groupBy(col("id"), col("slot")).agg(sum(col("sv")).as("v"))
     slotted.groupBy(col("id"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("v")))).as("m"))
+      .agg(collect_list(struct(col("slot"), col("v"))).as("entries"))
       .select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          s => coalesce(element_at(col("m"), s), lit(0.0)).cast("float"))
-          .as("embedding"))
+        expr(s"sparse_to_dense(entries, $dim)").as("embedding"))
   }
 }
