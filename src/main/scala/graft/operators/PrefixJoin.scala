@@ -44,7 +44,28 @@ object PrefixJoin {
     */
   def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val sets = Dedup.stage(orderedSets(docs, idCol, textCol, n), "prefixjoin-sets")
+    // Same cost-gated physical strategy as [[weightedCosinePrefixJoin]]:
+    // under the gate, n²/2 codegen'd merge-Jaccards through one
+    // broadcast nested-loop join beat the posting self-join + pair
+    // dedup + two verify joins. sets is already staged, so the gate's
+    // count() is parquet metadata, and the set arrays re-sort by gram
+    // hash (orderedSets orders by rarity; the merge needs value order).
+    val bruteMax = docs.sparkSession.conf
+      .getOption("spark.graft.prefixJoin.bruteMaxDocs").map(_.toLong).getOrElse(20000L)
+    if (sets.count() <= bruteMax) {
+      val sorted = sets.select(col("id"), array_sort(col("toks")).as("toks"))
+      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      return sorted.repartition(fanout)
+        .select(col("id").as("id_a"), col("toks").as("ta"))
+        .join(broadcast(sorted.select(col("id").as("id_b"), col("toks").as("tb"))),
+          col("id_a") < col("id_b"))
+        .withColumn("jaccard", expr("jaccard_sorted(ta, tb)"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
     val prefix = prefixPostings(sets, threshold)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))

@@ -252,11 +252,24 @@ class PlanShapeSpec extends SparkSpec {
 
   test("prefix join consumes the STAGED set table: no gram recompute downstream") {
     // the returned frame must read the staged parquet — if word_ngram_hashes
-    // appears in its plan, the 3-consumer re-execution regressed
-    val df = operators.PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 0.6, 3)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("word_ngram_hashes"),
-      "set table not staged; gram pipeline re-executes per consumer")
+    // appears in its plan, the 3-consumer re-execution regressed.
+    // Checked on BOTH physical paths (brute under the default gate,
+    // index forced) — each consumes the staged sets, never the pipeline.
+    val brutePlan = operators.PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 0.6, 3)
+      .queryExecution.executedPlan.toString
+    assert(!brutePlan.contains("word_ngram_hashes"),
+      "brute branch: set table not staged; gram pipeline re-executes per side")
+    assert(brutePlan.contains("BroadcastNestedLoopJoin") &&
+      !brutePlan.contains("CartesianProduct") &&
+      brutePlan.contains("Exchange RoundRobinPartitioning"),
+      s"brute branch shape wrong:\n$brutePlan")
+    spark.conf.set("spark.graft.prefixJoin.bruteMaxDocs", "0")
+    val indexPlan = try operators.PrefixJoin
+      .jaccardPrefixJoin(docs, "doc_id", "text", 0.6, 3)
+      .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.prefixJoin.bruteMaxDocs")
+    assert(!indexPlan.contains("word_ngram_hashes"),
+      "index path: set table not staged; gram pipeline re-executes per consumer")
   }
 
   test("fd profile unrolls four FDs from ONE scan of orders") {

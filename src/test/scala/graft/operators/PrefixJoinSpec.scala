@@ -37,8 +37,10 @@ class PrefixJoinSpec extends SparkSpec {
       (7L, "alpha one totally")                // shares tokens, low jac
     ).toDF("doc_id", "text")
     val t = 0.6
-    val got = PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = forcingPrefixPath {
+      PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
     val brute = (for {
       (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
@@ -53,8 +55,10 @@ class PrefixJoinSpec extends SparkSpec {
   test("prefix filtering is lossless on the real corpus at the q136 settings (3-grams)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val t = 0.6
-    val got = PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = forcingPrefixPath {
+      PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
     val rows = docs.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val brute = (for {
@@ -91,8 +95,10 @@ class PrefixJoinSpec extends SparkSpec {
         (i.toLong, words.mkString(" "))
       }.toDF("doc_id", "text")
       for ((t, n) <- Seq((0.5, 1), (0.8, 2))) {
-        val got = PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = forcingPrefixPath {
+          PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", t, n)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
         val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
         val brute = (for {
           (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
@@ -220,6 +226,17 @@ class PrefixJoinSpec extends SparkSpec {
       f"hashed cosine drifted ${errs.max}%.4f from exact at dim 4096")
   }
 
+  test("jaccard brute nested-loop branch is pair-for-pair identical to the prefix index") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run() = PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 0.6, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaBrute = run() // default gate: spec corpus goes brute
+    val viaPrefix = forcingPrefixPath { run() }
+    assert(viaBrute == viaPrefix,
+      s"missing ${viaPrefix.keySet -- viaBrute.keySet}, extra ${viaBrute.keySet -- viaPrefix.keySet}")
+    assert(viaBrute.nonEmpty, "corpus has no qualifying pairs; test is vacuous")
+  }
+
   test("the brute nested-loop branch is pair-for-pair identical to the prefix index") {
     // the adaptive gate must be invisible in the answer: same pairs, same
     // rounded cosines, whichever physical path the size gate picks
@@ -246,7 +263,8 @@ class PrefixJoinSpec extends SparkSpec {
     val (pruned, full) = PrefixJoin.candidateCounts(docs, "doc_id", "text", 0.6, n = 1)
     assert(full == 100L * 99 / 2, s"stopwords must pair every doc in the full index: $full")
     assert(pruned == 0, s"df-1 prefixes cannot collide, got $pruned")
-    assert(PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 0.6, n = 1).count() == 0)
+    assert(forcingPrefixPath {
+      PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 0.6, n = 1).count() } == 0)
   }
 
   test("q203 top-k neighbors: exactly the per-doc top-5 cut of the symmetrized pair set") {
