@@ -2322,7 +2322,11 @@ object Queries {
         t(spark, dir, "documents"), "doc_id", "text"))
     val emb = stageScratch(spark, "ann-tfidf-emb",
       graft.operators.PrefixJoin.hashedEmbeddingsFromUnit(unit, dim = 256))
-    val sparse = graft.operators.PrefixJoin.sortedVectorsFromUnit(unit)
+    // the rerank broadcasts the sorted vectors TWICE (side a / side b,
+    // different projections — no exchange reuse), so the per-doc
+    // sort_array aggregate would execute twice; stage it once
+    val sparse = stageScratch(spark, "ann-tfidf-sparse",
+      graft.operators.PrefixJoin.sortedVectorsFromUnit(unit))
     // hashed index → 25-candidate shortlist; EXACT sparse rerank picks
     // the final 5, so hash distortion can only cost recall via a probe
     // miss, never by reordering the shortlist. Same floor + tie-break
@@ -2336,10 +2340,28 @@ object Queries {
     // distortion slack: candidates whose hashed cosine is below it are
     // essentially never true ≥0.8 pairs, so the index prunes them
     // before ranking (the recall gate in spec is the safety net)
+    // IVF geometry scales with the corpus: ~sqrt(n) centroids (the
+    // standard IVF sizing — 22 lists at sf0.01's 500 docs, 71 at
+    // sf0.1's 5 000), so nprobe=8 scans ~1/9 of the corpus at sf0.1
+    // instead of the 1/2 a fixed 16-list codebook forces, and a small
+    // corpus is never oversharded into lists too thin to recall from.
+    // the QUERY side needs the same fan-out as the build side: the
+    // staged embedding parquet reads back as one partition, and the
+    // per-query probe-list expression (interpreted HOF over the inlined
+    // codebook) would otherwise evaluate in a single task (~3 s here)
+    val nVecs = emb.count()
+    val nLists = math.max(4, math.round(math.sqrt(nVecs.toDouble)).toInt)
+    // nprobe sized for the recall gate ON THIS CORPUS: template-dense
+    // near-dup text spreads true ≥0.8 neighbors across lists, so the
+    // gate needs ~3/8 of the lists probed (measured at sf0.1: recall
+    // 0.836 at nprobe/nLists=1/8, 0.956 at 2/8, 0.983 at 3/8). On a
+    // clustered real-world corpus the fraction falls and the probe cost
+    // falls with it — the recall spec, not the fraction, is the contract.
+    val nprobe = math.max(8, (3 * nLists + 7) / 8)
     val shortlist = graft.operators.Similarity
       .ivfSearch(graft.operators.Similarity
-          .ivfBuild(emb.repartition(fanout), numCentroids = 16, trainIters = 1),
-        emb, k = 25, nprobe = 8, minCosine = Some(0.6))
+          .ivfBuild(emb.repartition(fanout), numCentroids = nLists, trainIters = 1),
+        emb.repartition(fanout), k = 25, nprobe = nprobe, minCosine = Some(0.6))
       .select(col("query_id").as("doc_id"), col("neighbor_id").as("nbr_id"))
     val reranked = shortlist
       .join(broadcast(sparse.select(col("id").as("doc_id"), col("ks").as("ka"), col("vs").as("va"))), "doc_id")

@@ -253,8 +253,23 @@ object Similarity extends org.apache.spark.internal.Logging {
     */
   val DefaultMaxBroadcastQueries: Long = 1L << 20
 
-  private def maybeBroadcast(df: DataFrame, rows: Long, maxRows: Long) =
-    if (rows <= maxRows) broadcast(df) else df
+  /** Broadcast `df` iff its estimated row count is within `maxRows`.
+    * The estimate comes from Catalyst's own plan statistics (CBO row
+    * count when available, else sizeInBytes over the schema's default
+    * row width) — the same signal Spark's broadcast-join selection
+    * uses, and crucially it costs NO job. An exact `count()` here ran
+    * the query subtree (scan + any repartition shuffle) once per
+    * search call purely to pick a join strategy; either join produces
+    * identical rows, so an estimate is all the decision deserves.
+    */
+  private def maybeBroadcast(df: DataFrame, maxRows: Long) = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val estRows = stats.rowCount.map(_.longValue).getOrElse {
+      val rowBytes = math.max(1L, df.schema.defaultSize.toLong)
+      (stats.sizeInBytes / rowBytes).toLong
+    }
+    if (estRows <= maxRows) broadcast(df) else df
+  }
 
   /** ANN top-k: bucket corpus and queries by banded SRP-LSH, join on
     * (table, bucket), dedup candidates, rank within query. Trades recall
@@ -280,7 +295,7 @@ object Similarity extends org.apache.spark.internal.Logging {
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cb = banded(corpus, "neighbor")
     val qb = banded(queries, "query")
-    val scored = cb.join(maybeBroadcast(qb, queries.count(), maxBroadcastQueries),
+    val scored = cb.join(maybeBroadcast(qb, maxBroadcastQueries),
         Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("query_vec"),
@@ -333,18 +348,22 @@ object Similarity extends org.apache.spark.internal.Logging {
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
   }
 
-  /** Lloyd's k-means over the embedding column: per iteration, ONE
-    * distributed pass — scan-local nearest-centroid assignment against the
-    * inlined codebook, then a single groupBy(centroid) computing all
-    * per-dimension means as `avg(element_at(...))` columns (no posexplode
-    * row blowup, no second shuffle). The k × dim codebook rides the driver
-    * between iterations — it is small by definition; the DATA never
-    * collects. Initialization is deterministic k-means++-style
-    * farthest-first seeding over a bounded sample; a cluster
-    * that empties keeps its previous centroid (k never shrinks). At 100 TB,
-    * train on a sample
-    * (`corpus.sample(...)`) — centroid quality needs representative data,
-    * not all of it — then assign the full corpus once in [[ivfTopK]].
+  /** Lloyd's k-means over the embedding column, trained entirely on a
+    * bounded driver-side sample — the FAISS recipe (its coarse
+    * quantizers train on a capped sample by default): centroid QUALITY
+    * needs representative data, not all of it, and a codebook is k × dim
+    * floats however it was trained. The corpus contributes one `limit`
+    * job (a partition or two at any scale); every Lloyd iteration is
+    * then driver-local float math over ≤ max(k, 1024) vectors — no
+    * distributed pass per iteration, so training cost is independent of
+    * corpus size. (An earlier formulation ran each Lloyd assignment as a
+    * full-corpus scan + posexplode mean aggregate; at 100 TB that is
+    * `iters` extra corpus passes buying nothing the sample can't.) The
+    * full corpus is touched exactly once afterwards, by the scan-local
+    * list ASSIGNMENT in [[ivfBuild]]/[[ivfTopK]]. Initialization is
+    * deterministic k-means++-style farthest-first seeding over the same
+    * sample; a cluster that empties keeps its previous centroid (k never
+    * shrinks); no RNG anywhere, so replays train identical codebooks.
     */
   def trainCentroidsLocal(corpus: DataFrame, numCentroids: Int, iters: Int = 3,
                           idCol: String = "vec_id", vecCol: String = "embedding"
@@ -388,33 +407,31 @@ object Similarity extends org.apache.spark.internal.Logging {
         if (d < minDist(j)) minDist(j) = d
       }
     }
-    var cents: Seq[(Long, Array[Float])] =
-      chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-    val dim = cents.head._2.length
+    var cents: Array[Array[Float]] = chosen.toArray
+    val dim = cents.head.length
     for (_ <- 1 to iters) {
-      // per-element cluster means via posexplode → (cid, pos) aggregate:
-      // one narrow shuffle of members × dim rows. The previous
-      // formulation (dim separate avg(element_at) aggregate columns)
-      // compiled a dim+1-expression aggregate per iteration — at dim 256
-      // the plan compile alone cost multiples of the data pass.
-      val rows = corpus
-        .select(nearestCentroid(col(vecCol), cents).as("cid"), col(vecCol).as("vv"))
-        .select(col("cid"), posexplode(col("vv")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          transform(col("pm"), x => x.getField("m")).as("mean"))
-        .collect()
-      val updated = rows
-        .map(r => (r.getLong(0),
-          r.getSeq[Double](1).iterator.map(_.toFloat).toArray))
-        .toMap
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { case (_, v) =>
+        var best = 0; var bs = cos(v, cents(0))
+        var c = 1
+        while (c < cents.length) {
+          val s = cos(v, cents(c))
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
       // a cluster that lost every member keeps its previous centroid (it can
       // regain members as the others move) instead of silently shrinking k
-      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
     }
-    cents
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
   }
 
   /** [[trainCentroidsLocal]] as a DataFrame (centroid_id, centroid_vec). */
@@ -467,7 +484,7 @@ object Similarity extends org.apache.spark.internal.Logging {
 
     // search only the probed lists.
     val scored = index.assigned.join(
-        maybeBroadcast(probes, queries.count(), maxBroadcastQueries), Seq("list_id"))
+        maybeBroadcast(probes, maxBroadcastQueries), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
     // optional floor, pushed INTO the probe scan: a caller that only
@@ -745,7 +762,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     val shortlistW = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
     val shortlist = index.assigned
-      .join(maybeBroadcast(probes, queries.count(), maxBroadcastQueries), Seq("list_id"))
+      .join(maybeBroadcast(probes, maxBroadcastQueries), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx_cosine", adcCosine(pqCodeNorms(index.codebooks)))
       .withColumn("srk", row_number().over(shortlistW))
@@ -863,7 +880,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     val shortlistW = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
     val shortlist = index.assigned
-      .join(maybeBroadcast(probes, queries.count(), maxBroadcastQueries), Seq("list_id"))
+      .join(maybeBroadcast(probes, maxBroadcastQueries), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx_cosine",
         when(vNorm2 > 0.0d && col("q_norm") > 0.0d,
