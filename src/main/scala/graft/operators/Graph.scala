@@ -33,7 +33,10 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"))
+    // consumed by the node set, the degree table, and every iteration's
+    // rank join — checkpoint once so the caller's edge-derivation
+    // subtree doesn't re-execute iters+2 times
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -44,6 +47,7 @@ object Graph {
       val out = Dedup.stage(nodes.select(col("node"), lit(1.0).as("rank")), "pagerank")
       Checkpoints.release(nodes)
       Checkpoints.release(deg)
+      Checkpoints.release(e)
       return out
     }
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
@@ -67,6 +71,7 @@ object Graph {
     Checkpoints.release(ranks)
     Checkpoints.release(nodes)
     Checkpoints.release(deg)
+    Checkpoints.release(e)
     out
   }
 
@@ -87,7 +92,11 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"))
+    // the edge list is consumed twice per iteration (auth and hub
+    // joins) plus once for the node set — checkpoint it or the caller's
+    // edge-derivation subtree (often a window over a raw event scan)
+    // re-executes 2×iters+1 times
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -95,6 +104,7 @@ object Graph {
       val out = Dedup.stage(
         nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth")), "hits")
       Checkpoints.release(nodes)
+      Checkpoints.release(e)
       return out
     }
     var scores = nodes
@@ -134,6 +144,7 @@ object Graph {
     val out = Dedup.stage(scores, "hits")
     Checkpoints.release(scores)
     Checkpoints.release(nodes)
+    Checkpoints.release(e)
     out
   }
 
@@ -158,7 +169,9 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst"))
+    // consumed once per hop — checkpoint so the caller's edge subtree
+    // executes once, not maxHops times
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var visited = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("hops")).localCheckpoint()
     var frontier = visited
@@ -181,6 +194,7 @@ object Graph {
     val out = Dedup.stage(visited, "bfs_hops")
     Checkpoints.release(visited)
     if (frontier ne visited) Checkpoints.release(frontier)
+    Checkpoints.release(e)
     out
   }
 
