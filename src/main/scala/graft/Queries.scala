@@ -2226,9 +2226,13 @@ object Queries {
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nRow = docs.agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(dfT, "term").crossJoin(broadcast(nRow))
-      .select(col("doc_id"), col("term"),
-        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    // consumed three times (norms + both sides of the term self-join):
+    // stage the narrow weight table once or the explode/tf/df pipeline
+    // re-executes per consumer
+    val w = stageScratch(spark, "tfidf-w",
+      tf.join(dfT, "term").crossJoin(broadcast(nRow))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w")))
     val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
