@@ -208,6 +208,19 @@ class PrefixJoinSpec extends SparkSpec {
     assert(ann.subsetOf(exactPairSpace), "ANN emitted a pair below the exact 0.8 floor")
   }
 
+  test("ANN swap (q204) holds the 0.9 recall gate at sf0.1 — the driver's bench scale") {
+    // the sqrt(n) IVF geometry adapts with corpus size; gate the recall
+    // contract at the SF the bench prices, not only the small one
+    val sf = "/root/testdata/sf0.1"
+    val exact = graft.Queries.prefixJoinTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.Queries.annTopkTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact answer empty; recall gate is vacuous")
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, f"ANN recall $recall%.4f < 0.9 at sf0.1 (|exact|=${exact.size}, |ann|=${ann.size})")
+  }
+
   test("feature hashing preserves tf-idf cosine at large dim (signed hashing kernel)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 200)
