@@ -212,6 +212,21 @@ class OperatorsSpec extends SparkSpec {
     assert(cents.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("k-means training is deterministic and converges to planted cluster means") {
+    // sample-local Lloyd: no RNG anywhere, so two runs must train
+    // bit-identical codebooks; and on a cleanly separated 2-cluster
+    // corpus one iteration must land each centroid on its cluster mean
+    val pts = ((0 until 30).map(i => (i.toLong, Array(1f, 0.1f * (i % 3), 0f))) ++
+      (30 until 60).map(i => (i.toLong, Array(0f, 0.1f * (i % 3), 1f)))).toDF("vec_id", "embedding")
+    val a = Similarity.trainCentroidsLocal(pts, numCentroids = 2, iters = 2)
+    val b = Similarity.trainCentroidsLocal(pts, numCentroids = 2, iters = 2)
+    assert(a.map(_._2.toSeq) == b.map(_._2.toSeq), "replayed training diverged")
+    // each planted cluster mean: first component 1 or 0, third 0 or 1
+    val leads = a.map(c => (c._2(0), c._2(2)))
+    assert(leads.exists { case (x, z) => x > 0.9 && z < 0.1 }, s"no centroid on cluster A: $leads")
+    assert(leads.exists { case (x, z) => x < 0.1 && z > 0.9 }, s"no centroid on cluster B: $leads")
+  }
+
   test("k-means init keeps k on a gappy id space (some ids < k, fewer than k)") {
     // ids 0 and 2 exist below k=4 but most ids are far away — the seeding
     // must still produce 4 centroids, never silently fewer
