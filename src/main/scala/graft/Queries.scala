@@ -2318,19 +2318,17 @@ object Queries {
     */
   def annTopkTfidf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeTextExpressions.register(spark)
-    // stage the unit tf-idf table once: the sparse rerank vectors and
-    // the hashed embeddings both derive from it, and the pipeline is
-    // several shuffles deep (no CSE across DataFrame refs)
-    val unit = stageScratch(spark, "ann-tfidf-unit",
-      graft.operators.PrefixJoin.unitTfidfTable(
-        t(spark, dir, "documents"), "doc_id", "text"))
-    val emb = stageScratch(spark, "ann-tfidf-emb",
-      graft.operators.PrefixJoin.hashedEmbeddingsFromUnit(unit, dim = 256))
-    // the rerank broadcasts the sorted vectors TWICE (side a / side b,
-    // different projections — no exchange reuse), so the per-doc
-    // sort_array aggregate would execute twice; stage it once
-    val sparse = stageScratch(spark, "ann-tfidf-sparse",
-      graft.operators.PrefixJoin.sortedVectorsFromUnit(unit))
+    // ONE staged artifact carries both vector forms: the sparse rerank
+    // vectors (consumed twice — side a / side b broadcasts, no exchange
+    // reuse) and the hashed dense embeddings (consumed by build + query
+    // sides). Column pruning means each consumer reads only its columns
+    // from the staged parquet; the tf-idf pipeline executes once.
+    val vecs = stageScratch(spark, "ann-tfidf-vecs",
+      graft.operators.PrefixJoin.vectorTableFromUnit(
+        graft.operators.PrefixJoin.unitTfidfTable(
+          t(spark, dir, "documents"), "doc_id", "text"), dim = 256))
+    val emb = vecs.select(col("id").as("vec_id"), col("embedding"))
+    val sparse = vecs.select(col("id"), col("ks"), col("vs"))
     // hashed index → 25-candidate shortlist; EXACT sparse rerank picks
     // the final 5, so hash distortion can only cost recall via a probe
     // miss, never by reordering the shortlist. Same floor + tie-break

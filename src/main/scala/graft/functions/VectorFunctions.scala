@@ -237,14 +237,21 @@ case class SparseToDense(child: Expression, dim: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val entries = input.asInstanceOf[ArrayData]
-    val out = new Array[Float](dim)
+    // accumulate in double and cast once: entries with a REPEATED slot
+    // sum (so a signed-hash kernel can feed raw per-term entries without
+    // a pre-summing aggregate); unique-slot inputs are byte-identical to
+    // the previous overwrite semantics (one value, same single cast)
+    val acc = new Array[Double](dim)
     val n = entries.numElements()
     var i = 0
     while (i < n) {
       val e = entries.getStruct(i, 2)
-      out(e.getInt(0)) = e.getDouble(1).toFloat
+      acc(e.getInt(0)) += e.getDouble(1)
       i += 1
     }
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = acc(i).toFloat; i += 1 }
     new GenericArrayData(out)
   }
 

@@ -313,6 +313,34 @@ object PrefixJoin {
                             dim: Int = 256): DataFrame =
     hashedEmbeddingsFromUnit(unitTfidfTable(docs, idCol, textCol), dim)
 
+  /** One aggregation producing BOTH vector artifacts of a document —
+    * (id, ks, vs, embedding): the sorted sparse tf-idf vector (the
+    * `sorted_dot` exact-rerank format) and its feature-hashed dense
+    * embedding (the ANN index/query format). A pipeline that needs both
+    * (q204: IVF shortlist + exact rerank) previously ran three
+    * aggregations over the unit table and staged two tables; here the
+    * single per-doc collect feeds the dense assembly scan-locally — the
+    * signed entries go to `sparse_to_dense` un-pre-summed, which is why
+    * that kernel accumulates on repeated slots. Column pruning keeps
+    * consumers honest: a reader of `embedding` never pays for ks/vs in
+    * the staged parquet and vice versa.
+    */
+  def vectorTableFromUnit(unit: DataFrame, dim: Int = 256): DataFrame = {
+    require(dim >= 2, s"embedding dim must be >= 2, got $dim")
+    graft.functions.VectorFunctions.register(unit.sparkSession)
+    unit.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("u")))).as("kv"))
+      .select(col("id"),
+        transform(col("kv"), x => x.getField("tok")).as("ks"),
+        transform(col("kv"), x => x.getField("u")).as("vs"),
+        expr(s"""sparse_to_dense(
+             |  transform(kv, x -> struct(
+             |    cast(pmod(x.tok, $dim) as int) as slot,
+             |    case when pmod(shiftrightunsigned(x.tok, 32), 2) = 0
+             |         then x.u else -x.u end as v)),
+             |  $dim)""".stripMargin).as("embedding"))
+  }
+
   /** [[hashedTfidfEmbeddings]] over an existing (possibly staged)
     * [[unitTfidfTable]]. The dense assembly is the native
     * `sparse_to_dense` (one pass per document) — the declarative

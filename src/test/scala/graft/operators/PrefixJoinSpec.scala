@@ -221,6 +221,31 @@ class PrefixJoinSpec extends SparkSpec {
     assert(recall >= 0.9, f"ANN recall $recall%.4f < 0.9 at sf0.1 (|exact|=${exact.size}, |ann|=${ann.size})")
   }
 
+  test("sparse_to_dense accumulates repeated slots (and matches the pre-summed path)") {
+    graft.functions.VectorFunctions.register(spark)
+    // repeated slot 1 must SUM (0.5 + 0.25), not last-write-win
+    val got = spark.sql(
+      """SELECT sparse_to_dense(array(
+        |  struct(1 as slot, 0.5d as v),
+        |  struct(3 as slot, -1.0d as v),
+        |  struct(1 as slot, 0.25d as v)), 4) AS e""".stripMargin)
+      .collect()(0).getSeq[Float](0)
+    assert(got == Seq(0f, 0.75f, 0f, -1f), s"got $got")
+    // the merged vector table's embedding (un-pre-summed signed entries)
+    // must agree with the groupBy-pre-summed formulation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val unit = PrefixJoin.unitTfidfTable(docs, "doc_id", "text")
+    val a = PrefixJoin.vectorTableFromUnit(unit, dim = 64)
+      .select(col("id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = PrefixJoin.hashedEmbeddingsFromUnit(unit, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a.keySet == b.keySet)
+    for (id <- a.keySet; (x, y) <- a(id).zip(b(id)))
+      assert(math.abs(x - y) < 1e-5f, s"doc $id drifted: $x vs $y")
+  }
+
   test("feature hashing preserves tf-idf cosine at large dim (signed hashing kernel)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 200)
