@@ -1144,9 +1144,17 @@ object Queries {
     val terms = Seq("spark", "vector", "stream")
     val (k1, b) = (1.2, 0.75)
     val docs = t(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // per-doc lengths feed both the corpus stats and the score join —
+    // stage the doc-sized length table so ITS explode runs once. The tf
+    // path keeps its own corpus scan on purpose: staging the full token
+    // explode would write a corpus-sized table to save a corpus-sized
+    // read, a wash at best; two scans total (was three) is the floor
+    // without that trade
+    val dl = stageScratch(spark, "bm25-dl",
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = toks.filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1352,8 +1360,12 @@ object Queries {
     * and round(4) pins the hash.
     */
   def unigramCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // three consumers (LM counts, total, per-doc join): stage the
+    // narrow token table so the corpus is scanned and tokenized once —
+    // the q162 single-scan rule
+    val toks = stageScratch(spark, "unigram-toks",
+      t(spark, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
     val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("n"))
     toks.join(broadcast(lm), "tok")
@@ -2872,8 +2884,13 @@ object Queries {
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
-    val counts = toks.groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("c"))
+    // every downstream frame (totals, probs×3, langs, terms) expands
+    // from this aggregate — unstaged, the corpus explode would re-run
+    // once per reference chain (~8×); staged, it runs once and the
+    // re-reads are scans of a |vocab|×|langs| table
+    val counts = stageScratch(spark, "jsd-counts",
+      toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("c")))
     val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
     val probs = counts.join(broadcast(totals), "lang")
       .select(col("lang"), col("tok"), (col("c") / col("tot")).as("p"))
@@ -3499,11 +3516,14 @@ object Queries {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    val big = toks.select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
-          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // three consumers (bigram counts, left-marginal counts, per-doc
+    // join): stage the narrow bigram table — one corpus scan (q162 rule)
+    val big = stageScratch(spark, "bixent-bigrams",
+      toks.select(col("doc_id"),
+          explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val c12 = big.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("double").as("c12"))
     val c1 = big.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
@@ -3583,10 +3603,13 @@ object Queries {
     * float math is the final closed form (no Welford merge-order drift).
     */
   def dailyAcf(spark: SparkSession, dir: String): DataFrame = {
-    val daily = t(spark, dir, "events")
-      .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
-      .agg(count(lit(1)).as("c"))
+    // the series joins itself (current vs lagged) — stage the tiny
+    // days×types table so the event scan + aggregate run once
+    val daily = stageScratch(spark, "acf-daily",
+      t(spark, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("c")))
     val sprayed = daily
       .withColumn("lag", explode(array(lit(1), lit(2), lit(3), lit(7))))
     val prev = daily.select(col("event_type").as("ptype"),
@@ -3621,10 +3644,13 @@ object Queries {
     * tie-break — never a second pass.
     */
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
-    val daily = t(spark, dir, "events")
-      .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
-      .agg(count(lit(1)).as("c"))
+    // consumed by the per-type stats AND the cumulative walk — stage
+    // the tiny days×types series so the event scan runs once
+    val daily = stageScratch(spark, "cusum-daily",
+      t(spark, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("c")))
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("tot"),
         sum(col("c") * col("c")).as("sqtot"))
