@@ -794,9 +794,12 @@ object Queries {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // document frequency is derivable FROM tf (its rows are exactly the
+    // distinct (doc, tok) pairs), so stage the narrow tf aggregate once
+    // and the corpus is tokenized once instead of twice
+    val tf = stageScratch(spark, "tfidf-tf",
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val score = col("tf").cast("double") * col("n") / col("df")
     tf.join(dfreq, "tok")
@@ -2751,11 +2754,15 @@ object Queries {
   def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("lang"), col("source"))
-    val obs = docs.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).cast("double").as("o"))
-    val rowTot = docs.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("rl"))
-    val colTot = docs.groupBy(col("source")).agg(count(lit(1)).cast("double").as("cs"))
-    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    // the marginals and the grand total are derivable FROM the
+    // contingency table — roll them up from the staged |langs|×|sources|
+    // aggregate instead of re-scanning the corpus three more times
+    val obs = stageScratch(spark, "chi2-obs",
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("double").as("o")))
+    val rowTot = obs.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
+    val colTot = obs.groupBy(col("source")).agg(sum(col("o")).as("cs"))
+    val n = obs.agg(sum(col("o")).as("n"))
     val grid = broadcast(rowTot).crossJoin(broadcast(colTot))
       .join(obs, Seq("lang", "source"), "left")
       .na.fill(0.0, Seq("o"))
@@ -3105,9 +3112,13 @@ object Queries {
     * vocabulary sizes ride a broadcast onto the |sources|² pair frame.
     */
   def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = t(spark, dir, "documents")
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .distinct()
+    // three consumers (sizes + both sides of the overlap self-join):
+    // stage the per-source vocabulary so the corpus explode + distinct
+    // shuffle run once (q162 single-scan rule)
+    val vocab = stageScratch(spark, "vocab-overlap",
+      t(spark, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct())
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
     val inter = vocab.select(col("source").as("src_a"), col("tok"))
       .join(vocab.select(col("source").as("src_b"), col("tok")), "tok")
@@ -3802,10 +3813,13 @@ object Queries {
     * the final ratios.
     */
   def dowAnova(spark: SparkSession, dir: String): DataFrame = {
-    val daily = t(spark, dir, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("dow", dayofweek(col("day")))
+    // consumed by both the per-dow and per-type aggregates — stage the
+    // tiny days×types series so the event scan runs once (q190 rule)
+    val daily = stageScratch(spark, "anova-daily",
+      t(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", dayofweek(col("day"))))
     val perDow = daily.groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("nd"), sum(col("c")).as("sd"))
     val perType = daily.groupBy(col("event_type"))
