@@ -317,6 +317,17 @@ class PlanShapeSpec extends SparkSpec {
       "last-touch must ride the running window, not an as-of self-join")
   }
 
+  test("jsDivergence's result plan reads ONLY the staged counts (no corpus re-scan)") {
+    // before staging, the lang-term aggregate re-expanded through
+    // totals/probs/terms references into ~8 corpus explodes; the staged
+    // form must leave NO documents scan in the final plan — every frame
+    // derives from the staged |vocab|x|langs| table
+    val plan = Queries.jsDivergence(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "a consumer bypassed the staged counts and re-scanned the corpus")
+  }
+
   test("cdc chunking keeps chunk text out of the shuffle (hashes only)") {
     val df = Queries.cdcChunks(spark, sf0001)
     df.collect()
