@@ -264,11 +264,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     */
   private def maybeBroadcast(df: DataFrame, maxRows: Long) = {
     val stats = df.queryExecution.optimizedPlan.stats
-    val estRows = stats.rowCount.map(_.longValue).getOrElse {
-      val rowBytes = math.max(1L, df.schema.defaultSize.toLong)
-      (stats.sizeInBytes / rowBytes).toLong
+    // stay in BigInt until the comparison: sizeInBytes can exceed Long
+    // range (Catalyst uses it as "effectively infinite" for some plans)
+    // and a truncating toLong could wrap negative — which would read as
+    // "tiny, broadcast it" on exactly the plans that must never broadcast
+    val estRows: BigInt = stats.rowCount.getOrElse {
+      val rowBytes = BigInt(math.max(1, df.schema.defaultSize))
+      stats.sizeInBytes / rowBytes
     }
-    if (estRows <= maxRows) broadcast(df) else df
+    if (estRows <= BigInt(maxRows)) broadcast(df) else df
   }
 
   /** ANN top-k: bucket corpus and queries by banded SRP-LSH, join on
