@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench/verify box has 128 GiB and runs local[32];
+  // an 8g heap showed GC-correlated spikes on the heaviest bench
+  // queries in full 204-query runs (e.g. q203 11.4 s @ 8g vs 5.6 s in
+  // an otherwise-identical large-heap run). Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
