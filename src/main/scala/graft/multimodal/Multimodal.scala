@@ -51,6 +51,83 @@ object Multimodal {
       }
   }
 
+  /** REAL container-header metadata decode — no codec library needed.
+    * JPEG/PNG/GIF dimensions and channel counts live in the container
+    * headers as plain big/little-endian integers, so format sniffing and
+    * geometry extraction are pure byte arithmetic:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is mandated first —
+    *    width/height are the two big-endian u32s at offsets 16/20, and
+    *    the color type at 25 determines channels (spec: RFC 2083 §4.1.1).
+    *  - GIF: "GIF87a"/"GIF89a", logical-screen width/height as
+    *    little-endian u16 at offsets 6/8.
+    *  - JPEG: walk the FF-marker stream from SOI; any frame-header
+    *    marker SOFn (0xC0–0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC)
+    *    carries u16 height/width at segment offsets 3/5 and the
+    *    component count (channels) at 7. Standalone markers (RSTn, TEM)
+    *    have no length field; every other segment starts with its u16
+    *    length, so the walk is O(#segments), not O(bytes).
+    *
+    * Defensive by construction: any malformed/truncated/garbage payload
+    * yields (-1, -1, -1, format-or-"unknown") instead of throwing — at
+    * 100 TB a poison blob must quarantine (filterable `width = -1`), not
+    * kill the stage. Fuzz-gated in MultimodalSpec (random byte arrays
+    * never throw). Pixel DECODE (the DCT/inflate) remains behind the
+    * [[decodeMeta]] seam — that part is genuinely codec-bound; metadata
+    * extraction is not, and this replaces the stub for it.
+    */
+  private[multimodal] def sniffMeta(id: Long, b: Array[Byte]): MediaMeta = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def u16be(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val len = b.length
+    if (len >= 26 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
+        u8(3) == 0x47 && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
+        u8(7) == 0x0A && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)
+      val h = (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)
+      val channels = u8(25) match {
+        case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4 case _ => -1
+      }
+      if (w > 0 && h > 0) MediaMeta(id, len, w, h, channels, "png")
+      else MediaMeta(id, len, -1, -1, -1, "png")
+    } else if (len >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      MediaMeta(id, len, u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), 3, "gif")
+    } else if (len >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      var out: MediaMeta = null
+      while (out == null && i + 1 < len) {
+        if (u8(i) != 0xFF) i += 1 // fill bytes / resync
+        else {
+          val m = u8(i + 1)
+          if (m == 0xFF) i += 1 // marker padding
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2 // standalone
+          else if (m == 0xD9 || m == 0xDA) { // EOI / SOS before any SOF
+            out = MediaMeta(id, len, -1, -1, -1, "jpeg")
+          } else if (i + 3 < len) {
+            val segLen = u16be(i + 2)
+            val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+            if (isSof && segLen >= 8 && i + 9 < len) {
+              out = MediaMeta(id, len, u16be(i + 7), u16be(i + 5), u8(i + 9), "jpeg")
+            } else if (segLen < 2) { // malformed length: cannot advance
+              out = MediaMeta(id, len, -1, -1, -1, "jpeg")
+            } else i += 2 + segLen
+          } else out = MediaMeta(id, len, -1, -1, -1, "jpeg")
+        }
+      }
+      if (out == null) MediaMeta(id, len, -1, -1, -1, "jpeg") else out
+    } else MediaMeta(id, len, -1, -1, -1, "unknown")
+  }
+
+  /** [[sniffMeta]] with the same partition-wise streamed shape as
+    * [[decodeMeta]] — the production metadata path for real media blobs.
+    */
+  def decodeSniffedMeta(spark: SparkSession, binDf: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    binDf.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => sniffMeta(id, bytes) })
+  }
+
   /** Columnar metadata variant (no mapPartitions): byte length and the same
     * deterministic derivations as pure expressions — stays in codegen and
     * is oracle-checkable. Production keeps cheap fields columnar like this
