@@ -128,6 +128,96 @@ object Multimodal {
       .mapPartitions(it => it.map { case (id, bytes) => sniffMeta(id, bytes) })
   }
 
+  /** Audio/video stream metadata, from container headers like
+    * [[sniffMeta]] — sample geometry for audio, timescale/duration for
+    * video. `durationMs = -1` when the container carries no duration.
+    */
+  case class AvMeta(id: Long, byteLen: Int, format: String, channels: Int,
+                    sampleRate: Int, bitsPerSample: Int, durationMs: Long)
+
+  private def avUnknown(id: Long, len: Int, fmt: String = "unknown") =
+    AvMeta(id, len, fmt, -1, -1, -1, -1L)
+
+  /** WAV (RIFF) + MP4 (ISO BMFF) metadata — pure byte arithmetic:
+    *
+    *  - WAV: "RIFF"<u32le size>"WAVE", then a chunk walk; the "fmt "
+    *    chunk carries channels/sampleRate/bitsPerSample (little-endian),
+    *    the "data" chunk length + that geometry gives the duration.
+    *  - MP4: a box walk ([u32be size][4cc], size 1 = u64 largesize) to
+    *    `moov`, then its child `mvhd` — timescale and duration at
+    *    version-dependent offsets (v0: u32 each after 4+4+4 header
+    *    fields; v1: u64 times, u32 timescale).
+    *
+    * Same quarantine contract as [[sniffMeta]]: malformed input yields
+    * -1 fields, never an exception (shared fuzz gate in the spec).
+    */
+  private[multimodal] def sniffAv(id: Long, b: Array[Byte]): AvMeta = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def u32le(i: Int): Long = u16le(i).toLong | (u16le(i + 2).toLong << 16)
+    @inline def u32be(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def fourcc(i: Int): String = new String(b, i, 4, "ASCII")
+    val len = b.length
+    if (len >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var channels, rate, bits = -1
+      var dataLen = -1L
+      while (i + 8 <= len && (channels < 0 || dataLen < 0)) {
+        val ck = fourcc(i); val ckLen = u32le(i + 4)
+        if (ck == "fmt " && ckLen >= 16 && i + 8 + 16 <= len) {
+          channels = u16le(i + 10); rate = u32le(i + 12).toInt; bits = u16le(i + 22)
+        } else if (ck == "data") dataLen = ckLen
+        // chunks are word-aligned: odd lengths carry a pad byte
+        if (ckLen < 0 || ckLen > len) i = len else i += 8 + ckLen.toInt + (ckLen.toInt & 1)
+      }
+      val durMs =
+        if (channels > 0 && rate > 0 && bits > 0 && dataLen >= 0)
+          dataLen * 1000L / (rate.toLong * channels * (bits / 8).max(1))
+        else -1L
+      AvMeta(id, len, "wav", channels, rate, bits, durMs)
+    } else if (len >= 12 && fourcc(4) == "ftyp") {
+      // top-level box walk to moov, then child walk to mvhd
+      def findBox(name: String, from: Int, to: Int): Int = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = u32be(i)
+          if (fourcc(i + 4) == name) return i
+          if (size < 8) return -1 // size 0/1 (to-eof / largesize): bail conservatively
+          i += size.toInt
+        }
+        -1
+      }
+      val moov = findBox("moov", 0, len)
+      if (moov < 0) avUnknown(id, len, "mp4")
+      else {
+        val moovEnd = math.min(len.toLong, moov + u32be(moov)).toInt
+        val mvhd = findBox("mvhd", moov + 8, moovEnd)
+        if (mvhd < 0 || mvhd + 12 > len) avUnknown(id, len, "mp4")
+        else {
+          val ver = u8(mvhd + 8)
+          val (timescale, duration) =
+            if (ver == 1 && mvhd + 40 <= len)
+              (u32be(mvhd + 28),
+                (u32be(mvhd + 32) << 32) | u32be(mvhd + 36))
+            else if (ver == 0 && mvhd + 28 <= len)
+              (u32be(mvhd + 20), u32be(mvhd + 24))
+            else (-1L, -1L)
+          val durMs = if (timescale > 0 && duration >= 0) duration * 1000L / timescale else -1L
+          AvMeta(id, len, "mp4", -1, -1, -1, durMs)
+        }
+      }
+    } else avUnknown(id, len)
+  }
+
+  /** [[sniffAv]] with the partition-wise streamed decode shape. */
+  def decodeAvMeta(spark: SparkSession, binDf: DataFrame): Dataset[AvMeta] = {
+    import spark.implicits._
+    binDf.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => sniffAv(id, bytes) })
+  }
+
   /** Columnar metadata variant (no mapPartitions): byte length and the same
     * deterministic derivations as pure expressions — stays in codegen and
     * is oracle-checkable. Production keeps cheap fields columnar like this
