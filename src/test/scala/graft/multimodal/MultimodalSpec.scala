@@ -98,6 +98,52 @@ class MultimodalSpec extends SparkSpec {
     assert(gray.channels == 1)
   }
 
+  test("sniffMeta round-trips randomized valid containers (generative)") {
+    // random geometry, random APPn preamble segments, any valid SOFn
+    // marker (baseline/extended/progressive/lossless/differential) —
+    // the parse must come from the marker walk, not fixed offsets
+    val rnd = new scala.util.Random(1234)
+    val sofMarkers = Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+    def u16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    for (_ <- 1 to 150) {
+      val (w, h) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      val comps = 1 + rnd.nextInt(4)
+      val preamble = (0 until rnd.nextInt(4)).flatMap { _ =>
+        val body = Array.fill(rnd.nextInt(32))(rnd.nextInt(256).toByte)
+        Array(0xFF.toByte, (0xE0 + rnd.nextInt(16)).toByte) ++
+          u16(2 + body.length) ++ body
+      }.toArray
+      val sofPayload = Array[Byte](8) ++ u16(h) ++ u16(w) ++
+        Array[Byte](comps.toByte) ++ Array.fill(comps * 3)(1: Byte)
+      val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ preamble ++
+        Array(0xFF.toByte, sofMarkers(rnd.nextInt(sofMarkers.size)).toByte) ++
+        u16(2 + sofPayload.length) ++ sofPayload ++
+        Array[Byte](0xFF.toByte, 0xD9.toByte)
+      val m = Multimodal.sniffMeta(1L, jpeg)
+      assert((m.width, m.height, m.channels, m.format) == ((w, h, comps, "jpeg")))
+      val p = Multimodal.sniffMeta(2L, pngBytes(w, h, colorType = 2))
+      assert((p.width, p.height, p.format) == ((w, h, "png")))
+      if (w <= 0xFFFF && h <= 0xFFFF) {
+        val g = Multimodal.sniffMeta(3L, gifBytes(w, h))
+        assert((g.width, g.height) == ((w, h)))
+      }
+    }
+    // WAV/MP4 generative round-trip for the AV sniffing
+    for (_ <- 1 to 100) {
+      val ch = 1 + rnd.nextInt(8); val rate = 8000 + rnd.nextInt(40000)
+      val bits = Seq(8, 16, 24, 32)(rnd.nextInt(4))
+      val secs = 1
+      val dataLen = rate * ch * (bits / 8) * secs
+      val a = Multimodal.sniffAv(1L, wavBytes(ch, rate, bits, dataLen))
+      assert((a.channels, a.sampleRate, a.bitsPerSample, a.durationMs) ==
+        ((ch, rate, bits, secs * 1000L)))
+      val ts = 1 + rnd.nextInt(1000000); val dur = rnd.nextInt(1 << 30)
+      val v = Multimodal.sniffAv(2L, mp4Bytes(ts, dur, v1 = rnd.nextBoolean()))
+      assert(v.durationMs == dur.toLong * 1000L / ts)
+    }
+  }
+
   test("sniffMeta quarantines malformed payloads instead of throwing") {
     // truncated JPEG (SOI only), SOS-before-SOF, garbage, empty
     assert(Multimodal.sniffMeta(1L, Array[Byte](0xFF.toByte, 0xD8.toByte)).width == -1)
