@@ -337,9 +337,18 @@ object NativeTextExpressions {
     * scan-local prune of [[graft.operators.BloomJoin]]. The filter is
     * deserialized lazily once per task, so the per-row cost is the
     * bloom's k hash probes, no closure capture and no driver traffic.
+    *
+    * Codegen'd (not CodegenFallback): this sits in scan-side FILTERs of
+    * arbitrarily large fact scans, where the fallback's per-row virtual
+    * eval + Long boxing is the q148 per-pair lesson in per-row form.
+    * Same shape as the engine's own runtime-filter probe
+    * (`BloomFilterMightContain`): the deserialized filter rides the
+    * generated class's references array via `addReferenceObj`
+    * (`BloomFilterImpl` is `java.io.Serializable`), so executors get it
+    * with the plan, once, not per row.
     */
   case class BloomMightContain(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "bloom_might_contain"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -353,6 +362,21 @@ object NativeTextExpressions {
         new java.io.ByteArrayInputStream(right.eval(null).asInstanceOf[Array[Byte]]))
     override def nullSafeEval(k: Any, b: Any): Any =
       bloom.mightContainLong(k.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bf = ctx.addReferenceObj("graftBloomFilter", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      val leftGen = left.genCode(ctx)
+      val resultCode =
+        code"""
+          |${leftGen.code}
+          |boolean ${ev.isNull} = ${leftGen.isNull};
+          |boolean ${ev.value} = false;
+          |if (!${ev.isNull}) {
+          |  ${ev.value} = $bf.mightContainLong(${leftGen.value});
+          |}
+        """.stripMargin
+      ev.copy(code = resultCode)
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

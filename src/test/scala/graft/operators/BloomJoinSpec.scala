@@ -36,6 +36,25 @@ class BloomJoinSpec extends SparkSpec {
       s"false-positive rate ${falsePos.toDouble / math.max(1, nonMatching)} far above fpp=$fpp")
   }
 
+  test("the probe expression is codegen'd, not a fallback (CODEGEN_ONLY pin)") {
+    // factoryMode=CODEGEN_ONLY makes expression-codegen failure THROW
+    // instead of silently falling back to interpreted eval — so this
+    // test fails loudly if BloomMightContain's generated Java ever
+    // stops compiling (the fallback would cost per-row boxing on
+    // arbitrarily large fact scans).
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val viaBloom = BloomJoin.bloomSemiJoin(orders, "o_custkey", highBal, "c_custkey")
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val plain = orders.join(
+          highBal.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(viaBloom == plain && plain.nonEmpty)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("the probe is a scan-side filter in the physical plan, not join-side work") {
     val df = BloomJoin.bloomSemiJoin(orders, "o_custkey", highBal, "c_custkey")
     val plan = df.queryExecution.executedPlan.toString
