@@ -79,6 +79,7 @@ object Multimodal {
   private[multimodal] def sniffMeta(id: Long, b: Array[Byte]): MediaMeta = {
     @inline def u8(i: Int): Int = b(i) & 0xFF
     @inline def u16be(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def fourccAt(i: Int): String = new String(b, i, 4, "ASCII")
     val len = b.length
     if (len >= 26 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
         u8(3) == 0x47 && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
@@ -93,6 +94,73 @@ object Multimodal {
     } else if (len >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       MediaMeta(id, len, u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), 3, "gif")
+    } else if (len >= 30 && b(0) == 'B' && b(1) == 'M') {
+      // BMP: BITMAPINFOHEADER geometry — s32le width @18, s32le height
+      // @22 (negative = top-down; magnitude is the geometry), u16le
+      // bits-per-pixel @28
+      def s32le(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val w = s32le(18); val h = math.abs(s32le(22))
+      val bpp = u8(28) | (u8(29) << 8)
+      val channels = if (bpp >= 8) bpp / 8 else 1
+      if (w > 0 && h > 0) MediaMeta(id, len, w, h, channels, "bmp")
+      else MediaMeta(id, len, -1, -1, -1, "bmp")
+    } else if (len >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      // WebP: first chunk after the RIFF header decides the variant.
+      // VP8 (lossy): 3-byte frame tag, 0x9D012A sync, then 14-bit u16le
+      // width/height. VP8L (lossless): 0x2F signature, then 14+14 bits
+      // of width-1/height-1 packed little-endian. VP8X (extended):
+      // flags byte (bit 4 = alpha), 3 reserved, then u24le canvas
+      // width-1 / height-1.
+      @inline def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      @inline def u24le(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      if (len >= 20) {
+        val cc = fourccAt(12)
+        if (cc == "VP8 " && len >= 30 && u8(23) == 0x9D && u8(24) == 0x01 && u8(25) == 0x2A)
+          MediaMeta(id, len, u16le(26) & 0x3FFF, u16le(28) & 0x3FFF, 3, "webp")
+        else if (cc == "VP8L" && len >= 25 && u8(20) == 0x2F) {
+          val bits = u24le(21).toLong | (u8(24).toLong << 24)
+          MediaMeta(id, len, ((bits & 0x3FFF) + 1).toInt,
+            (((bits >> 14) & 0x3FFF) + 1).toInt, -1, "webp")
+        } else if (cc == "VP8X" && len >= 30) {
+          val channels = if ((u8(20) & 0x10) != 0) 4 else 3
+          MediaMeta(id, len, u24le(24) + 1, u24le(27) + 1, channels, "webp")
+        } else MediaMeta(id, len, -1, -1, -1, "webp")
+      } else MediaMeta(id, len, -1, -1, -1, "webp")
+    } else if (len >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {
+      // TIFF: endian-tagged IFD walk — ImageWidth (0x0100) /
+      // ImageLength (0x0101) / SamplesPerPixel (0x0115) entries; SHORT
+      // and LONG values of count 1 inline in the 4-byte value field
+      // (SHORT in the leading 2 bytes under either endian's layout).
+      val le = b(0) == 'I'
+      @inline def rd16(i: Int): Int =
+        if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+      @inline def rd32(i: Int): Long =
+        if (le) rd16(i).toLong | (rd16(i + 2).toLong << 16)
+        else (rd16(i).toLong << 16) | rd16(i + 2).toLong
+      val ifd = rd32(4)
+      if (ifd < 8 || ifd + 2 > len) MediaMeta(id, len, -1, -1, -1, "tiff")
+      else {
+        val n = rd16(ifd.toInt)
+        var w = -1; var h = -1; var spp = -1
+        var e = 0
+        while (e < n && ifd.toInt + 2 + 12 * (e + 1) <= len) {
+          val off = ifd.toInt + 2 + 12 * e
+          val tag = rd16(off); val typ = rd16(off + 2); val cnt = rd32(off + 4)
+          if (cnt == 1L && (typ == 3 || typ == 4)) {
+            val v = (if (typ == 3) rd16(off + 8) else rd32(off + 8)).toInt
+            if (tag == 0x0100) w = v
+            else if (tag == 0x0101) h = v
+            else if (tag == 0x0115) spp = v
+          }
+          e += 1
+        }
+        if (w > 0 && h > 0) MediaMeta(id, len, w, h, if (spp > 0) spp else 1, "tiff")
+        else MediaMeta(id, len, -1, -1, -1, "tiff")
+      }
     } else if (len >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var i = 2
       var out: MediaMeta = null
@@ -138,6 +206,11 @@ object Multimodal {
   private def avUnknown(id: Long, len: Int, fmt: String = "unknown") =
     AvMeta(id, len, fmt, -1, -1, -1, -1L)
 
+  /** 11-bit MPEG audio frame sync with a valid (non-reserved) layer. */
+  @inline private def isMp3Sync(b: Array[Byte], i: Int): Boolean =
+    i + 1 < b.length && (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0 &&
+      ((b(i + 1) >> 1) & 0x3) != 0
+
   /** WAV (RIFF) + MP4 (ISO BMFF) metadata — pure byte arithmetic:
     *
     *  - WAV: "RIFF"<u32le size>"WAVE", then a chunk walk; the "fmt "
@@ -177,6 +250,53 @@ object Multimodal {
           dataLen * 1000L / (rate.toLong * channels * (bits / 8).max(1))
         else -1L
       AvMeta(id, len, "wav", channels, rate, bits, durMs)
+    } else if (len >= 22 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      // FLAC: the STREAMINFO block is mandated first (4-byte magic,
+      // 4-byte block header, 34-byte payload). Sample rate is 20 bits at
+      // payload offset 10, then 3 bits channels-1, 5 bits bps-1, 36 bits
+      // total samples — duration = samples / rate.
+      val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      val channels = ((u8(20) >> 1) & 0x7) + 1
+      val bits = (((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1
+      val totalSamples =
+        if (len >= 26) ((u8(21) & 0x0F).toLong << 32) | u32be(22) else -1L
+      val durMs =
+        if (rate > 0 && totalSamples > 0) totalSamples * 1000L / rate else -1L
+      if (rate > 0) AvMeta(id, len, "flac", channels, rate, bits, durMs)
+      else avUnknown(id, len, "flac")
+    } else if (len >= 4 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') {
+      // Ogg container: stream geometry lives in the codec's own header
+      // packet (Vorbis/Opus), not the container — format detection only.
+      avUnknown(id, len, "ogg")
+    } else if (len >= 4 && (isMp3Sync(b, 0) ||
+        (b(0) == 'I' && b(1) == 'D' && b(2) == '3'))) {
+      // MP3: skip an ID3v2 tag if present (syncsafe 28-bit size at
+      // offset 6), then parse the first MPEG audio frame header:
+      // version/layer bits select the sample-rate table, channel mode
+      // bits 6-7 of byte 3 (3 = mono). Duration needs the whole frame
+      // stream (VBR), so it stays -1 here.
+      val start =
+        if (b(0) == 'I') {
+          if (len >= 10)
+            10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+          else len
+        } else 0
+      if (start + 4 <= len && isMp3Sync(b, start)) {
+        val verBits = (u8(start + 1) >> 3) & 0x3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val rateIdx = (u8(start + 2) >> 2) & 0x3
+        val base = Array(44100, 48000, 32000)
+        val rate =
+          if (rateIdx == 3) -1
+          else verBits match {
+            case 3 => base(rateIdx)
+            case 2 => base(rateIdx) / 2
+            case 0 => base(rateIdx) / 4
+            case _ => -1
+          }
+        val channels = if (((u8(start + 3) >> 6) & 0x3) == 3) 1 else 2
+        if (rate > 0) AvMeta(id, len, "mp3", channels, rate, -1, -1L)
+        else avUnknown(id, len, "mp3")
+      } else avUnknown(id, len, "mp3")
     } else if (len >= 12 && fourcc(4) == "ftyp") {
       // top-level box walk to moov, then child walk to mvhd
       def findBox(name: String, from: Int, to: Int): Int = {

@@ -189,6 +189,104 @@ class MultimodalSpec extends SparkSpec {
     ftyp ++ moov
   }
 
+  private def bmpBytes(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    def u16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def u32(v: Int) = u16(v & 0xFFFF) ++ u16(v >>> 16)
+    "BM".getBytes("ASCII") ++ u32(54) ++ u32(0) ++ u32(54) ++ // file header
+      u32(40) ++ u32(w) ++ u32(h) ++ u16(1) ++ u16(bpp) ++ u32(0) ++ u32(0)
+  }
+
+  private def webpVp8Bytes(w: Int, h: Int): Array[Byte] = {
+    def u16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def u32(v: Int) = u16(v & 0xFFFF) ++ u16(v >>> 16)
+    val payload = Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++ u16(w) ++ u16(h)
+    "RIFF".getBytes("ASCII") ++ u32(4 + 8 + payload.length) ++
+      "WEBP".getBytes("ASCII") ++ "VP8 ".getBytes("ASCII") ++
+      u32(payload.length) ++ payload
+  }
+
+  private def webpVp8lBytes(w: Int, h: Int): Array[Byte] = {
+    def u16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def u32(v: Int) = u16(v & 0xFFFF) ++ u16(v >>> 16)
+    val bits = (w - 1).toLong | ((h - 1).toLong << 14)
+    val payload = Array[Byte](0x2F) ++ (0 to 3).map(i => ((bits >> (8 * i)) & 0xFF).toByte)
+    "RIFF".getBytes("ASCII") ++ u32(4 + 8 + payload.length) ++
+      "WEBP".getBytes("ASCII") ++ "VP8L".getBytes("ASCII") ++
+      u32(payload.length) ++ payload.toArray
+  }
+
+  private def tiffBytes(w: Int, h: Int, spp: Int, littleEndian: Boolean): Array[Byte] = {
+    def u16(v: Int) =
+      if (littleEndian) Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Int) =
+      if (littleEndian) u16(v & 0xFFFF) ++ u16(v >>> 16) else u16(v >>> 16) ++ u16(v & 0xFFFF)
+    def entry(tag: Int, typ: Int, value: Int): Array[Byte] = {
+      val v = if (typ == 3) u16(value) ++ u16(0) else u32(value)
+      u16(tag) ++ u16(typ) ++ u32(1) ++ v
+    }
+    val header = (if (littleEndian) "II" else "MM").getBytes("ASCII") ++ u16(42) ++ u32(8)
+    header ++ u16(3) ++
+      entry(0x0100, 4, w) ++ entry(0x0101, 3, h) ++ entry(0x0115, 3, spp) ++ u32(0)
+  }
+
+  private def flacBytes(rate: Int, channels: Int, bits: Int, samples: Long): Array[Byte] = {
+    val info = new Array[Byte](34)
+    info(10) = ((rate >> 12) & 0xFF).toByte
+    info(11) = ((rate >> 4) & 0xFF).toByte
+    info(12) = (((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)).toByte
+    info(13) = ((((bits - 1) & 0xF) << 4) | ((samples >> 32) & 0xF).toInt).toByte
+    for (i <- 0 until 4) info(14 + i) = ((samples >> (8 * (3 - i))) & 0xFF).toByte
+    "fLaC".getBytes("ASCII") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ info
+  }
+
+  private def mp3Bytes(mpeg1: Boolean, rateIdx: Int, mono: Boolean, id3: Boolean): Array[Byte] = {
+    val h1 = (0xE0 | (if (mpeg1) 0x18 else 0x10) | 0x02).toByte // sync + version + layer III
+    val h2 = ((rateIdx & 0x3) << 2).toByte
+    val h3 = (if (mono) 0xC0 else 0x00).toByte
+    val frame = Array[Byte](0xFF.toByte, h1, h2, h3)
+    if (id3)
+      "ID3".getBytes("ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 5) ++
+        Array.fill(5)(0: Byte) ++ frame
+    else frame
+  }
+
+  test("sniffMeta covers BMP, WebP (lossy+lossless), and TIFF (both endians)") {
+    val bm = Multimodal.sniffMeta(1L, bmpBytes(800, 600, 24))
+    assert((bm.format, bm.width, bm.height, bm.channels) == (("bmp", 800, 600, 3)))
+    val wp = Multimodal.sniffMeta(2L, webpVp8Bytes(1024, 768))
+    assert((wp.format, wp.width, wp.height, wp.channels) == (("webp", 1024, 768, 3)))
+    val wl = Multimodal.sniffMeta(3L, webpVp8lBytes(320, 240))
+    assert((wl.format, wl.width, wl.height) == (("webp", 320, 240)))
+    val tl = Multimodal.sniffMeta(4L, tiffBytes(2048, 1536, 3, littleEndian = true))
+    assert((tl.format, tl.width, tl.height, tl.channels) == (("tiff", 2048, 1536, 3)))
+    val tb = Multimodal.sniffMeta(5L, tiffBytes(640, 400, 1, littleEndian = false))
+    assert((tb.format, tb.width, tb.height, tb.channels) == (("tiff", 640, 400, 1)))
+  }
+
+  test("sniffAv covers FLAC, MP3 (with and without ID3v2), and Ogg detection") {
+    val f = Multimodal.sniffAv(1L, flacBytes(rate = 44100, channels = 2, bits = 16, samples = 44100L * 3))
+    assert((f.format, f.sampleRate, f.channels, f.bitsPerSample, f.durationMs) ==
+      (("flac", 44100, 2, 16, 3000L)))
+    val m = Multimodal.sniffAv(2L, mp3Bytes(mpeg1 = true, rateIdx = 0, mono = false, id3 = false))
+    assert((m.format, m.sampleRate, m.channels) == (("mp3", 44100, 2)))
+    val m2 = Multimodal.sniffAv(3L, mp3Bytes(mpeg1 = false, rateIdx = 1, mono = true, id3 = true))
+    assert((m2.format, m2.sampleRate, m2.channels) == (("mp3", 24000, 1)))
+    val o = Multimodal.sniffAv(4L, "OggS".getBytes("ASCII") ++ Array.fill(20)(0: Byte))
+    assert(o.format == "ogg")
+    // fuzz the new prefixes: BMP/TIFF/FLAC/ID3 magic + random tails never throw
+    val rnd = new scala.util.Random(99)
+    for (n <- 0 to 120) {
+      val tail = Array.fill(n)(rnd.nextInt(256).toByte)
+      for (pre <- Seq("BM", "II*\u0000", "MM\u0000*", "fLaC", "ID3", "OggS",
+          "RIFF\u0000\u0000\u0000\u0000WEBP")) {
+        val bytes = pre.getBytes("ISO-8859-1") ++ tail
+        assert(Multimodal.sniffMeta(n.toLong, bytes).byteLen == bytes.length)
+        assert(Multimodal.sniffAv(n.toLong, bytes).byteLen == bytes.length)
+      }
+    }
+  }
+
   test("sniffAv extracts WAV sample geometry and MP4 duration from headers") {
     // 1 s of 16-bit stereo at 44.1 kHz = 176 400 data bytes
     val w = Multimodal.sniffAv(1L, wavBytes(channels = 2, rate = 44100, bits = 16, dataLen = 176400))
