@@ -50,6 +50,17 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** Int conf with a validating parse: a typo'd value fails with a
+    * message NAMING the conf key at plan-build time, not a bare
+    * NumberFormatException from deep inside the planner.
+    */
+  private def confInt(spark: SparkSession, key: String, default: => Int): Int =
+    spark.conf.getOption(key).map { raw =>
+      scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"conf $key must be an integer, got '$raw'"))
+    }.getOrElse(default)
+
   // ---- aggregations (Q7 + §2b agg) ----
 
   /** TPC-H Q1 shape: scan-heavy partial-agg-friendly group-by — the workhorse
@@ -2384,13 +2395,13 @@ object Queries {
     // neighborhoods across list boundaries), so training stays at 1.
     // `spark.graft.ann.nprobeNum` overrides the numerator (probe
     // nprobeNum/8 of the lists) for corpora with different dispersion.
-    val nprobeNum = spark.conf.getOption("spark.graft.ann.nprobeNum")
-      .map(_.toInt).getOrElse(if (nLists >= 32) 2 else 3)
+    val nprobeNum = confInt(spark, "spark.graft.ann.nprobeNum",
+      if (nLists >= 32) 2 else 3)
     val nprobe = math.max(8, (nprobeNum * nLists + 7) / 8)
     val shortlist = graft.operators.Similarity
       .ivfSearch(graft.operators.Similarity
           .ivfBuild(emb.repartition(fanout), numCentroids = nLists,
-            trainIters = spark.conf.get("spark.graft.ann.trainIters", "1").toInt),
+            trainIters = confInt(spark, "spark.graft.ann.trainIters", 1)),
         emb.repartition(fanout), k = 25, nprobe = nprobe, minCosine = Some(0.6))
       .select(col("query_id").as("doc_id"), col("neighbor_id").as("nbr_id"))
     val reranked = shortlist
@@ -2624,14 +2635,17 @@ object Queries {
     * max merge exactly (the value rides DECIMAL so sums are associative
     * — a double sum would drift a ulp across merge orders), avg derives
     * at read. The oracle rebuilds from scratch; hash equality IS the
-    * maintenance contract. The derived average is emitted as
-    * `avg_e4 BIGINT` — the average in 1e-4 units, pure integer math
-    * (cents*100 DIV n_rows) with NO float anywhere in the compared
-    * surface: `round(double, 4)` at a `.xxxx5` tie goes opposite ways
-    * in Spark (BigDecimal HALF_UP on shortest repr) vs DuckDB (binary
-    * double) — the r9 red row — and even a final exact double divide
-    * leaves the row hostage to the checker's float formatting (the r10
-    * driver/replica divergence). Integers hash identically everywhere.
+    * maintenance contract. DECIMAL stays strictly INTERNAL: the compared
+    * surface is all BIGINT — `sum_cents`/`min_cents`/`max_cents` (exact
+    * ×100 integer cents of the DECIMAL(·,2) states) and `avg_e4` (the
+    * average in 1e-4 units, cents*100 DIV n_rows). History of why: a
+    * `round(double, 4)` `.xxxx5` tie splits Spark (BigDecimal HALF_UP on
+    * shortest repr) vs DuckDB (binary double) — the r9 red; a double
+    * divide leaves the row hostage to checker float formatting — the r10
+    * red; and DECIMAL itself renders differently across checkers (Spark
+    * decimal(28,2) vs DuckDB decimal(38,2), precision-tagged vs
+    * str(Decimal)) — the r11 red, the suite's ONLY DECIMAL-surfaced
+    * query and its only red row. Integers hash identically everywhere.
     */
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(
@@ -2646,7 +2660,10 @@ object Queries {
       Seq("day"))
     merged
       .withColumn("cents4", (col("sum_v") * 100).cast("long") * 100)
-      .select(col("day"), col("n_rows"), col("sum_v"), col("min_v"), col("max_v"),
+      .select(col("day"), col("n_rows"),
+        (col("sum_v") * 100).cast("long").as("sum_cents"),
+        (col("min_v") * 100).cast("long").as("min_cents"),
+        (col("max_v") * 100).cast("long").as("max_cents"),
         expr("cents4 DIV n_rows").as("avg_e4"))
       .orderBy(col("day"))
   }

@@ -2217,16 +2217,20 @@ object SparkEntry {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Full-rebuild oracle for the merged-state rollup: hash equality IS
-    // the maintenance contract. DECIMAL value so sums are associative;
-    // the average is avg_e4 BIGINT (1e-4 units, cents*100 // n_rows) —
-    // pure integer math, so neither a .xxxx5 double-round tie (r9 red)
-    // nor checker-side float formatting (r10 driver/replica divergence)
-    // can split the engines.
+    // the maintenance contract. DECIMAL is internal-only (associative
+    // sums); the COMPARED surface is all BIGINT — sum/min/max as ×100
+    // integer cents plus avg_e4 (1e-4 units, cents*100 // n_rows).
+    // Pure integers survive every checker normalization: a .xxxx5
+    // double-round tie (r9 red), checker float formatting (r10), and
+    // DECIMAL precision-tag rendering decimal(28,2)-vs-(38,2) (r11)
+    // all split the engines; integers hash identically everywhere.
     "q153_incremental_rollup" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)
-        |SELECT day, CAST(count(*) AS BIGINT) AS n_rows, sum(v) AS sum_v,
-        | min(v) AS min_v, max(v) AS max_v,
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(v) * 100 AS BIGINT) AS sum_cents,
+        | CAST(min(v) * 100 AS BIGINT) AS min_cents,
+        | CAST(max(v) * 100 AS BIGINT) AS max_cents,
         | CAST((CAST(sum(v) * 100 AS BIGINT) * 100) // count(*) AS BIGINT)
         |   AS avg_e4
         |FROM o GROUP BY day ORDER BY day""".stripMargin,

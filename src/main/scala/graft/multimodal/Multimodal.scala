@@ -242,8 +242,11 @@ object Multimodal {
         if (ck == "fmt " && ckLen >= 16 && i + 8 + 16 <= len) {
           channels = u16le(i + 10); rate = u32le(i + 12).toInt; bits = u16le(i + 22)
         } else if (ck == "data") dataLen = ckLen
-        // chunks are word-aligned: odd lengths carry a pad byte
-        if (ckLen < 0 || ckLen > len) i = len else i += 8 + ckLen.toInt + (ckLen.toInt & 1)
+        // chunks are word-aligned: odd lengths carry a pad byte. Guard
+        // against Int overflow of the cursor advance (ckLen near len on
+        // a GiB-scale blob would wrap i negative → out-of-bounds read)
+        if (ckLen < 0 || ckLen > len - i - 8) i = len
+        else i += 8 + ckLen.toInt + (ckLen.toInt & 1)
       }
       val durMs =
         if (channels > 0 && rate > 0 && bits > 0 && dataLen >= 0)
@@ -305,6 +308,11 @@ object Multimodal {
           val size = u32be(i)
           if (fourcc(i + 4) == name) return i
           if (size < 8) return -1 // size 0/1 (to-eof / largesize): bail conservatively
+          // a u32 size field can reach 2^32-1: naive `i += size.toInt`
+          // wraps negative past 2^31 and the next u32be(i) throws. A box
+          // claiming more bytes than remain also means no further
+          // sibling can start inside the window — bail, don't advance
+          if (size > to - i) return -1
           i += size.toInt
         }
         -1

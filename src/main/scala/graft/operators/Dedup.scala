@@ -116,7 +116,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * build via `stat.bloomFilter`'s treeAggregate; bit-array OR-merge is
     * order-independent, so the filter — and therefore the result — is
     * deterministic for a given input). The corpus side is then a
-    * SCAN-LOCAL filter against the broadcast filter: the 100 TB side never
+    * SCAN-LOCAL codegen'd filter against the plan-shipped filter: the 100 TB side never
     * shuffles at all, which is the entire point — `suppressExact`'s
     * anti-join shuffles both sides on the content key.
     *
@@ -133,16 +133,21 @@ object Dedup extends org.apache.spark.internal.Logging {
   def suppressBloom(df: DataFrame, reference: DataFrame,
                     textCol: String, refTextCol: String,
                     expectedRefDocs: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
-    val spark = df.sparkSession
+    NativeTextExpressions.register(df.sparkSession)
     val filter = reference.select(xxhash64(col(refTextCol)).as("__k"))
       .stat.bloomFilter("__k", expectedRefDocs, fpp)
-    // the broadcast's lifetime is tied to the returned plan: once the
-    // caller drops the DataFrame, ContextCleaner reclaims the broadcast
-    // (weak-ref GC) — repeated invocations do not accumulate state beyond
-    // the live results that reference them
-    val bc = spark.sparkContext.broadcast(filter)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    df.filter(!mightContain(xxhash64(col(textCol))))
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    // probe via the codegen'd native expression, never a Scala UDF: the
+    // probe sits in a scan-side FILTER over the full corpus, where an
+    // interpreted UDF pays virtual eval + Long boxing PER ROW. The
+    // serialized filter rides the plan as a BINARY LITERAL (not a hex
+    // SQL string — a GB-scale filter must not be inlined into plan
+    // text); `doGenCode`'s `addReferenceObj` ships the deserialized
+    // bloom with the generated class, one object per executor, no
+    // broadcast bookkeeping and no driver round-trips
+    df.filter(!call_function("bloom_might_contain",
+      xxhash64(col(textCol)), lit(out.toByteArray)))
   }
 
 

@@ -38,6 +38,18 @@ import org.apache.spark.sql.functions._
   */
 object PrefixJoin {
 
+  /** Gate override with a validating parse: a typo'd value fails with a
+    * message naming the conf key, not a bare NumberFormatException.
+    */
+  private def bruteMaxDocs(docs: DataFrame): Long = {
+    val key = "spark.graft.prefixJoin.bruteMaxDocs"
+    docs.sparkSession.conf.getOption(key).map { raw =>
+      scala.util.Try(raw.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"conf $key must be an integer, got '$raw'"))
+    }.getOrElse(20000L)
+  }
+
   /** Exact (id_a, id_b, jaccard) pairs with Jaccard ≥ `threshold` over
     * distinct word `n`-grams (clipped q80-style: a doc shorter than n
     * contributes its whole text as one gram), id_a < id_b.
@@ -53,8 +65,7 @@ object PrefixJoin {
     // dedup + two verify joins. sets is already staged, so the gate's
     // count() is parquet metadata, and the set arrays re-sort by gram
     // hash (orderedSets orders by rarity; the merge needs value order).
-    val bruteMax = docs.sparkSession.conf
-      .getOption("spark.graft.prefixJoin.bruteMaxDocs").map(_.toLong).getOrElse(20000L)
+    val bruteMax = bruteMaxDocs(docs)
     if (sets.count() <= bruteMax) {
       val sorted = sets.select(col("id"), array_sort(col("toks")).as("toks"))
       val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
@@ -188,8 +199,7 @@ object PrefixJoin {
     // prefix index is the only distributed-safe plan: candidates stay
     // ≤ all-pairs, nothing broadcasts, and pruning pays off exactly on
     // the sparse corpora where exact pair joins are runnable at all.
-    val bruteMax = docs.sparkSession.conf
-      .getOption("spark.graft.prefixJoin.bruteMaxDocs").map(_.toLong).getOrElse(20000L)
+    val bruteMax = bruteMaxDocs(docs)
     val unit = unitTfidfTerms(docs, idCol, textCol, nDocs)
     if (nDocs <= bruteMax) {
       // Dense/small regime: stage the sorted sparse vectors once, then

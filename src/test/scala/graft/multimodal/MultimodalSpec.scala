@@ -306,7 +306,25 @@ class MultimodalSpec extends SparkSpec {
       val riff = Multimodal.sniffAv(n.toLong,
         "RIFF\u0000\u0000\u0000\u0000WAVE".getBytes("ASCII") ++ bytes)
       assert(riff.format == "wav")
+      // 'ftyp' at offset 4 routes into the MP4 box walk — the one
+      // plausible-prefix family the fuzz gate previously never hit
+      val ftyp = Multimodal.sniffAv(n.toLong,
+        Array.fill(4)(0: Byte) ++ "ftyp".getBytes("ASCII") ++ bytes)
+      assert(ftyp.byteLen == 8 + n)
     }
+    // directed overflow probes: u32 size/length fields at or past 2^31
+    // must not wrap the cursor negative (the r11-advised Int-truncation
+    // bugs). Box size 0xFFFFFFFF right after a valid ftyp; WAV chunk
+    // length 2^31.
+    val hugeBox = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("ASCII") ++
+      Array.fill(4)(0: Byte) ++
+      Array(0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte) ++ "free".getBytes("ASCII") ++
+      Array.fill(16)(0: Byte)
+    assert(Multimodal.sniffAv(90L, hugeBox).format == "mp4")
+    val hugeChunk = "RIFF".getBytes("ASCII") ++ Array.fill(4)(0: Byte) ++
+      "WAVEjunk".getBytes("ASCII") ++ Array(0x00, 0x00, 0x00, 0x80).map(_.toByte) ++
+      Array.fill(16)(0: Byte)
+    assert(Multimodal.sniffAv(91L, hugeChunk).format == "wav")
   }
 
   test("decodeAvMeta streams partition-wise like the image path") {

@@ -61,4 +61,29 @@ class BloomJoinSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"), s"bloom probe missing:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("suppressBloom probes through the native codegen'd expression, never a Scala UDF") {
+    // Same CODEGEN_ONLY pin as above, applied to Dedup.suppressBloom's
+    // plan: its probe sits in a scan-side FILTER over the full corpus,
+    // where an interpreted UDF would pay virtual eval + boxing per row
+    // (the r11 perf-weak finding). The pin throws if the probe ever
+    // regresses to a non-codegen path; the plan assertions pin that the
+    // probe is the native expression and no ScalaUDF node remains.
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val out = Dedup.suppressBloom(docs, ref, "text", "text",
+        expectedRefDocs = 1000L, fpp = 0.001)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_might_contain"), s"native probe missing:\n$plan")
+      assert(!plan.toLowerCase.contains("scalaudf"), s"UDF probe resurfaced:\n$plan")
+      val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      val refIds = ref.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors.intersect(refIds).isEmpty, "a reference doc survived suppression")
+      assert(survivors.nonEmpty)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
