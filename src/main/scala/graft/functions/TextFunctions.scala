@@ -140,19 +140,45 @@ object TextFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Polynomial rolling-hash fingerprint over the document's characters:
-    * base-31 fold modulo 1e9+7, keeping the accumulator < 2^30 so
-    * `acc*31 + char` never overflows a long — deterministic under ANSI
-    * mode. The classic document fingerprint for exact/near-exact duplicate
-    * detection.
+  /** Base-31 fold over the CODE POINTS of `s`, modulo 1e9+7 — the shared
+    * kernel of [[rollingFingerprint]] and [[portableSimhash32]]'s token
+    * hash. The walk decodes via UTF-16BE bytes (`encode` supports no
+    * UTF-32) and recombines surrogate pairs in the fold, so a
+    * supplementary-plane character (emoji, rare CJK) contributes ONE
+    * code point — exactly what the DuckDB oracle's
+    * `string_split(s,'') → unicode(c)` walk yields — instead of two
+    * surrogate halves (the pre-r12 BMP-only divergence). Unpaired
+    * surrogates can't occur: parquet strings are valid UTF-8, and the
+    * JVM encoder replaces any stray half with '?'. Pure built-ins
+    * (encode/substr/conv/hex), stays inside whole-stage codegen; the
+    * accumulator remains < 2^30 so ANSI arithmetic can't overflow.
     */
-  def rollingFingerprint(text: Column): Column = {
+  private[functions] def codepointFold(s: Column): Column = {
     val mod = lit(1000000007L)
-    aggregate(
-      filter(split(text, ""), c => length(c) > 0),
+    val b = encode(s, "UTF-16BE")
+    def unit(pos: Column): Column =
+      conv(hex(b.substr(pos, lit(2))), 16, 10).cast("long")
+    val folded = aggregate(
+      sequence(lit(1), (octet_length(b) / 2).cast("int")),
       lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % mod)
+      (acc, i) => {
+        val u = unit(i * 2 - 1)
+        val cp = lit(0x10000L) +
+          shiftleft(u - lit(0xD800L), 10) + (unit(i * 2 + 1) - lit(0xDC00L))
+        when(u >= lit(0xDC00L) && u <= lit(0xDFFFL), acc) // low half: consumed above
+          .when(u >= lit(0xD800L) && u <= lit(0xDBFFL), (acc * 31 + cp) % mod)
+          .otherwise((acc * 31 + u) % mod)
+      })
+    when(length(s) === 0, lit(0L)).otherwise(folded)
   }
+
+  /** Polynomial rolling-hash fingerprint over the document's code
+    * points: base-31 fold modulo 1e9+7, keeping the accumulator < 2^30
+    * so `acc*31 + cp` never overflows a long — deterministic under ANSI
+    * mode, and portable beyond the BMP ([[codepointFold]]). The classic
+    * document fingerprint for exact/near-exact duplicate detection.
+    */
+  def rollingFingerprint(text: Column): Column = codepointFold(text)
 
   /** Per-lane multipliers for [[portableSimhash32]] — the ONE source of
     * truth shared with the DuckDB oracle (SparkEntry interpolates these
@@ -172,24 +198,16 @@ object TextFunctions {
     * the q35 fingerprint panel hash-checkable against DuckDB rather
     * than rows-only.
     *
-    * BMP-ONLY assumption (shared with [[rollingFingerprint]], as
-    * scanStringRange documents for its own fold): the char walk is
-    * `split(text, "")` + `ascii`, which in Spark yields UTF-16 CODE
-    * UNITS while the DuckDB oracle's `string_split(..., '')` +
-    * `unicode()` yields CODE POINTS. The two agree on every BMP
-    * character (the entire synthetic corpus) but a supplementary-plane
-    * character (emoji, rare CJK) would split into surrogate halves on
-    * the Spark side and hash differently. For corpora beyond the BMP,
-    * fold code points explicitly on the Spark side or fall back to
-    * [[simhash64]] (engine-specific values, rows-only checkable).
+    * The per-token fold is [[codepointFold]] — CODE POINTS, not UTF-16
+    * code units — so supplementary-plane characters (emoji, rare CJK)
+    * hash identically to the oracle's `string_split(..., '')` +
+    * `unicode()` walk. (Pre-r12 this was BMP-only: Spark's
+    * `split(t, "") + ascii` walks code units and splits an astral char
+    * into surrogate halves.)
     */
   def portableSimhash32(text: Column): Column = {
     val mod = lit(1000000007L)
-    val tokHash = (t: Column) => aggregate(
-      filter(split(t, ""), c => length(c) > 0),
-      lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % mod)
-    val hashes = transform(tokens(text), t => tokHash(t))
+    val hashes = transform(tokens(text), t => codepointFold(t))
     val laneSigns = (h: Column) => array(simhashLanes.map { p =>
       when((h * lit(p)) % mod >= lit(500000004L), lit(1L)).otherwise(lit(-1L))
     }: _*)

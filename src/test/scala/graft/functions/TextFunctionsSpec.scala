@@ -90,4 +90,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)),
       s"near-dup hamming ${ham(hs(0), hs(1))} !< disjoint ${ham(hs(0), hs(2))}")
   }
+
+  test("code-point fold matches the oracle's unicode() walk beyond the BMP") {
+    // Reference model of the DuckDB oracle side: string_split(s,'') walks
+    // CODE POINTS and unicode(c) yields the code point value — fold those.
+    val M = 1000000007L
+    def refFold(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((acc, cp) => (acc * 31 + cp) % M)
+    def refTokenHashes(s: String): Seq[Long] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.map(refFold)
+    def refSimhash(s: String): Long = {
+      val lanes = (1 to 32).map(j => Math.floorMod(2654435761L * j, M))
+      val votes = Array.fill(32)(0L)
+      for (h <- refTokenHashes(s); (p, j) <- lanes.zipWithIndex)
+        votes(j) += (if (h * p % M >= 500000004L) 1L else -1L)
+      votes.foldLeft(0L)((acc, v) => acc * 2 + (if (v > 0) 1L else 0L))
+    }
+    // supplementary-plane fixtures: emoji (U+1F600), CJK ext-B
+    // (U+20000), Deseret (U+10400), mixed with BMP text and accents
+    val fixtures = Seq(
+      "hello 😀 world",
+      "𠀀𠀁 text mixed 𐐀",
+      "pure bmp text stays identical",
+      "café résumé 中文",
+      "😀😁😂",
+      "")
+    val got = fixtures.toDF("t")
+      .select(rollingFingerprint($"t").as("fp"), portableSimhash32($"t").as("sh"))
+      .collect()
+    fixtures.zip(got).foreach { case (s, r) =>
+      assert(r.getLong(0) == refFold(s),
+        s"fingerprint diverges from code-point walk on '$s': ${r.getLong(0)} != ${refFold(s)}")
+      assert(r.getLong(1) == refSimhash(s),
+        s"simhash diverges from code-point walk on '$s': ${r.getLong(1)} != ${refSimhash(s)}")
+    }
+  }
 }
