@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata.
   *
   * The Spark-side architecture is real and tested — schema, partition-wise
-  * batch decode shape, deterministic outputs. The actual codec call is a
-  * STUB (`fakeDecode`): this container has no image/audio libraries, so the
-  * decode is a deterministic function of the bytes. In production the
-  * `mapPartitions` body below is where a JNI/libjpeg (Scala) or
-  * `mapInPandas` + PIL (Python) decoder plugs in; everything around it —
-  * per-partition decoder init, batched iteration, typed output — is the
-  * shape that scales: decode is embarrassingly parallel, no shuffle, and
-  * the binary column never leaves the executor that read it.
+  * batch decode shape, deterministic outputs. Decode happens at three
+  * depths: container-header metadata for 11 formats via pure byte
+  * arithmetic ([[sniffMeta]]/[[sniffAv]] — always real), full PIXEL
+  * decode for the formats whose readers ship in the JDK
+  * ([[decodePixels]] via `javax.imageio`: PNG/GIF/BMP/JPEG/WBMP — real
+  * rasters, no external library), and a deterministic STUB
+  * ([[fakeDecode]]) marking the seam where codecs the sandbox lacks
+  * (WebP/TIFF pixels, audio/video samples) would plug in — JNI/ffmpeg in
+  * Scala or `mapInPandas` + PIL in Python. All three share the same
+  * `mapPartitions` plumbing — per-partition decoder init, batched
+  * iteration, typed output — which is the shape that scales: decode is
+  * embarrassingly parallel, no shuffle, and the binary column never
+  * leaves the executor that read it.
   */
 object Multimodal {
 
@@ -27,9 +32,11 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, idCol: String, srcCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(srcCol).cast("binary").as("payload"))
 
-  /** STUB decoder — deterministic fake metadata derived from the bytes.
-    * Replace the body with a real codec (e.g. javax.imageio / ffmpeg JNI)
-    * without touching the surrounding plumbing.
+  /** STUB decoder — deterministic fake metadata derived from the bytes,
+    * marking the seam for codecs the sandbox lacks (WebP/TIFF pixels,
+    * audio/video samples — ffmpeg JNI territory). For JDK-supported
+    * image formats the REAL pixel path is [[decodePixels]]; for
+    * container metadata the real path is [[sniffMeta]]/[[sniffAv]].
     */
   private[multimodal] def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val len = bytes.length
@@ -48,6 +55,63 @@ object Multimodal {
       .mapPartitions { it =>
         // production: initialize the native decoder once per partition here
         it.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+  }
+
+  case class PixelMeta(id: Long, byteLen: Int, width: Int, height: Int,
+                       channels: Int, decoded: Boolean, meanLuma: Double)
+
+  /** REAL pixel decode via `javax.imageio` — no external codec library:
+    * the JDK ships PNG/GIF/BMP/JPEG/WBMP readers, so for those formats
+    * the raster itself (not just container headers) is decodable inside
+    * the sandbox. This closes the decode seam [[decodeMeta]] documents:
+    * [[fakeDecode]] remains only for formats the JRE lacks (WebP, TIFF
+    * without the TwelveMonkeys plugin, all audio/video — their METADATA
+    * is still real via [[sniffMeta]]/[[sniffAv]]).
+    *
+    * Scale shape is identical to the stub path: per-partition decode,
+    * scan-local, no shuffle; `ImageIO.setUseCache(false)` once per
+    * partition so executors never spill decode scratch to temp files.
+    * `meanLuma` (Rec. 601 luma, averaged over a ≤64×64 sample grid so a
+    * gigapixel blob costs bounded work) is computed from the actual
+    * decoded raster — the kind of content statistic a real filter
+    * pipeline derives, and proof the pixels were truly decoded.
+    * Malformed/unsupported payloads quarantine as `decoded=false` with
+    * -1 geometry — never throw (same contract as the sniffers).
+    */
+  def decodePixels(spark: SparkSession, binDf: DataFrame): Dataset[PixelMeta] = {
+    import spark.implicits._
+    binDf.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null)
+              PixelMeta(id, bytes.length, -1, -1, -1, decoded = false, -1.0)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+              var sum = 0.0; var n = 0; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                    0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                  n += 1; x += sx
+                }
+                y += sy
+              }
+              PixelMeta(id, bytes.length, w, h,
+                img.getColorModel.getNumComponents, decoded = true,
+                if (n > 0) sum / n else -1.0)
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            PixelMeta(id, bytes.length, -1, -1, -1, decoded = false, -1.0)
+          }
+        }
       }
   }
 

@@ -327,6 +327,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffAv(91L, hugeChunk).format == "wav")
   }
 
+  test("decodePixels decodes a real PNG's pixels through the mapPartitions plumbing") {
+    // Encode REAL images with the JDK's own writers, then decode them
+    // back through the partition-wise plumbing: geometry, channels, and
+    // a raster-derived stat (mean luma of a constant-gray image is that
+    // gray) prove the pixels were truly decoded, not header-sniffed.
+    def encoded(fmt: String, w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK writer for $fmt")
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, encoded("png", 80, 40, 100)),
+      (2L, encoded("gif", 16, 16, 200)),
+      (3L, encoded("bmp", 33, 7, 0)),
+      (4L, encoded("jpg", 64, 64, 128)),
+      (5L, "not an image at all".getBytes("UTF-8")))
+      .toDF("id", "payload").repartition(2)
+    val px = Multimodal.decodePixels(spark, blobs).collect().map(p => p.id -> p).toMap
+    val p1 = px(1L)
+    assert(p1.decoded && p1.width == 80 && p1.height == 40 && p1.channels == 3)
+    assert(math.abs(p1.meanLuma - 100.0) < 1.0, s"png luma ${p1.meanLuma}")
+    assert(px(2L).decoded && px(2L).width == 16 && math.abs(px(2L).meanLuma - 200.0) < 1.0)
+    assert(px(3L).decoded && px(3L).width == 33 && px(3L).height == 7 && px(3L).meanLuma < 1.0)
+    // JPEG is lossy: constant-gray survives within a few luma units
+    assert(px(4L).decoded && px(4L).width == 64 && math.abs(px(4L).meanLuma - 128.0) < 4.0)
+    val q = px(5L)
+    assert(!q.decoded && q.width == -1 && q.meanLuma == -1.0, "garbage must quarantine")
+    // the sniffers stay the fast path: the same real PNG's header parses
+    assert(Multimodal.sniffMeta(1L, encoded("png", 80, 40, 100)).width == 80)
+    // quarantine contract under fuzz, same as the sniffers
+    val rnd = new scala.util.Random(11)
+    for (n <- 0 to 40) {
+      val junk = Seq((n.toLong, Array.fill(n)(rnd.nextInt(256).toByte))).toDF("id", "payload")
+      assert(!Multimodal.decodePixels(spark, junk).first().decoded)
+    }
+  }
+
   test("decodeAvMeta streams partition-wise like the image path") {
     val blobs = Seq(
       (1L, wavBytes(1, 8000, 8, 8000)), (2L, mp4Bytes(90000, 90000, v1 = false)),
