@@ -208,6 +208,155 @@ case class QuantizedCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The `nprobe` nearest centroid ids (by cosine, nearest first, ties →
+  * lowest id) for a vector column against an inlined codebook — the
+  * codegen'd replacement for the interpreted-HOF formulation
+  * (`transform(array_sort(transform(codebook, …cosine…)))`), which
+  * evaluates a boxed lambda per centroid per ROW. This expression sits
+  * on the two per-row-hot IVF paths — list ASSIGNMENT over the full
+  * corpus (`nprobe = 1`) and probe-list selection over the full query
+  * side of a corpus-vs-corpus search — so it gets the same treatment as
+  * the q148 verify kernels: one fused Java loop inside whole-stage
+  * codegen, zero allocations beyond the k-double score buffer.
+  *
+  * The codebook rides the plan as ONE packed binary literal (k·dim
+  * floats — small by definition, the FAISS coarse-quantizer shape), not
+  * as a k-element array-of-struct literal: the array-literal form costs
+  * a per-row traversal of Catalyst struct wrappers, and its plan string
+  * renders k×dim float literals. `doGenCode` ships the UNPACKED
+  * `float[][]` with the generated class via `addReferenceObj` — decoded
+  * once per executor, not per row.
+  *
+  * Score math is the exact fused loop of [[CosineSimilarity]] (double
+  * accumulation, min-length, 0.0 on zero norm), so scores are
+  * bit-identical to the HOF-wrapped `cosine_sim` it replaces. Selection
+  * is nprobe max-passes with strict `>` over ids in ascending order —
+  * the same order `array_sort` on `(-score, cid)` produces, except that
+  * a -0.0/+0.0 score pair ties to the lower cid here (array_sort orders
+  * -0.0 first); distinct centroids cannot score distinguishable zeros
+  * against the same query, so the tie-break is observationally
+  * equivalent.
+  */
+case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
+  extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case _ if nprobe < 1 =>
+      TypeCheckResult.TypeCheckFailure(s"nearest_centroids needs nprobe >= 1, got $nprobe")
+    case (ArrayType(FloatType, _), org.apache.spark.sql.types.BinaryType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids expects (array<float>, foldable binary codebook), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  // the packed codebook is a foldable literal: unpack ONCE per JVM/plan,
+  // not per row (interpreted path) — codegen references the same arrays.
+  @transient private lazy val (cids, cents): (Array[Long], Array[Array[Float]]) =
+    NearestCentroids.unpack(right.eval(null).asInstanceOf[Array[Byte]])
+
+  override def nullSafeEval(v: Any, ignored: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      val n = math.min(x.numElements(), cv.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble; val yi = cv(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      scores(c) = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+      c += 1
+    }
+    val outLen = math.min(k, nprobe)
+    val taken = new Array[Boolean](k)
+    val out = new Array[Long](outLen)
+    var s = 0
+    while (s < outLen) {
+      var best = -1; var bs = Double.NegativeInfinity; var j = 0
+      while (j < k) {
+        if (!taken(j) && (best < 0 || scores(j) > bs)) { best = j; bs = scores(j) }
+        j += 1
+      }
+      taken(best) = true; out(s) = cids(best); s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, _) => {
+      val cRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val idRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val k = ctx.freshName("k"); val sc = ctx.freshName("sc")
+      val c = ctx.freshName("c"); val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val outLen = ctx.freshName("outLen")
+      val taken = ctx.freshName("taken"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bs = ctx.freshName("bs"); val j = ctx.freshName("j")
+      s"""
+         |int $k = $cRef.length;
+         |double[] $sc = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  float[] $cv = $cRef[$c];
+         |  int $n = java.lang.Math.min($x.numElements(), $cv.length);
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = (double) $x.getFloat($i);
+         |    double yv = (double) $cv[$i];
+         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  }
+         |  $sc[$c] = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+         |}
+         |int $outLen = java.lang.Math.min($k, $nprobe);
+         |boolean[] $taken = new boolean[$k];
+         |long[] $out = new long[$outLen];
+         |for (int $s = 0; $s < $outLen; $s++) {
+         |  int $best = -1; double $bs = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if (!$taken[$j] && ($best < 0 || $sc[$j] > $bs)) { $best = $j; $bs = $sc[$j]; }
+         |  }
+         |  $taken[$best] = true; $out[$s] = $idRef[$best];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroids {
+  /** Codebook → one binary literal: i32 k, i32 dim, k×i64 cids (ascending —
+    * the packing pins the tie-break order), k×dim×f32 centroid components.
+    */
+  def pack(cents: Seq[(Long, Array[Float])]): Array[Byte] = {
+    val sorted = cents.sortBy(_._1)
+    val dim = if (sorted.isEmpty) 0 else sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "ragged codebook")
+    val buf = java.nio.ByteBuffer.allocate(8 + sorted.length * (8 + dim * 4))
+    buf.putInt(sorted.length).putInt(dim)
+    sorted.foreach { case (cid, _) => buf.putLong(cid) }
+    sorted.foreach { case (_, v) => v.foreach(buf.putFloat) }
+    buf.array()
+  }
+
+  def unpack(bytes: Array[Byte]): (Array[Long], Array[Array[Float]]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val k = buf.getInt(); val dim = buf.getInt()
+    val cids = Array.fill(k)(buf.getLong())
+    val cents = Array.fill(k)(Array.fill(dim)(buf.getFloat()))
+    (cids, cents)
+  }
+}
+
 /** Dense `array<float>` of length `dim` from per-document sparse
   * (slot, value) entries — the assembly step of the feature-hashed
   * tf-idf embeddings. One allocation + one pass over the entries per
@@ -271,6 +420,8 @@ object VectorFunctions {
     "srp_buckets" -> (c => SrpBuckets(c.head,
       litNum(c(1), "numTables").toInt, litNum(c(2), "bits").toInt,
       litNum(c(3), "seed"))),
+    "nearest_centroids" -> (c => NearestCentroids(c.head, c(1),
+      litNum(c(2), "nprobe").toInt)),
     "quantize_i8" -> (c => QuantizeI8(c.head)),
     "cosine_sim_i8" -> (c => QuantizedCosine(c.head, c(1))),
     "sparse_to_dense" -> (c => SparseToDense(c.head, litNum(c(1), "dim").toInt)))

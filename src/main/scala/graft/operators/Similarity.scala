@@ -316,41 +316,36 @@ object Similarity extends org.apache.spark.internal.Logging {
         col("rk").cast("int").as("rk"))
   }
 
-  /** Literal centroid array as a Column: `array<struct<cid, cv>>`. A
-    * centroid codebook is small by definition (k × dim floats), so the
-    * cheapest way to "broadcast" it is to inline it into the plan — every
-    * executor evaluates it locally, and centroid assignment becomes a
-    * scan-local expression with NO join and NO shuffle.
+  /** The native codegen'd centroid scorer ([[graft.functions.NearestCentroids]])
+    * as a Column: the packed codebook rides the plan as ONE binary
+    * literal (small by definition — k × dim floats), every executor
+    * unpacks it once, and centroid scoring becomes a scan-local fused
+    * loop with NO join and NO shuffle. This replaced the interpreted-HOF
+    * formulation (`aggregate`/`transform` over an array-of-struct
+    * literal), which paid a boxed lambda per centroid per row on the two
+    * per-row-hot IVF stages: full-corpus list assignment and the
+    * corpus-as-queries probe selection of q204 (measured: the r11 probe
+    * stage spent ~3 s in a single task precisely because the HOF forced
+    * interpreted eval; the fused loop is also what lets whole-stage
+    * codegen keep the probe inside the scan stage).
     */
-  private def centroidArray(cents: Seq[(Long, Array[Float])]) =
-    array(cents.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), typedLit(v).as("cv"))
-    }.toSeq: _*)
+  private def nearestCentroidsCol(vec: org.apache.spark.sql.Column,
+                                  cents: Seq[(Long, Array[Float])],
+                                  nprobe: Int): org.apache.spark.sql.Column =
+    call_function("nearest_centroids", vec,
+      lit(graft.functions.NearestCentroids.pack(cents)), lit(nprobe))
 
   /** Nearest-centroid id for a vector column (argmax cosine over the
-    * inlined codebook; ties → lowest centroid id). The per-element lambda
-    * wraps the native codegen'd `cosine_sim`, so the loop body is one fused
-    * dot product per centroid.
+    * plan-shipped codebook; ties → lowest centroid id).
     */
   private def nearestCentroid(vec: org.apache.spark.sql.Column,
                               cents: Seq[(Long, Array[Float])]) =
-    aggregate(centroidArray(cents),
-      struct(lit(Double.MinValue).as("s"), lit(-1L).as("cid")),
-      (acc, c) => {
-        val s = call_function("cosine_sim", vec, c.getField("cv"))
-        when(s > acc.getField("s"),
-          struct(s.as("s"), c.getField("cid").as("cid"))).otherwise(acc)
-      },
-      acc => acc.getField("cid"))
+    element_at(nearestCentroidsCol(vec, cents, 1), 1)
 
   /** The `nprobe` nearest centroid ids for a query vector, nearest first. */
   private def probeLists(vec: org.apache.spark.sql.Column,
-                         cents: Seq[(Long, Array[Float])], nprobe: Int) = {
-    val scored = transform(centroidArray(cents), c =>
-      struct((-call_function("cosine_sim", vec, c.getField("cv"))).as("negs"),
-        c.getField("cid").as("cid")))
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
-  }
+                         cents: Seq[(Long, Array[Float])], nprobe: Int) =
+    nearestCentroidsCol(vec, cents, nprobe)
 
   /** Lloyd's k-means over the embedding column, trained entirely on a
     * bounded driver-side sample — the FAISS recipe (its coarse
