@@ -466,38 +466,107 @@ object Similarity extends org.apache.spark.internal.Logging {
   }
 
   /** Search a prebuilt index: each query scans only its `nprobe` nearest
-    * inverted lists (≈ nprobe/numCentroids of the corpus). Query batches
-    * beyond `maxBroadcastQueries` rows join the inverted lists by shuffle
-    * on `list_id` instead of broadcasting — identical results; at cluster
-    * scale pair it with `assigned` bucketed by `list_id` so the corpus
-    * side needs no shuffle either.
+    * inverted lists (≈ nprobe/numCentroids of the corpus), as a BLOCK
+    * SCAN, not a pair join. The sf1-shape decade measurement falsified
+    * the flat formulation (join probes×members, one cosine column, one
+    * global window): at 50 k docs it materialized 666 M joined rows each
+    * carrying both 1 KB vectors — ~1.3 TB of row-assembly traffic, 100+ s
+    * while the float math itself is ~10 s — and its cost was
+    * nprobe-INSENSITIVE because row assembly, not scoring, dominated.
+    *
+    * Here the inverted lists are packed into per-(list, chunk) binary
+    * blobs ([[graft.functions.PackVecBlock]], ≤ `blockRows` vectors each)
+    * once per search; the probe join's build side is that packed table
+    * (total bytes = corpus bytes, row count = O(lists·chunks)) and each
+    * (probe row × chunk) evaluates [[graft.functions.IvfBlockTopK]] — a
+    * fused scan emitting only that chunk's top-k for that query. Pairs
+    * never exist as rows, and the global top-k window's input collapses
+    * from every above-floor pair to ≤ nprobe·k rows per query. Chunking
+    * serves two masters: it bounds a blob to ~`blockRows`·dim·4 bytes (a
+    * skewed list can't produce a GB row — at cluster scale rows must fit
+    * an exchange page), and it splits the skewed-list straggler across
+    * tasks.
+    *
+    * The per-chunk → global cascade is EXACT: scores use the same
+    * [[graft.functions.CosineSimilarity]] arithmetic and the same
+    * (cosine desc, neighbor_id asc) order at both levels, so every
+    * global winner is a winner of its own chunk — same rows, same ranks
+    * as the flat formulation (spec-pinned). The packed side broadcasts
+    * while the corpus is broadcast-sized; beyond that the join shuffles
+    * on list_id — at cluster scale persist `assigned` bucketed by
+    * list_id so only the (small) packed blobs move.
     */
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 maxBroadcastQueries: Long = DefaultMaxBroadcastQueries,
-                minCosine: Option[Double] = None): DataFrame = {
+                minCosine: Option[Double] = None,
+                blockRows: Int = DefaultBlockRows): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     // per query: the nprobe nearest centroid lists (scan-local as well).
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       explode(probeLists(col(vecCol), index.centroids, nprobe)).as("list_id"))
 
-    // search only the probed lists.
-    val scored = index.assigned.join(
-        maybeBroadcast(probes, maxBroadcastQueries), Seq("list_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
-    // optional floor, pushed INTO the probe scan: a caller that only
-    // wants neighbors above a threshold shouldn't rank the sub-floor
-    // candidates at all — on dense corpora the probed lists are large
-    // and this collapses the window input by orders of magnitude
-    val floored = minCosine.fold(scored)(f => scored.filter(col("cosine") >= f))
+    // only the PROBED lists get packed: the semi-join against the (tiny,
+    // broadcast) distinct probe-list set keeps the saved-index contract —
+    // an `assigned` persisted partitioned by list_id is read through
+    // dynamic partition pruning, touching ~nprobe/numCentroids of the
+    // bytes on disk. Corpus-as-queries searches probe every list, where
+    // the semi-join is a no-op. Chunk boundaries are per-list
+    // (partitionBy list_id, orderBy id), so pruning whole lists cannot
+    // move them.
+    val probedLists = probes.select(col("list_id")).distinct()
+    val probedAssigned = index.assigned.join(
+      if (maxBroadcastQueries <= 0L) probedLists else broadcast(probedLists),
+      Seq("list_id"), "leftsemi")
+    // pack each list into ≤blockRows chunks. The chunk window shuffles on
+    // list_id and the pack groupBy reuses that partitioning (clustering
+    // on a superset of the partition keys adds no exchange).
+    val byList = Window.partitionBy(col("list_id")).orderBy(col("neighbor_id"))
+    val packed = probedAssigned
+      .withColumn("chunk",
+        ((row_number().over(byList) - lit(1)) / lit(blockRows)).cast("int"))
+      .groupBy(col("list_id"), col("chunk"))
+      .agg(expr("pack_vec_block(collect_list(struct(neighbor_id, corpus_vec)))")
+        .as("block"))
+      .select(col("list_id"), col("block"))
+
+    val floor = minCosine.getOrElse(Double.NegativeInfinity)
+    // maxBroadcastQueries keeps its role as the no-broadcast escape hatch
+    // (0 ⇒ pure shuffle plan, spec-pinned); the broadcast side in the
+    // block plan is the packed index, not the query batch.
+    val packedSide =
+      if (maxBroadcastQueries <= 0L) packed
+      else maybeBroadcastBytes(packed, index.assigned)
+    val perChunk = probes
+      .join(packedSide, Seq("list_id"))
+      .select(col("query_id"),
+        explode(call_function("ivf_block_topk", col("query_id"), col("query_vec"),
+          col("block"), lit(k), lit(floor))).as("e"))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.cosine").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    floored
+    perChunk
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("int").as("rk"))
+  }
+
+  /** Packed inverted-list blobs per search task: bounds any one blob to
+    * ~blockRows·dim·4 bytes and splits skewed-list work across tasks.
+    */
+  val DefaultBlockRows: Int = 4096
+
+  /** Broadcast the packed-list table iff the UNDERLYING corpus is
+    * broadcast-sized by Catalyst's own estimate (the packed table's bytes
+    * ≈ the corpus vector bytes; its row-count stats are meaningless —
+    * O(lists) fat rows). Past the cutoff the probe join shuffles on
+    * list_id: the packed side is corpus-sized but chunk-bounded per row.
+    */
+  private def maybeBroadcastBytes(packed: DataFrame, corpus: DataFrame): DataFrame = {
+    val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= BigInt(256L << 20)) broadcast(packed) else packed
   }
 
   // ---- product quantization (PQ) ----

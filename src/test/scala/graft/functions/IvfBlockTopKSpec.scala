@@ -1,0 +1,148 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The IVF block scan must be a pure PHYSICAL swap for the flat pair
+  * join it replaced: same cosine arithmetic, same (cosine desc, id asc)
+  * selection, only the row materialization changes. The oracle here IS
+  * the replaced formulation, reconstructed verbatim: join probes to
+  * assignments, one codegen'd `cosine_sim` per pair, one global
+  * row_number window. Every test compares full result rows including
+  * rank and rounded cosine.
+  */
+class IvfBlockTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb: DataFrame = graft.Tables(spark, sf0001, "embeddings")
+
+  private def packCol(entries: Column): Column = {
+    VectorFunctions.register(spark)
+    call_function("pack_vec_block", entries)
+  }
+
+  /** The replaced flat-join formulation of ivfSearch, as the oracle. */
+  private def flatIvfSearch(index: Similarity.IvfIndex, queries: DataFrame,
+                            k: Int, nprobe: Int,
+                            minCosine: Option[Double]): DataFrame = {
+    VectorFunctions.register(spark)
+    val probes = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"),
+      explode(call_function("nearest_centroids", col("embedding"),
+        lit(NearestCentroids.pack(index.centroids)), lit(nprobe))).as("list_id"))
+    val scored = index.assigned.join(probes, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
+    val floored = minCosine.fold(scored)(f => scored.filter(col("cosine") >= f))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    floored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rk").cast("int").as("rk"))
+  }
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  test("block ivfSearch matches the flat-join formulation exactly (with and without floor)") {
+    val index = Similarity.ivfBuild(emb, numCentroids = 6, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 30)
+    for (floor <- Seq(None, Some(0.2))) {
+      val block = resultSet(Similarity.ivfSearch(index, queries, k = 5,
+        nprobe = 3, minCosine = floor))
+      val flat = resultSet(flatIvfSearch(index, queries, k = 5,
+        nprobe = 3, minCosine = floor))
+      assert(block.nonEmpty && block == flat, s"floor=$floor")
+    }
+  }
+
+  test("chunking never changes the result: blockRows 3 vs unbounded") {
+    val index = Similarity.ivfBuild(emb, numCentroids = 4, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 20)
+    val tiny = resultSet(Similarity.ivfSearch(index, queries, k = 4,
+      nprobe = 2, blockRows = 3))
+    val big = resultSet(Similarity.ivfSearch(index, queries, k = 4,
+      nprobe = 2, blockRows = 1 << 20))
+    assert(tiny.nonEmpty && tiny == big)
+  }
+
+  test("pack_vec_block is order-insensitive and ids ascend in the blob") {
+    val a = Seq((5L, Array(1f, 0f)), (1L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+    val fwd = a.toDF("id", "vec")
+      .agg(packCol(collect_list(struct(col("id"), col("vec")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val rev = a.reverse.toDF("id", "vec")
+      .agg(packCol(collect_list(struct(col("id"), col("vec")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(fwd, rev))
+    val buf = java.nio.ByteBuffer.wrap(fwd)
+    assert(buf.getInt(0) == 3 && buf.getInt(4) == 2)
+    assert(Seq(buf.getLong(8), buf.getLong(16), buf.getLong(24)) == Seq(1L, 3L, 5L))
+  }
+
+  test("blockTopK kernel: self-exclusion, floor, ties to lowest id, k > n") {
+    // two identical vectors (ids 7, 9) and one orthogonal (id 2)
+    val blob = Seq((9L, Array(1f, 0f)), (7L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("id", "vec")
+      .agg(packCol(collect_list(struct(col("id"), col("vec")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    def run(qid: Long, q: Array[Float], k: Int, floor: Double) = {
+      val arr = VectorFunctions.blockTopK(qid, q, blob, k, floor)
+      (0 until arr.numElements()).map { i =>
+        val e = arr.getStruct(i, 2); (e.getLong(0), e.getDouble(1))
+      }
+    }
+    // equal scores tie to the lower id; self (9) excluded
+    val r = run(9L, Array(1f, 0f), 3, Double.NegativeInfinity)
+    assert(r.map(_._1) == Seq(7L, 2L))
+    assert(r.head._2 == 1.0 && r(1)._2 == 0.0)
+    // floor drops the orthogonal vector
+    assert(run(9L, Array(1f, 0f), 3, 0.5).map(_._1) == Seq(7L))
+    // k > survivors returns all survivors; k = 1 keeps the lowest id of a tie
+    assert(run(100L, Array(1f, 0f), 1, Double.NegativeInfinity).map(_._1) == Seq(7L))
+    // empty blob → empty result
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+      .agg(packCol(collect_list(struct(col("id"), col("vec")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    assert(VectorFunctions.blockTopK(1L, Array(1f), empty, 3, 0.0).numElements() == 0)
+  }
+
+  test("ivf_block_topk is codegen'd, not a fallback (CODEGEN_ONLY pin)") {
+    VectorFunctions.register(spark)
+    val blob = emb.limit(10)
+      .agg(packCol(collect_list(struct(col("vec_id"), col("embedding")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val rows = emb.limit(5).select(
+        call_function("ivf_block_topk", col("vec_id"), col("embedding"),
+          lit(blob), lit(3), lit(0.0)).as("top")).collect()
+      assert(rows.nonEmpty && rows.forall(_.getSeq[Any](0).length <= 3))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("scores are bit-identical to cosine_sim (no arithmetic drift in the kernel)") {
+    VectorFunctions.register(spark)
+    val blob = emb.limit(50)
+      .agg(packCol(collect_list(struct(col("vec_id"), col("embedding")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val kernel = emb.limit(20).select(col("vec_id"),
+        explode(call_function("ivf_block_topk", col("vec_id"), col("embedding"),
+          lit(blob), lit(50), lit(-2.0))).as("e"))
+      .select(col("vec_id").as("qid"), col("e.neighbor_id").as("nid"),
+        col("e.cosine").as("kc"))
+    val corpus = emb.limit(50).select(col("vec_id").as("nid"),
+      col("embedding").as("nvec"))
+    val diff = kernel.join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      .join(corpus, "nid")
+      .withColumn("ref", VectorFunctions.cosine("qvec", "nvec"))
+      .filter(col("kc") =!= col("ref"))
+      .count()
+    assert(diff == 0)
+  }
+}
