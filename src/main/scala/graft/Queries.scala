@@ -4068,4 +4068,58 @@ object Queries {
         round(col("hub"), 8).as("hub"), round(col("auth"), 8).as("auth"))
       .orderBy(col("user_id"))
   }
+
+  /** Q205 — opt-in lenient date inference end-to-end (the dateutil-parity
+    * gap: reference load_tables_daily.py:104–116 defers to
+    * `dateutil.parser.parse`; the strict pinned list deliberately types
+    * free-form shapes as text). Render o_orderdate into four word-month
+    * styles a clinical extract might carry — "March 4th, 2020",
+    * "4 of march 2020", "Wed, Mar 4, 2020", "March 4 2020 7:30 pm" —
+    * then run the rendered strings through the REAL opt-in path: the
+    * lenient type vote (`LenientTypeVoteAggregator`) followed by
+    * `TypeInference.narrow(lenient = true)`, whose codegen'd
+    * `lenient_temporal_norm` canonicalizes scan-locally before the same
+    * strict cascade. The oracle is round-trip identity (DuckDB reads
+    * o_orderdate directly), so any grammar or cascade failure surfaces
+    * as a null/hash mismatch rather than a weaker rows-only check. The
+    * voted type is date or timestamp depending on which styles the
+    * bounded sample saw; both narrow through the identical parse and
+    * cast to the same civil day, so the output is vote-invariant.
+    * Scale shape: one orders scan, one fused codegen projection
+    * (render → normalize → parse), no shuffle before the final sort.
+    */
+  def lenientDates(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.{DType, TypeInference}
+    val orders = t(spark, dir, "orders")
+    val d = col("o_orderdate")
+    val day = dayofmonth(d)
+    val dayS = day.cast("string")
+    val yearS = year(d).cast("string")
+    val suffix = when(day % 100 >= 11 && day % 100 <= 13, lit("th"))
+      .when(day % 10 === 1, lit("st"))
+      .when(day % 10 === 2, lit("nd"))
+      .when(day % 10 === 3, lit("rd"))
+      .otherwise(lit("th"))
+    val style0 = concat(date_format(d, "MMMM "), dayS, suffix, lit(", "), yearS)
+    val style1 = lower(concat(dayS, lit(" of "), date_format(d, "MMMM "), yearS))
+    val style2 = concat(date_format(d, "EEE, MMM "), dayS, lit(", "), yearS)
+    // deterministic 12-hour clock exercising the am/pm fold; hours 1–11
+    // keep the civil day unchanged through the date cast
+    val hour12 = (col("o_orderkey") % 11 + 1).cast("string")
+    val mer = when(col("o_orderkey") % 2 === 0, lit("am")).otherwise(lit("pm"))
+    val style3 = concat(date_format(d, "MMMM "), dayS, lit(" "), yearS,
+      lit(" "), hour12, lit(":30 "), mer)
+    val rendered = stageScratch(spark, "q205-render", orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 4 === 0, style0)
+        .when(col("o_orderkey") % 4 === 1, style1)
+        .when(col("o_orderkey") % 4 === 2, style2)
+        .otherwise(style3).as("raw_date")))
+    val voted = TypeInference.inferColumnTypes(
+      rendered.select(col("raw_date")), lenient = true)
+    require(Set[DType](DType.DateD, DType.Timestamp)(voted("raw_date")),
+      s"lenient vote classified raw_date as ${voted("raw_date").name}, not temporal")
+    TypeInference.narrow(rendered, voted, lenient = true)
+      .select(col("o_orderkey"), col("raw_date").cast("date").as("parsed_day"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -374,7 +374,10 @@ object SparkEntry {
     "q203_prefix_topk"       -> Queries.prefixJoinTopK _,
     // the ANN swap for q203: hashed tf-idf embeddings + IVF-flat top-5
     // (rows-only; recall ≥ 0.9 vs the exact answer spec-gated)
-    "q204_ann_topk_tfidf"    -> Queries.annTopkTfidf _
+    "q204_ann_topk_tfidf"    -> Queries.annTopkTfidf _,
+    // opt-in lenient (dateutil-parity) date inference: free-form
+    // word-month renders of o_orderdate round-trip to the civil day
+    "q205_lenient_dates"     -> Queries.lenientDates _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k
@@ -3173,6 +3176,13 @@ object SparkEntry {
         |   PARTITION BY doc_id ORDER BY cosine DESC, nbr_id) AS rnk
         | FROM sym)
         |SELECT doc_id, nbr_id, cosine, CAST(rnk AS INT) AS rnk
-        |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+        |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+
+    // q205: the Spark side renders o_orderdate into free-form word-month
+    // strings and recovers the day through the lenient grammar + strict
+    // cascade; the oracle is the round-trip identity on the source column
+    "q205_lenient_dates" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS parsed_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

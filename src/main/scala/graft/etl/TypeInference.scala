@@ -113,8 +113,18 @@ object TypeInference {
     *   - true/false/t/f→ boolean     (:141–142)
     *   - temporal, midnight → date, else timestamp (:144–150)
     */
-  def guessType(raw: String): DType = {
-    val s = raw.trim
+  def guessType(raw: String): DType = guessType(raw, lenient = false)
+
+  /** [[guessType]] with the opt-in free-form date grammar: `lenient = true`
+    * first canonicalizes word-month shapes ("March 4th, 2020") through
+    * [[LenientTemporal.normalize]] — the deterministic stand-in for the
+    * reference's dateutil leniency — and then classifies exactly as the
+    * strict path does. Non-temporal values are untouched by normalize, so
+    * every strict verdict is preserved.
+    */
+  def guessType(raw: String, lenient: Boolean): DType = {
+    val s0 = raw.trim
+    val s = if (lenient) LenientTemporal.normalize(s0) else s0
     if (s.isEmpty) return Text
     if (isNumeric(s)) {
       if (isInteger(s)) {
@@ -204,10 +214,11 @@ object TypeInference {
     * sample are skipped by the vote (an all-null column stays text,
     * matching the reference's all-text default).
     */
-  def inferColumnTypes(df: DataFrame, sampleRows: Option[Int] = None): Map[String, DType] = {
+  def inferColumnTypes(df: DataFrame, sampleRows: Option[Int] = None,
+                       lenient: Boolean = false): Map[String, DType] = {
     if (df.columns.isEmpty) return Map.empty
     val n = sampleRows.getOrElse(sampleSizeFor(boundedCount(df)))
-    val vote = udaf(TypeVoteAggregator)
+    val vote = udaf(if (lenient) LenientTypeVoteAggregator else TypeVoteAggregator)
     val aggCols = df.columns.map(c => vote(col(c).cast(StringType)).as(c))
     val row = df.limit(n).agg(aggCols.head, aggCols.tail.toSeq: _*).first()
     df.columns.zipWithIndex.map { case (c, i) =>
@@ -252,27 +263,37 @@ object TypeInference {
     * the sample never saw degrades to null instead of failing the load —
     * the sampled-inference contract (SURVEY §7 hard-part 1).
     */
-  def narrow(df: DataFrame, types: Map[String, DType]): DataFrame = {
+  def narrow(df: DataFrame, types: Map[String, DType],
+             lenient: Boolean = false): DataFrame = {
+    if (lenient) graft.functions.NativeTextExpressions.register(df.sparkSession)
     val cols: Seq[Column] = df.columns.toSeq.map { c =>
       types.get(c) match {
-        case Some(t) if t != Text => narrowColumn(col(c), t).as(c)
+        case Some(t) if t != Text => narrowColumn(col(c), t, lenient).as(c)
         case _                    => col(c)
       }
     }
     df.select(cols: _*)
   }
 
-  private def narrowColumn(c: Column, t: DType): Column = t match {
-    case SmallInt | Int32 | Int64 =>
-      c.try_cast(DecimalType(38, 18)).try_cast(DType.toSpark(t))
-    case Num       => c.try_cast(DecimalType(38, 18))
-    case Bool      => c.try_cast(BooleanType)
-    case DateD     => temporalParse(c).cast(DateType)
-    case Timestamp => temporalParse(c)
-    case Text      => c
+  private def narrowColumn(c: Column, t: DType, lenient: Boolean): Column = {
+    // lenient narrowing canonicalizes free-form shapes scan-locally (the
+    // codegen'd `lenient_temporal_norm`) before the same strict cascade —
+    // so the cast path accepts exactly what lenient inference voted DATE
+    def temporal(col: Column) =
+      temporalParse(if (lenient) call_function("lenient_temporal_norm", col) else col)
+    t match {
+      case SmallInt | Int32 | Int64 =>
+        c.try_cast(DecimalType(38, 18)).try_cast(DType.toSpark(t))
+      case Num       => c.try_cast(DecimalType(38, 18))
+      case Bool      => c.try_cast(BooleanType)
+      case DateD     => temporal(c).cast(DateType)
+      case Timestamp => temporal(c)
+      case Text      => c
+    }
   }
 
-  def inferAndNarrow(df: DataFrame): DataFrame = narrow(df, inferColumnTypes(df))
+  def inferAndNarrow(df: DataFrame, lenient: Boolean = false): DataFrame =
+    narrow(df, inferColumnTypes(df, lenient = lenient), lenient)
 
   /** S6/D6: schema report DataFrame (column_name, inferred_type) — the
     * Spark analogue of data-type-pandas.py:15–31's `TABLE,COLUMN,TYPE` dump

@@ -739,6 +739,38 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** [[graft.etl.LenientTemporal.normalize]] as a native expression — the
+    * scan-local canonicalization step of opt-in lenient date narrowing
+    * (TypeInference.narrow(lenient = true)). Free-form word-month shapes
+    * rewrite to the strict cascade's "M/d/yyyy[ H:mm:ss]"; anything else
+    * passes through verbatim. The narrowing projection is per-row-hot on
+    * a bulk load, so codegen is one static call inside the fused stage,
+    * not an interpreted dispatch per value.
+    */
+  case class LenientTemporalNorm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lenient_temporal_norm"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"lenient_temporal_norm expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(
+        graft.etl.LenientTemporal.normalize(input.asInstanceOf[UTF8String].toString))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.etl.LenientTemporal.normalize($c.toString()));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** (name → builder) for every native function — the single source both
     * registration paths consume: session-level [[register]] and the
     * cluster-level `GraftExtensions` injection (so a function added here
@@ -757,6 +789,7 @@ object NativeTextExpressions {
     "punct_ratio_native" -> (c => PunctRatio(c.head)),
     "deflate_len" -> (c => DeflateLen(c.head, litInt(c(1), "level"))),
     "canon_text" -> (c => CanonText(c.head)),
+    "lenient_temporal_norm" -> (c => LenientTemporalNorm(c.head)),
     "sorted_dot" -> (c => SortedDot(c)),
     "bloom_might_contain" -> (c => BloomMightContain(c.head, c(1))),
     "winnow_hashes" -> (c => WinnowHashes(c.head, litInt(c(1), "k"), litInt(c(2), "w"))),
