@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   * Plan shape: one scan → native gram explode; one shuffle on gram hash
   * for df; one shuffle on id to assemble ordered sets (staged once —
   * three consumers); prefix self-join shuffles on the (rare) prefix gram;
-  * narrow candidate pairs dedup, then two hash joins back to the set
-  * table for the exact verify.
+  * then two hash joins back to the set table for the exact verify, with
+  * the pair dedup placed AFTER the verify while the set table broadcasts
+  * (duplicates stay in-pipeline; only output-sized rows shuffle) and
+  * BEFORE it once the verify joins must shuffle.
   */
 object PrefixJoin {
 
@@ -66,7 +68,8 @@ object PrefixJoin {
     // count() is parquet metadata, and the set arrays re-sort by gram
     // hash (orderedSets orders by rarity; the merge needs value order).
     val bruteMax = bruteMaxDocs(docs)
-    if (sets.count() <= bruteMax) {
+    val nSets = sets.count()
+    if (nSets <= bruteMax) {
       val sorted = sets.select(col("id"), array_sort(col("toks")).as("toks"))
       val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
       return sorted.repartition(fanout)
@@ -78,18 +81,38 @@ object PrefixJoin {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
     val prefix = prefixPostings(sets, threshold)
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cands
-      .join(sets.select(col("id").as("id_a"), col("toks").as("ta"), col("sz").as("sza")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("toks").as("tb"), col("sz").as("szb")), "id_b")
+    // same explosive-join parallelism pin as [[weightedCosinePrefixJoin]]:
+    // AQE sizes this join by its (tiny) posting inputs, not its O(Σ df²)
+    // output — fan the stream side out explicitly while the build side
+    // fits a broadcast
+    // fan out BY ID so pair duplicates co-locate and the post-verify
+    // dedup collapses them in its partial aggregation (see the weighted
+    // variant for the measurement)
+    val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    val rawPairs = (
+      if (nSets <= 200000)
+        prefix.repartition(fanout, col("id")).as("a").join(broadcast(prefix).as("b"),
+          col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
+      else
+        prefix.as("a").join(prefix.as("b"),
+          col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
+      ).select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    def verified(cands: DataFrame, hint: DataFrame => DataFrame): DataFrame = cands
+      .join(hint(sets.select(col("id").as("id_a"), col("toks").as("ta"), col("sz").as("sza"))), "id_a")
+      .join(hint(sets.select(col("id").as("id_b"), col("toks").as("tb"), col("sz").as("szb"))), "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Same two-regime verify as [[weightedCosinePrefixJoin]]: while the
+    // set table broadcasts, duplicated raw pairs (one per shared prefix
+    // gram) cost an extra in-pipeline intersect each, so dedup AFTER the
+    // map-side verify where only output-sized rows shuffle; past the
+    // cutoff the verify joins shuffle anyway — dedup the pair stream
+    // first so duplicates never ride an exchange.
+    if (nSets <= 200000) verified(rawPairs, broadcast(_)).dropDuplicates("id_a", "id_b")
+    else verified(rawPairs.dropDuplicates("id_a", "id_b"), identity)
   }
 
   /** Candidate-pair counts of the prefix index vs the full inverted index
@@ -173,11 +196,12 @@ object PrefixJoin {
     *
     * Plan shape: one scan → term explode; one shuffle for df; one
     * shuffle on id for the per-doc window (tail norms) — STAGED once,
-    * feeding postings and the verify maps; the maps groupBy reuses the
-    * id partitioning (no new exchange); candidates shuffle on the rare
-    * prefix term only; exact verify is two hash joins to map columns
-    * plus a scan-local map-lookup dot product — no third shuffle over
-    * pair×term rows, unlike q145's groupBy(id_a, id_b) dot assembly.
+    * feeding postings and the verify vectors; the vectors groupBy reuses
+    * the id partitioning (no new exchange); candidates shuffle on the
+    * rare prefix term only, and while the vector table broadcasts the
+    * raw pair stream is verified map-side WITHOUT a prior dedup (the
+    * only shuffle it ever sees is the output-sized final dedup) — no
+    * pair×term shuffle, unlike q145's groupBy(id_a, id_b) dot assembly.
     * Zero-norm documents (every term in every doc) are excluded — their
     * cosine is undefined.
     */
@@ -233,11 +257,36 @@ object PrefixJoin {
       "wprefixjoin-tails")
     val posting = tails.filter(col("tail") >= threshold)
       .select(col("id"), col("tok"), col("tail"))
-    val cands = posting.as("a").join(posting.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("a.tail") * col("b.tail") >= threshold - 1e-9)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // one raw row per SHARED PREFIX TERM of a pair (position-filtered in
+    // the join condition) — deliberately NOT deduped here; see below.
+    // PARALLELISM, not volume, is the trap on this join: the posting
+    // table is tiny (9 rows/doc — ~11 MB at 50k docs) but its self-join
+    // output is O(Σ df²) — AQE sees only the input bytes, so it either
+    // coalesces the exchange or scans the staged file in one task and
+    // the 10⁸-row explosion runs on 1–2 cores. While the posting table
+    // fits a broadcast, pin the physical shape ourselves: explicit
+    // round-robin fan-out of the stream side (user repartitions are
+    // exempt from AQE coalescing) against a broadcast build side. At
+    // corpus scale the posting table outgrows a broadcast and the plain
+    // hash-shuffle join is right — by then each token's posting list
+    // carries real bytes and AQE sizes the exchange correctly.
+    // Fan out BY ID, not round-robin: every duplicate of a pair (a, b)
+    // is generated from one of a's posting rows, so hash-partitioning
+    // the stream side on id co-locates them — the final dedup's partial
+    // aggregation then collapses duplicates map-side and only
+    // output-sized distinct pairs ever reach its exchange (measured at
+    // t=0.7/50k docs: 254M verified rows, 33M distinct).
+    val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    val rawPairs = (
+      if (nDocs <= 200000)
+        posting.repartition(fanout, col("id")).as("a").join(broadcast(posting).as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+            col("a.tail") * col("b.tail") >= threshold - 1e-9)
+      else
+        posting.as("a").join(posting.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+            col("a.tail") * col("b.tail") >= threshold - 1e-9)
+      ).select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // verify vectors as (sorted key array, aligned value array): the
     // native merge-join dot is O(|a|+|b|) per pair where a map column is
     // O(|a|·|b|) (Catalyst map lookup is a linear scan) — at 10⁷
@@ -250,19 +299,34 @@ object PrefixJoin {
           transform(col("kv"), x => x.getField("tok")).as("ks"),
           transform(col("kv"), x => x.getField("u")).as("vs")),
       "wprefixjoin-vecs")
-    // joining the fat vector payload BEFORE the id_b shuffle would move
-    // |cands| × ~KB of arrays through the exchange; while the vector table
-    // fits an executor, broadcasting it keeps both verify joins shuffle-free
-    // (candidate rows never move). Past the cutoff, fall back to shuffle
-    // joins — at that scale the verify is throughput-bound either way.
-    val hint: DataFrame => DataFrame =
-      if (nDocs <= 200000) broadcast(_) else identity
-    cands
-      .join(hint(vecs.select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va"))), "id_a")
-      .join(hint(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb"))), "id_b")
-      .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    if (nDocs <= 200000) {
+      // VERIFY-THEN-DEDUP: while the vector table fits an executor, the
+      // whole verify is map-side (two broadcast hash joins + the
+      // codegen'd merge-dot), so a duplicated candidate costs one extra
+      // in-pipeline dot — ~5.8 raw rows/pair measured on the
+      // template-dense 50k-doc corpus — while deduping FIRST costs a
+      // full shuffle + hash-agg of the raw pair stream (717M rows,
+      // 132 of 250 s at that scale). Only qualifying pairs (output-
+      // sized, every duplicate row bit-identical since the dot depends
+      // only on the pair) reach the final dedup exchange.
+      rawPairs
+        .join(broadcast(vecs.select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va"))), "id_a")
+        .join(broadcast(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb"))), "id_b")
+        .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
+        .filter(col("cosine") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      // Past the broadcast cutoff the verify joins shuffle the candidate
+      // rows anyway, so duplicates would ride (and pay for) every
+      // exchange twice — dedup first, then shuffle-join the vectors.
+      rawPairs.dropDuplicates("id_a", "id_b")
+        .join(vecs.select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb")), "id_b")
+        .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
   }
 
   /** (id, tok, df, u): each document's L2-unit tf-idf weights over
@@ -271,7 +335,7 @@ object PrefixJoin {
     * hashed-embedding ANN swap. Zero-norm documents are excluded
     * (their cosine is undefined).
     */
-  private[operators] def unitTfidfTerms(docs: DataFrame, idCol: String,
+  private[graft] def unitTfidfTerms(docs: DataFrame, idCol: String,
                                         textCol: String, nDocs: Double): DataFrame = {
     val terms = docs
       .select(col(idCol).as("id"),
