@@ -64,11 +64,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * subtrees race the cache — each would recompute the full
     * shingle+signature pass on a cold cache.
     */
-  private def withCachedSig(sig: DataFrame, tag: String)(result: DataFrame => DataFrame): DataFrame = {
+  private def withCachedSig(sig: DataFrame, tag: String)(result: (DataFrame, Long) => DataFrame): DataFrame = {
     val cached = sig.persist()
     try {
-      cached.count()
-      stage(result(cached), tag)
+      val n = cached.count()
+      stage(result(cached, n), tag)
     } finally cached.unpersist(blocking = false)
   }
 
@@ -178,7 +178,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("id"), expr(s"shingle_hashes(__lt, $shingleK)").as("sh"))
       .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
 
-    withCachedSig(rawSig, "minhash-pairs") { sig =>
+    withCachedSig(rawSig, "minhash-pairs") { (sig, nDocs) =>
       // fixed-width band table: (id, band, band_hash) only.
       val banded = sig.select(
         col("id"),
@@ -186,18 +186,38 @@ object Dedup extends org.apache.spark.internal.Logging {
           xxhash64((0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r)): _*)
         }: _*)).as(Seq("band", "band_hash")))
 
-      val candidates = banded.as("l")
-        .join(banded.as("r"), Seq("band", "band_hash"))
+      // The band table is tiny but its self-join output is O(Σ bucket²)
+      // — the explosive-join shape where AQE, sizing by input bytes,
+      // coalesces the work onto 1–2 tasks (the prefix-join measurement).
+      // While the band table fits a broadcast, fan the stream side out
+      // BY ID: explicit repartitions are exempt from AQE coalescing,
+      // and id-partitioning co-locates a pair's duplicate rows (one per
+      // matching band) so the dedup's partial aggregation collapses
+      // them map-side — only distinct pairs reach its exchange. Dedup
+      // stays BEFORE the verify here: the merge-Jaccard over ~shingle-
+      // count arrays is the expensive step, so duplicated verifies cost
+      // more than the (now output-sized) dedup shuffle.
+      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      val rawPairs =
+        if (nDocs * bands <= 2000000L)
+          banded.repartition(fanout, col("id")).as("l")
+            .join(broadcast(banded).as("r"), Seq("band", "band_hash"))
+        else banded.as("l").join(banded.as("r"), Seq("band", "band_hash"))
+      val candidates = rawPairs
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
 
       // verify: fetch each side's shingle set once; merge-join Jaccard over
-      // the sorted hash arrays (O(|a|+|b|) per pair).
+      // the sorted hash arrays (O(|a|+|b|) per pair). While the shingle
+      // table fits an executor (~KBs/doc), broadcast it so candidate
+      // rows never shuffle with fat arrays attached.
       val sets = sig.select(col("id"), col("sh"))
+      val hint: DataFrame => DataFrame =
+        if (nDocs <= 100000) broadcast(_) else identity
       candidates
-        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .join(hint(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+        .join(hint(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
         .select(col("id_a"), col("id_b"),
           expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
     }
@@ -240,19 +260,31 @@ object Dedup extends org.apache.spark.internal.Logging {
     NativeTextExpressions.register(docs.sparkSession)
     val rawSig = docs.select(col(idCol).as("id"),
       expr(s"simhash64_native($textCol)").as("sh"))
-    withCachedSig(rawSig, "simhash-pairs") { sig =>
+    withCachedSig(rawSig, "simhash-pairs") { (sig, nDocs) =>
       val chunked = sig.select(col("id"),
         posexplode(array((0 until 4).map { c =>
           shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))
         }: _*)).as(Seq("chunk", "chunk_val")))
-      val candidates = chunked.as("l")
-        .join(chunked.as("r"), Seq("chunk", "chunk_val"))
+      // same explosive-join parallelism pin + map-side-collapsing dedup
+      // as [[minhashCandidatePairs]] (the chunk table is 4 fixed-width
+      // rows per doc; its self-join output is O(Σ bucket²))
+      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      val rawPairs =
+        if (nDocs * 4 <= 2000000L)
+          chunked.repartition(fanout, col("id")).as("l")
+            .join(broadcast(chunked).as("r"), Seq("chunk", "chunk_val"))
+        else chunked.as("l").join(chunked.as("r"), Seq("chunk", "chunk_val"))
+      val candidates = rawPairs
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
+      // the signature table is 16 bytes/doc — broadcast the verify at
+      // any corpus size a single executor can hold
+      val hint: DataFrame => DataFrame =
+        if (nDocs <= 10000000L) broadcast(_) else identity
       candidates
-        .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .join(hint(sig.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+        .join(hint(sig.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
         .select(col("id_a"), col("id_b"),
           hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
         .filter(col("hamming") <= maxHamming)

@@ -191,24 +191,50 @@ object Similarity extends org.apache.spark.internal.Logging {
                 maxTables: Int = MaxSrpTables): Int =
     math.min(maxTables, tablesForUncapped(threshold, bits, recallTarget))
 
-  /** Banded-SRP candidate pairs: each vector lands in `numTables` buckets
-    * (one per independent b-bit table); candidates are within-bucket pairs,
-    * deduplicated across tables BEFORE any verification. Exposed separately
-    * from [[cosineNearDupPairs]] so candidate volume is testable.
+  /** Raw within-bucket SRP pairs, one row per (pair, table) collision —
+    * NOT deduplicated across tables. The banded table is tiny (N×T rows
+    * of three fixed-width columns) but its self-join output is
+    * O(Σ bucket²), so — exactly like the prefix join's posting self-join —
+    * AQE sizes the exchange by the INPUT bytes and would run the
+    * explosion on 1–2 tasks. While the banded table fits a broadcast,
+    * pin the shape: fan the stream side out BY ID (explicit repartitions
+    * are exempt from AQE coalescing, and id-partitioning co-locates all
+    * of a pair's duplicate rows, so a downstream dedup's partial
+    * aggregation collapses them map-side) against a broadcast build
+    * side. Past the gate the plain hash-shuffle join is the right
+    * distributed plan — at that scale the banded table carries real
+    * bytes and AQE sizes it correctly.
     */
-  def srpCandidatePairs(corpus: DataFrame, numTables: Int, bits: Int,
-                        idCol: String = "vec_id", vecCol: String = "embedding",
-                        seed: Long = 42L): DataFrame = {
+  private def srpRawPairs(corpus: DataFrame, numTables: Int, bits: Int,
+                          idCol: String, vecCol: String, seed: Long,
+                          corpusRows: Long): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val banded = corpus
       .select(col(idCol).as("id"),
         expr(s"srp_buckets($vecCol, $numTables, $bits, ${seed}L)").as("buckets"))
       .select(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    banded.as("l").join(banded.as("r"), Seq("tbl", "bucket"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val pairs =
+      if (corpusRows >= 0 && corpusRows * numTables <= 2000000L) {
+        val fanout = 4 * corpus.sparkSession.sparkContext.defaultParallelism
+        banded.repartition(fanout, col("id")).as("l")
+          .join(broadcast(banded).as("r"), Seq("tbl", "bucket"))
+      } else banded.as("l").join(banded.as("r"), Seq("tbl", "bucket"))
+    pairs.select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
   }
+
+  /** Banded-SRP candidate pairs: each vector lands in `numTables` buckets
+    * (one per independent b-bit table); candidates are within-bucket pairs,
+    * deduplicated across tables BEFORE any verification. Exposed separately
+    * from [[cosineNearDupPairs]] so candidate volume is testable. The
+    * dedup collapses map-side: [[srpRawPairs]] co-locates a pair's
+    * duplicates by id, so only distinct pairs reach the exchange.
+    */
+  def srpCandidatePairs(corpus: DataFrame, numTables: Int, bits: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L): DataFrame =
+    srpRawPairs(corpus, numTables, bits, idCol, vecCol, seed, corpus.count())
+      .dropDuplicates("id_a", "id_b")
 
   /** All-pairs above a cosine threshold via banded SRP-LSH (embedding-cosine
     * near-duplicate detection). Auto-tuned: bits per table from corpus size
@@ -223,8 +249,9 @@ object Similarity extends org.apache.spark.internal.Logging {
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          seed: Long = 42L): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
+    val nRows = corpus.count()
     val bits = if (bitsPerTable > 0) bitsPerTable
-               else bitsFor(corpus.count(), targetBucket)
+               else bitsFor(nRows, targetBucket)
     val uncapped = tablesForUncapped(threshold, bits, recallTarget)
     val tables = if (numTables > 0) numTables else math.min(MaxSrpTables, uncapped)
     // never cap silently: warn exactly when the cap binds (uncapped demand
@@ -237,12 +264,35 @@ object Similarity extends org.apache.spark.internal.Logging {
         s"with $bits bits/table; raise targetBucket (fewer bits) or accept the lower recall")
     }
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    srpCandidatePairs(corpus, tables, bits, idCol, vecCol, seed)
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    val raw = srpRawPairs(corpus, tables, bits, idCol, vecCol, seed, nRows)
+    if (nRows <= 200000) {
+      // VERIFY-THEN-DEDUP (the weighted-prefix-join measurement): while
+      // the vector table fits a broadcast, the verify is entirely
+      // map-side — two broadcast hash joins + the codegen'd cosine — so
+      // a pair duplicated across T tables costs T−1 extra in-pipeline
+      // dots, where deduping FIRST costs a full shuffle + hash-agg of
+      // the raw collision stream (hundreds of millions of rows on a
+      // low-threshold corpus where the buckets barely discriminate).
+      // Duplicate rows are bit-identical (the cosine depends only on
+      // the pair), so deduping after the threshold filter is exact and
+      // only qualifying pairs ever reach an exchange.
+      raw
+        .join(broadcast(vecs.select(col("id").as("id_a"), col("v").as("v_a"))), "id_a")
+        .join(broadcast(vecs.select(col("id").as("id_b"), col("v").as("v_b"))), "id_b")
+        .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
+        .filter(col("cosine") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    } else {
+      // past the broadcast cutoff the verify joins shuffle candidate
+      // rows anyway — dedup first so duplicates never ride an exchange
+      raw.dropDuplicates("id_a", "id_b")
+        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+        .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }
   }
 
   /** Queries-side broadcast ceiling (rows). Below it the query side is
