@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Validated accessors for the `spark.graft.*` tuning confs.
+  *
+  * Every knob the engine reads at plan-build time lives here so (a) a
+  * typo'd value fails with a message NAMING the conf key, not a bare
+  * NumberFormatException from deep inside the planner, and (b) the full
+  * key inventory is greppable in one place (the README table is generated
+  * from this list).
+  */
+object GraftConf {
+
+  /** Int conf with a validating parse. */
+  def int(spark: SparkSession, key: String, default: => Int): Int =
+    spark.conf.getOption(key).map { raw =>
+      scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"conf $key must be an integer, got '$raw'"))
+    }.getOrElse(default)
+
+  /** Long conf with a validating parse. */
+  def long(spark: SparkSession, key: String, default: => Long): Long =
+    spark.conf.getOption(key).map { raw =>
+      scala.util.Try(raw.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"conf $key must be a long, got '$raw'"))
+    }.getOrElse(default)
+
+  /** Double conf with a validating parse. */
+  def double(spark: SparkSession, key: String, default: => Double): Double =
+    spark.conf.getOption(key).map { raw =>
+      scala.util.Try(raw.trim.toDouble).getOrElse(
+        throw new IllegalArgumentException(
+          s"conf $key must be a number, got '$raw'"))
+    }.getOrElse(default)
+
+  /** Partition count for the fan-out repartition that pins parallelism on
+    * explosive self-joins (KB-scale inputs, quadratic output — AQE sizes
+    * their exchanges by input bytes and coalesces the real work onto 1–2
+    * tasks; the sf1 measurement was 237–258 s single-threaded vs ~20 s
+    * pinned).
+    *
+    * `spark.graft.explosiveJoin.fanout` overrides the default
+    * `4 × defaultParallelism`. The default is read at PLAN-BUILD time; on
+    * a dynamic-allocation cluster that can be stale (plan built before
+    * executors arrive), so set the conf explicitly to the intended
+    * steady-state core count there.
+    */
+  def explosiveFanout(spark: SparkSession): Int = {
+    val v = int(spark, "spark.graft.explosiveJoin.fanout",
+      4 * spark.sparkContext.defaultParallelism)
+    require(v > 0, s"spark.graft.explosiveJoin.fanout must be positive, got $v")
+    v
+  }
+
+  /** Byte budget below which a variable-width side table (shingle-hash
+    * arrays, posting lists, packed vectors) is broadcast into the verify
+    * join. Row-count gates are wrong for fat-array payloads: 100k docs of
+    * long-document shingle arrays can be GBs. Default 64 MiB — inside
+    * every sane executor while far above the autoBroadcastJoinThreshold
+    * default (these broadcasts skip an exchange on a candidate stream
+    * orders of magnitude larger than the table, so a bigger budget than
+    * Spark's generic 10 MB is justified).
+    */
+  def broadcastBytes(spark: SparkSession): Long = {
+    val v = long(spark, "spark.graft.broadcastBytes", 64L << 20)
+    require(v > 0, s"spark.graft.broadcastBytes must be positive, got $v")
+    v
+  }
+}

@@ -49,7 +49,7 @@ object IvfDiag {
     val nprobeNum = if (args.length > 1) args(1).toInt else (if (nLists >= 32) 2 else 3)
     val nprobe = math.max(8, (nprobeNum * nLists + 7) / 8)
     println(s"n=$n nLists=$nLists nprobe=$nprobe")
-    val fanout = 4 * spark.sparkContext.defaultParallelism
+    val fanout = graft.GraftConf.explosiveFanout(spark)
 
     val index = timed("ivfBuild(train+assignPlan)") {
       graft.operators.Similarity.ivfBuild(emb.repartition(fanout),

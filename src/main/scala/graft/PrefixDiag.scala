@@ -54,7 +54,7 @@ object PrefixDiag {
       .select(col("id"), col("tok"), col("tail"))
     timed("posting count")(println(s"posting_rows=${posting.count()}"))
 
-    val fanout = 4 * spark.sparkContext.defaultParallelism
+    val fanout = graft.GraftConf.explosiveFanout(spark)
     val rawPairs = posting.repartition(fanout, col("id")).as("a").join(broadcast(posting).as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("a.tail") * col("b.tail") >= threshold - 1e-9)

@@ -55,11 +55,7 @@ object Queries {
     * NumberFormatException from deep inside the planner.
     */
   private def confInt(spark: SparkSession, key: String, default: => Int): Int =
-    spark.conf.getOption(key).map { raw =>
-      scala.util.Try(raw.trim.toInt).getOrElse(
-        throw new IllegalArgumentException(
-          s"conf $key must be an integer, got '$raw'"))
-    }.getOrElse(default)
+    GraftConf.int(spark, key, default)
 
   // ---- aggregations (Q7 + §2b agg) ----
 
@@ -587,6 +583,35 @@ object Queries {
     Multimodal.metaColumns(
         Multimodal.withBinaryPayload(t(spark, dir, "documents"), "doc_id", "text"))
       .orderBy(col("id"))
+
+  /** REAL pixel-decode stats (q206, rows-only — DuckDB can't decode
+    * rasters): deterministic synthetic images per document
+    * ([[Multimodal.syntheticImages]]: solid-gray w×h rasters, format by
+    * `id % 3` over png/gif/bmp), decoded through the actual
+    * `javax.imageio` raster path ([[Multimodal.decodePixels]]), then
+    * per-format count / decode-success count / avg geometry / avg
+    * Rec.601 luma. The format column is recomputed from the id (same
+    * `id % 3` rule) instead of joined back, so the whole query is one
+    * scan-local encode→decode pass plus one 3-group aggregate — no
+    * self-join on the mapPartitions lineage. Exact per-image luma is
+    * spec-gated in MultimodalSpec (the fixture is lossless by
+    * construction).
+    */
+  def pixelStats(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(spark, t(spark, dir, "documents"), "doc_id")
+    Multimodal.decodePixels(spark, imgs).toDF()
+      .withColumn("fmt", element_at(
+        array(lit("png"), lit("gif"), lit("bmp")),
+        (col("id") % 3 + 1).cast("int")))
+      .groupBy(col("fmt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        round(avg(col("width")), 4).as("avg_width"),
+        round(avg(col("height")), 4).as("avg_height"),
+        round(avg(col("meanLuma")), 4).as("avg_luma"))
+      .orderBy(col("fmt"))
+  }
 
   /** Multimodal feature extraction, oracle-checked: 16-bin normalized byte
     * histogram over the binary payload (a real codec-free content feature —
@@ -2363,7 +2388,7 @@ object Queries {
     // lists inherit that (assignment is scan-local), and the probe join
     // would score every (query, candidate) pair in a single task — fan
     // the corpus side out first
-    val fanout = 4 * spark.sparkContext.defaultParallelism
+    val fanout = graft.GraftConf.explosiveFanout(spark)
     // hashed floor 0.6 = the exact 0.8 floor minus generous hash-
     // distortion slack: candidates whose hashed cosine is below it are
     // essentially never true ≥0.8 pairs, so the index prunes them
@@ -2408,8 +2433,16 @@ object Queries {
     // recall 0.95+ at every SF the fraction rule governs (≤71 lists,
     // where the cap is not binding) and 0.9512 at the sf1 shape (224
     // lists, capped at 33 probes = 15% of lists vs 25% uncapped).
+    // `spark.graft.ann.nprobeCapFactor` is the cap's multiplier (default
+    // 1.1): measured recall at the sf1 shape is 0.9512 against the 0.9
+    // spec gate — a thin margin that tightens at larger, unmeasured SFs
+    // since the cap shrinks the probed FRACTION as the corpus grows.
+    // Raise it (no code change) if a recall check at the next SF tier
+    // dips toward the gate.
+    val capFactor = graft.GraftConf.double(spark,
+      "spark.graft.ann.nprobeCapFactor", 1.1)
     val nprobe = math.max(8, math.min((nprobeNum * nLists + 7) / 8,
-      math.ceil(1.1 * nprobeNum * math.sqrt(nLists.toDouble)).toInt))
+      math.ceil(capFactor * nprobeNum * math.sqrt(nLists.toDouble)).toInt))
     val shortlist = graft.operators.Similarity
       .ivfSearch(graft.operators.Similarity
           .ivfBuild(emb.repartition(fanout), numCentroids = nLists,

@@ -377,7 +377,11 @@ object SparkEntry {
     "q204_ann_topk_tfidf"    -> Queries.annTopkTfidf _,
     // opt-in lenient (dateutil-parity) date inference: free-form
     // word-month renders of o_orderdate round-trip to the civil day
-    "q205_lenient_dates"     -> Queries.lenientDates _
+    "q205_lenient_dates"     -> Queries.lenientDates _,
+    // real javax.imageio raster decode over deterministic synthetic
+    // images (rows-only: DuckDB can't decode rasters; exact per-image
+    // luma spec-gated in MultimodalSpec)
+    "q206_pixel_stats"       -> Queries.pixelStats _
   )
 
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]] — k

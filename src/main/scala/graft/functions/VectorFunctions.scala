@@ -455,10 +455,16 @@ case class IvfBlockTopK(first: Expression, second: Expression, third: Expression
     nullSafeCodeGen(ctx, ev, (qid, qv, blob) => {
       // per-row work is a whole chunk scan (thousands of fused dots), so
       // codegen's job is only to keep the surrounding stage fused: one
-      // static call into the scan kernel, no interpreted dispatch per row
+      // static call into the scan kernel, no interpreted dispatch per row.
+      // The floor is emitted via its raw bits, not `$floor`: the default
+      // no-floor path is Double.NegativeInfinity, whose toString
+      // ("-Infinity") is not a valid Java literal and would fail Janino
+      // compilation (silent interpreted fallback outside CODEGEN_ONLY).
+      val floorBits = java.lang.Double.doubleToRawLongBits(floor)
       s"""
          |${ev.value} = graft.functions.VectorFunctions.blockTopK(
-         |  $qid, $qv.toFloatArray(), $blob, $k, $floor);
+         |  $qid, $qv.toFloatArray(), $blob, $k,
+         |  java.lang.Double.longBitsToDouble(${floorBits}L));
        """.stripMargin
     })
 

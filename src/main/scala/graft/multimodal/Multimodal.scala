@@ -464,6 +464,46 @@ object Multimodal {
       }
   }
 
+  /** Deterministic raster fixtures, generated DISTRIBUTED — one encode
+    * per row inside `mapPartitions`, the exact write shape of a real
+    * image-ingest stage (swap the synthetic `BufferedImage` for bytes
+    * read off object storage and nothing else changes). Formats
+    * round-robin over the JDK-writable lossless codecs (png/gif/bmp) by
+    * `id % 3`; each image is a solid gray w×h raster with
+    * `w = 16 + id%16`, `h = 8 + id%8`, gray level `(id*37) % 256` — so
+    * the decoded geometry and Rec.601 meanLuma are EXACTLY predictable
+    * (luma of gray g is g: 0.299g+0.587g+0.114g), which is what the
+    * q206 pixel-stats spec gates on. Scan-local, no shuffle; payload
+    * size is bounded (≤31×15 px), so the fixture scales linearly with
+    * the corpus like any per-row transform.
+    */
+  def syntheticImages(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val fmts = Array("png", "gif", "bmp")
+        it.map { id =>
+          val fmt = fmts((id % 3).toInt)
+          val w = 16 + (id % 16).toInt
+          val h = 8 + (id % 8).toInt
+          val g = ((id * 37) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, out)
+          (id, fmt, out.toByteArray)
+        }
+      }.toDF("id", "fmt", "payload")
+  }
+
   /** Resize plumbing: target geometry + scale factors as pure columns over
     * the decoded metadata (from [[metaColumns]]). The pixel resample itself
     * is codec-bound and lives behind the [[decodeMeta]] seam; everything a

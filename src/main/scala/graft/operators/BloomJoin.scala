@@ -16,10 +16,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * Spark's AQE applies to shuffle joins, made explicit and available to
   * broadcast plans and multi-use pipelines.
   *
-  * The serialized filter rides the plan as a hex binary literal (inlined
-  * once, deserialized lazily per task), so the probe stays a scan-local
-  * predicate — no shuffle, no UDF closure, no driver round-trip per
-  * batch.
+  * The serialized filter rides the plan as a BINARY LITERAL (never a hex
+  * SQL string — a GB-scale filter must not be inlined into plan text,
+  * where it would be re-parsed, re-escaped, and printed by every explain/
+  * listener), so the probe stays a scan-local predicate — no shuffle, no
+  * UDF closure, no driver round-trip per batch. `doGenCode`'s
+  * `addReferenceObj` ships the deserialized bloom with the generated
+  * class, one object per executor.
   */
 object BloomJoin {
 
@@ -36,9 +39,9 @@ object BloomJoin {
     val bloom = keys.stat.bloomFilter("k", n, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
-    val hex = out.toByteArray.map(b => f"$b%02X").mkString
     big
-      .filter(expr(s"bloom_might_contain(CAST($bigKey AS BIGINT), X'$hex')"))
+      .filter(call_function("bloom_might_contain",
+        col(bigKey).cast("long"), lit(out.toByteArray)))
       .join(keys.distinct().select(col("k").as(bigKey)), Seq(bigKey), "left_semi")
   }
 
@@ -54,9 +57,8 @@ object BloomJoin {
     val bloom = keys.stat.bloomFilter("k", n, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
-    val hex = out.toByteArray.map(b => f"$b%02X").mkString
-    val survivors = big.filter(
-      expr(s"bloom_might_contain(CAST($bigKey AS BIGINT), X'$hex')")).count()
+    val survivors = big.filter(call_function("bloom_might_contain",
+      col(bigKey).cast("long"), lit(out.toByteArray))).count()
     val trueMatches = big.join(
       keys.distinct().select(col("k").as(bigKey)), Seq(bigKey), "left_semi").count()
     (big.count(), survivors, trueMatches)

@@ -197,7 +197,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       // stays BEFORE the verify here: the merge-Jaccard over ~shingle-
       // count arrays is the expensive step, so duplicated verifies cost
       // more than the (now output-sized) dedup shuffle.
-      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
       val rawPairs =
         if (nDocs * bands <= 2000000L)
           banded.repartition(fanout, col("id")).as("l")
@@ -210,11 +210,18 @@ object Dedup extends org.apache.spark.internal.Logging {
 
       // verify: fetch each side's shingle set once; merge-join Jaccard over
       // the sorted hash arrays (O(|a|+|b|) per pair). While the shingle
-      // table fits an executor (~KBs/doc), broadcast it so candidate
-      // rows never shuffle with fat arrays attached.
+      // table fits an executor, broadcast it so candidate rows never
+      // shuffle with fat arrays attached. The gate is BYTE-based, not
+      // row-count-based: the payload is one long per shingle, so a
+      // long-document corpus can push 100k rows to GBs — measure the
+      // actual array volume (one cheap agg over the already-cached sig)
+      // against `spark.graft.broadcastBytes`.
       val sets = sig.select(col("id"), col("sh"))
+      val setBytes = sig.agg(coalesce(sum(size(col("sh"))), lit(0L)))
+        .head.getLong(0) * 8L + nDocs * 32L
       val hint: DataFrame => DataFrame =
-        if (nDocs <= 100000) broadcast(_) else identity
+        if (setBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession))
+          broadcast(_) else identity
       candidates
         .join(hint(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
         .join(hint(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
@@ -268,7 +275,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       // same explosive-join parallelism pin + map-side-collapsing dedup
       // as [[minhashCandidatePairs]] (the chunk table is 4 fixed-width
       // rows per doc; its self-join output is O(Σ bucket²))
-      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
       val rawPairs =
         if (nDocs * 4 <= 2000000L)
           chunked.repartition(fanout, col("id")).as("l")

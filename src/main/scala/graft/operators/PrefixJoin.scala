@@ -71,7 +71,7 @@ object PrefixJoin {
     val nSets = sets.count()
     if (nSets <= bruteMax) {
       val sorted = sets.select(col("id"), array_sort(col("toks")).as("toks"))
-      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
       return sorted.repartition(fanout)
         .select(col("id").as("id_a"), col("toks").as("ta"))
         .join(broadcast(sorted.select(col("id").as("id_b"), col("toks").as("tb"))),
@@ -88,9 +88,17 @@ object PrefixJoin {
     // fan out BY ID so pair duplicates co-locate and the post-verify
     // dedup collapses them in its partial aggregation (see the weighted
     // variant for the measurement)
-    val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
+    // Broadcast gate on BYTES, not row count: the verify side carries the
+    // full gram arrays (one long per gram), so a long-document corpus can
+    // push a 200k-row table to GBs. `sets` is already staged, so this agg
+    // is a cheap parquet scan; the posting table is strictly smaller than
+    // `sets`, so one measurement gates both broadcasts.
+    val setsBytes = sets.agg(coalesce(sum(col("sz")), lit(0L)))
+      .head.getLong(0) * 8L + nSets * 32L
+    val fitsBroadcast = setsBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession)
     val rawPairs = (
-      if (nSets <= 200000)
+      if (fitsBroadcast)
         prefix.repartition(fanout, col("id")).as("a").join(broadcast(prefix).as("b"),
           col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
       else
@@ -111,7 +119,7 @@ object PrefixJoin {
     // map-side verify where only output-sized rows shuffle; past the
     // cutoff the verify joins shuffle anyway — dedup the pair stream
     // first so duplicates never ride an exchange.
-    if (nSets <= 200000) verified(rawPairs, broadcast(_)).dropDuplicates("id_a", "id_b")
+    if (fitsBroadcast) verified(rawPairs, broadcast(_)).dropDuplicates("id_a", "id_b")
     else verified(rawPairs.dropDuplicates("id_a", "id_b"), identity)
   }
 
@@ -239,7 +247,7 @@ object PrefixJoin {
             transform(col("kv"), x => x.getField("tok")).as("ks"),
             transform(col("kv"), x => x.getField("u")).as("vs")),
         "wprefixjoin-brutevecs")
-      val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+      val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
       return vecs.repartition(fanout)
         .select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va"))
         .join(broadcast(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb"))),
@@ -276,9 +284,18 @@ object PrefixJoin {
     // aggregation then collapses duplicates map-side and only
     // output-sized distinct pairs ever reach its exchange (measured at
     // t=0.7/50k docs: 254M verified rows, 33M distinct).
-    val fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
+    // Byte-based broadcast gate (shared by the posting join and the
+    // verify below): the broadcast payloads are variable-width — the
+    // verify vectors carry one (long, double) entry per distinct term
+    // per doc — so gate on measured volume, not document count. `tails`
+    // is staged parquet, so the count is metadata-cheap; the posting
+    // table is a tail-filtered subset of the same rows.
+    val nTerms = tails.count()
+    val fitsBroadcast = nTerms * 16L + nDocs.toLong * 32L <=
+      graft.GraftConf.broadcastBytes(docs.sparkSession)
     val rawPairs = (
-      if (nDocs <= 200000)
+      if (fitsBroadcast)
         posting.repartition(fanout, col("id")).as("a").join(broadcast(posting).as("b"),
           col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
             col("a.tail") * col("b.tail") >= threshold - 1e-9)
@@ -299,7 +316,7 @@ object PrefixJoin {
           transform(col("kv"), x => x.getField("tok")).as("ks"),
           transform(col("kv"), x => x.getField("u")).as("vs")),
       "wprefixjoin-vecs")
-    if (nDocs <= 200000) {
+    if (fitsBroadcast) {
       // VERIFY-THEN-DEDUP: while the vector table fits an executor, the
       // whole verify is map-side (two broadcast hash joins + the
       // codegen'd merge-dot), so a duplicated candidate costs one extra

@@ -215,7 +215,7 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val pairs =
       if (corpusRows >= 0 && corpusRows * numTables <= 2000000L) {
-        val fanout = 4 * corpus.sparkSession.sparkContext.defaultParallelism
+        val fanout = graft.GraftConf.explosiveFanout(corpus.sparkSession)
         banded.repartition(fanout, col("id")).as("l")
           .join(broadcast(banded).as("r"), Seq("tbl", "bucket"))
       } else banded.as("l").join(banded.as("r"), Seq("tbl", "bucket"))
@@ -586,7 +586,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     // block plan is the packed index, not the query batch.
     val packedSide =
       if (maxBroadcastQueries <= 0L) packed
-      else maybeBroadcastBytes(packed, index.assigned)
+      else maybeBroadcastBytes(packed, index.assigned,
+        index.centroids.head._2.length)
     val perChunk = probes
       .join(packedSide, Seq("list_id"))
       .select(col("query_id"),
@@ -613,10 +614,36 @@ object Similarity extends org.apache.spark.internal.Logging {
     * ≈ the corpus vector bytes; its row-count stats are meaningless —
     * O(lists) fat rows). Past the cutoff the probe join shuffles on
     * list_id: the packed side is corpus-sized but chunk-bounded per row.
+    *
+    * Computed `assigned` plans with no file relation beneath can carry
+    * the conservative default-size sentinel instead of a real estimate;
+    * falling through to the shuffle plan there is a silent perf cliff,
+    * so when the sentinel is detected fall back to rowCount × vector
+    * width when row stats exist, and always LOG which physical shape was
+    * chosen and from which estimate.
     */
-  private def maybeBroadcastBytes(packed: DataFrame, corpus: DataFrame): DataFrame = {
-    val bytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes <= BigInt(256L << 20)) broadcast(packed) else packed
+  private def maybeBroadcastBytes(packed: DataFrame, corpus: DataFrame,
+                                  dim: Int): DataFrame = {
+    val stats = corpus.queryExecution.optimizedPlan.stats
+    val sentinel = BigInt(packed.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.defaultSizeInBytes)
+    val (bytes, source) =
+      if (stats.sizeInBytes < sentinel) (stats.sizeInBytes, "plan stats")
+      else stats.rowCount match {
+        case Some(rc) => (rc * (dim.toLong * 4L + 24L), "rowCount × vector width")
+        case None => (stats.sizeInBytes, "default sentinel (no file stats)")
+      }
+    val cutoff = BigInt(256L << 20)
+    if (bytes <= cutoff) {
+      logInfo(s"ivf probe join: BROADCAST packed side (corpus ≈ $bytes B via $source)")
+      broadcast(packed)
+    } else {
+      logWarning(s"ivf probe join: SHUFFLE on list_id (corpus ≈ $bytes B via " +
+        s"$source > ${cutoff} B cutoff); if the corpus is actually small, " +
+        "stage `assigned` to parquet so Catalyst sees real file stats")
+      packed
+    }
   }
 
   // ---- product quantization (PQ) ----

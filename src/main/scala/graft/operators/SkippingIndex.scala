@@ -112,14 +112,29 @@ object SkippingIndex {
     */
   private[operators] def survivingStringShards(manifestDf: DataFrame,
                                                lo: String, hi: String): Seq[Long] = {
-    val incUdf = udf((p: String, truncated: Boolean) =>
-      if (truncated) incrementLastCodePoint(p) else p)
-    val ceiling = incUdf(col("max_prefix"), col("max_truncated"))
-    manifestDf
-      .filter(lit(hi) >= col("min_prefix") &&
-        (ceiling.isNull || lit(lo) <= ceiling))
+    val spark = manifestDf.sparkSession
+    import spark.implicits._
+    // The ceiling is computed driver-side over the collected manifest —
+    // code-point arithmetic, ordering plays no part in it, and the
+    // manifest is metadata-sized by construction. The range comparisons
+    // then run as Spark expressions over a local relation, so the
+    // pruning decision still uses the engine's binary string ordering,
+    // not the JVM's UTF-16 one (no Scala UDF anywhere in the path).
+    val withCeiling = manifestDf
       // partition-column type inference reads zshard back as INT
-      .select(col("zshard").cast("long")).collect().map(_.getLong(0)).sorted.toSeq
+      .select(col("zshard").cast("long"), col("min_prefix"),
+        col("max_prefix"), col("max_truncated"))
+      .collect()
+      .map { r =>
+        val ceiling =
+          if (r.getAs[Boolean](3)) Option(r.getString(2)).map(incrementLastCodePoint).orNull
+          else r.getString(2)
+        (r.getLong(0), r.getString(1), ceiling)
+      }.toSeq.toDF("zshard", "min_prefix", "ceiling")
+    withCeiling
+      .filter(lit(hi) >= col("min_prefix") &&
+        (col("ceiling").isNull || lit(lo) <= col("ceiling")))
+      .select(col("zshard")).collect().map(_.getLong(0)).sorted.toSeq
   }
 
   /** Stats-pruned scan for `keyCol BETWEEN lo AND hi` over a

@@ -123,6 +123,21 @@ class IvfBlockTopKSpec extends SparkSpec {
         call_function("ivf_block_topk", col("vec_id"), col("embedding"),
           lit(blob), lit(3), lit(0.0)).as("top")).collect()
       assert(rows.nonEmpty && rows.forall(_.getSeq[Any](0).length <= 3))
+      // the DEFAULT no-floor path passes Double.NegativeInfinity, whose
+      // toString is not a valid Java literal — this is exactly the shape
+      // that used to fail Janino and silently fall back to interpreted
+      // eval; under CODEGEN_ONLY a regression throws here
+      val noFloor = emb.limit(5).select(
+        call_function("ivf_block_topk", col("vec_id"), col("embedding"),
+          lit(blob), lit(3), lit(Double.NegativeInfinity)).as("top")).collect()
+      assert(noFloor.nonEmpty && noFloor.forall(_.getSeq[Any](0).length <= 3))
+      // NaN floor bits must also survive the literal round-trip (floor
+      // comparisons with NaN drop everything — semantics aside, codegen
+      // must compile)
+      val nanFloor = emb.limit(2).select(
+        call_function("ivf_block_topk", col("vec_id"), col("embedding"),
+          lit(blob), lit(3), lit(Double.NaN)).as("top")).collect()
+      assert(nanFloor.length == 2)
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 

@@ -368,6 +368,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("syntheticImages → decodePixels: EXACT deterministic luma/geometry (q206 gate)") {
+    // The q206 fixture is lossless by construction (png/gif/bmp solid
+    // gray), so the decoded raster stats are exactly predictable from
+    // the id: width 16+id%16, height 8+id%8, meanLuma (id*37)%256.
+    val ids = (0L until 30L).toDF("doc_id")
+    val imgs = Multimodal.syntheticImages(spark, ids, "doc_id")
+    assert(imgs.count() == 30)
+    val px = Multimodal.decodePixels(spark, imgs.select(col("id"), col("payload")))
+      .collect().map(p => p.id -> p).toMap
+    (0L until 30L).foreach { id =>
+      val p = px(id)
+      assert(p.decoded, s"id $id not decoded")
+      assert(p.width == 16 + (id % 16).toInt && p.height == 8 + (id % 8).toInt,
+        s"id $id geometry ${p.width}x${p.height}")
+      val expLuma = ((id * 37) % 256).toDouble
+      assert(math.abs(p.meanLuma - expLuma) < 1e-6,
+        s"id $id luma ${p.meanLuma}, expected $expLuma")
+    }
+    // the q206 aggregate itself: 3 format rows, everything decoded
+    val stats = graft.Queries.pixelStats(spark, sf0001).collect()
+    assert(stats.length == 3)
+    assert(stats.map(_.getString(0)).sorted.toSeq == Seq("bmp", "gif", "png"))
+    stats.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"format ${r.getString(0)}: ${r.getLong(1) - r.getLong(2)} rows failed decode")
+    }
+  }
+
   test("decodeAvMeta streams partition-wise like the image path") {
     val blobs = Seq(
       (1L, wavBytes(1, 8000, 8, 8000)), (2L, mp4Bytes(90000, 90000, v1 = false)),

@@ -62,6 +62,27 @@ class BloomJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("the serialized filter rides the plan as a binary LITERAL, never hex SQL text") {
+    // A GB-scale bloom must not round-trip through the SQL parser as an
+    // X'hex' string (2× blow-up, re-parse, and it lands verbatim in every
+    // explain/plan-text surface). Pin that the probe's second argument is
+    // a BinaryType Literal in the analyzed tree — the object itself rides
+    // the plan and ships via codegen's addReferenceObj.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val df = BloomJoin.bloomSemiJoin(orders, "o_custkey", highBal, "c_custkey")
+    val binaryLits = df.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case l @ Literal(_, BinaryType) => l })
+    assert(binaryLits.nonEmpty, "bloom filter is not a binary literal in the plan")
+    // and the byte payload deserializes back into a working bloom filter —
+    // proof it's the serialized filter object, not a parsed hex string
+    assert(binaryLits.exists { l =>
+      scala.util.Try(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(l.value.asInstanceOf[Array[Byte]]))).isSuccess
+    })
+  }
+
   test("suppressBloom probes through the native codegen'd expression, never a Scala UDF") {
     // Same CODEGEN_ONLY pin as above, applied to Dedup.suppressBloom's
     // plan: its probe sits in a scan-side FILTER over the full corpus,
