@@ -55,6 +55,23 @@ object GraftConf {
     v
   }
 
+  /** Row budget below which an LSH band table (minhash/simhash/SRP
+    * (table, bucket) rows — fixed-width, one row per doc per band) is
+    * broadcast as the build side of its candidate self-join. Above it the
+    * join shuffles — with BOTH sides explicitly repartitioned on the join
+    * keys, because AQE still cannot see the quadratic output (measured at
+    * 250k docs on the prefix join: 3/32 cores busy unpinned). Row-gating
+    * is sound here, unlike the verify-side tables, because band rows are
+    * fixed-width (two longs); 2M rows ≈ tens of MB.
+    * `spark.graft.bandJoin.broadcastRows` overrides (0 forces the shuffle
+    * regime — used by plan-shape specs and scale measurements).
+    */
+  def bandBroadcastRows(spark: SparkSession): Long = {
+    val v = long(spark, "spark.graft.bandJoin.broadcastRows", 2000000L)
+    require(v >= 0, s"spark.graft.bandJoin.broadcastRows must be >= 0, got $v")
+    v
+  }
+
   /** Byte budget below which a variable-width side table (shingle-hash
     * arrays, posting lists, packed vectors) is broadcast into the verify
     * join. Row-count gates are wrong for fat-array payloads: 100k docs of

@@ -35,12 +35,14 @@ import org.apache.spark.sql.functions._
   *  sbt "runMain graft.Bench"`.
   */
 object ScaleUp {
-  val Replicas = 10
   val IdStride = 10000000L
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    // replica count is the scale knob: 10 → sf1-shaped, 50 → sf5-shaped
+    // (250k docs — past the broadcast gates, i.e. the shuffle regime)
+    val Replicas = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -199,10 +199,18 @@ object Dedup extends org.apache.spark.internal.Logging {
       // more than the (now output-sized) dedup shuffle.
       val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
       val rawPairs =
-        if (nDocs * bands <= 2000000L)
+        if (nDocs * bands <= graft.GraftConf.bandBroadcastRows(docs.sparkSession))
           banded.repartition(fanout, col("id")).as("l")
             .join(broadcast(banded).as("r"), Seq("band", "band_hash"))
-        else banded.as("l").join(banded.as("r"), Seq("band", "band_hash"))
+        else
+          // shuffle regime: the pin is still required — AQE sizes the
+          // exchange by the band table's (small) input bytes, not the
+          // O(Σ bucket²) output (measured on the prefix join at 250k
+          // docs: 3/32 cores). Both sides repartitioned on the join
+          // keys: co-partitioned, exempt from AQE coalescing.
+          banded.repartition(fanout, col("band"), col("band_hash")).as("l")
+            .join(banded.repartition(fanout, col("band"), col("band_hash")).as("r"),
+              Seq("band", "band_hash"))
       val candidates = rawPairs
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .filter(col("id_a") < col("id_b"))
@@ -277,10 +285,16 @@ object Dedup extends org.apache.spark.internal.Logging {
       // rows per doc; its self-join output is O(Σ bucket²))
       val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
       val rawPairs =
-        if (nDocs * 4 <= 2000000L)
+        if (nDocs * 4 <= graft.GraftConf.bandBroadcastRows(docs.sparkSession))
           chunked.repartition(fanout, col("id")).as("l")
             .join(broadcast(chunked).as("r"), Seq("chunk", "chunk_val"))
-        else chunked.as("l").join(chunked.as("r"), Seq("chunk", "chunk_val"))
+        else
+          // shuffle regime: pin both sides on the join keys (see
+          // [[minhashCandidatePairs]] — AQE cannot see the quadratic
+          // output from the KB-scale chunk-table input)
+          chunked.repartition(fanout, col("chunk"), col("chunk_val")).as("l")
+            .join(chunked.repartition(fanout, col("chunk"), col("chunk_val")).as("r"),
+              Seq("chunk", "chunk_val"))
       val candidates = rawPairs
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .filter(col("id_a") < col("id_b"))

@@ -102,8 +102,17 @@ object PrefixJoin {
         prefix.repartition(fanout, col("id")).as("a").join(broadcast(prefix).as("b"),
           col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
       else
-        prefix.as("a").join(prefix.as("b"),
-          col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
+        // Shuffle regime: the pin is STILL required (measured at 250k
+        // docs: the posting input is ~50 MB, so AQE coalesced the join
+        // exchange onto 1–2 tasks while the output exploded — 3/32
+        // cores busy). Repartition BOTH sides on the join key with the
+        // pinned fan-out: co-partitioned, so the join adds no further
+        // exchange, and user repartitions are exempt from AQE
+        // coalescing. Per-key skew is bounded by the prefix filter
+        // itself (only a doc's rarest grams are indexed).
+        prefix.repartition(fanout, col("ptok")).as("a")
+          .join(prefix.repartition(fanout, col("ptok")).as("b"),
+            col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
       ).select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     def verified(cands: DataFrame, hint: DataFrame => DataFrame): DataFrame = cands
       .join(hint(sets.select(col("id").as("id_a"), col("toks").as("ta"), col("sz").as("sza"))), "id_a")
@@ -274,10 +283,9 @@ object PrefixJoin {
     // the 10⁸-row explosion runs on 1–2 cores. While the posting table
     // fits a broadcast, pin the physical shape ourselves: explicit
     // round-robin fan-out of the stream side (user repartitions are
-    // exempt from AQE coalescing) against a broadcast build side. At
-    // corpus scale the posting table outgrows a broadcast and the plain
-    // hash-shuffle join is right — by then each token's posting list
-    // carries real bytes and AQE sizes the exchange correctly.
+    // exempt from AQE coalescing) against a broadcast build side. Past
+    // the broadcast gate the join must shuffle — but the pin is still
+    // required there (measured at 250k docs, see the branch below).
     // Fan out BY ID, not round-robin: every duplicate of a pair (a, b)
     // is generated from one of a's posting rows, so hash-partitioning
     // the stream side on id co-locates them — the final dedup's partial
@@ -300,9 +308,21 @@ object PrefixJoin {
           col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
             col("a.tail") * col("b.tail") >= threshold - 1e-9)
       else
-        posting.as("a").join(posting.as("b"),
-          col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-            col("a.tail") * col("b.tail") >= threshold - 1e-9)
+        // Shuffle regime: the pin is STILL required. The r12 assumption
+        // ("past the gate the posting table carries real bytes and AQE
+        // sizes the exchange correctly") was MEASURED FALSE at 250k
+        // docs: the posting input is ~35 MB — AQE coalesced the join
+        // exchange to 1–2 partitions and the ~10⁹-row explosion ran on
+        // 3/32 cores (killed after 12 min; pinned it completes in
+        // ~2 min). Repartition BOTH sides on the join key with the
+        // pinned fan-out: co-partitioned (no extra exchange for the
+        // join) and exempt from AQE coalescing. Per-token skew is
+        // bounded by the prefix filter (tail ≥ t keeps only each doc's
+        // rarest terms, so df_prefix per token stays small by design).
+        posting.repartition(fanout, col("tok")).as("a")
+          .join(posting.repartition(fanout, col("tok")).as("b"),
+            col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+              col("a.tail") * col("b.tail") >= threshold - 1e-9)
       ).select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // verify vectors as (sorted key array, aligned value array): the
     // native merge-join dot is O(|a|+|b|) per pair where a map column is

@@ -201,9 +201,10 @@ object Similarity extends org.apache.spark.internal.Logging {
     * are exempt from AQE coalescing, and id-partitioning co-locates all
     * of a pair's duplicate rows, so a downstream dedup's partial
     * aggregation collapses them map-side) against a broadcast build
-    * side. Past the gate the plain hash-shuffle join is the right
-    * distributed plan — at that scale the banded table carries real
-    * bytes and AQE sizes it correctly.
+    * side. Past the gate the join must shuffle — but the pin is STILL
+    * required: a 250k-doc corpus's banded table is only tens of MB, so
+    * AQE still coalesces the exchange while the output explodes (both
+    * sides are therefore repartitioned on the join keys).
     */
   private def srpRawPairs(corpus: DataFrame, numTables: Int, bits: Int,
                           idCol: String, vecCol: String, seed: Long,
@@ -214,11 +215,22 @@ object Similarity extends org.apache.spark.internal.Logging {
         expr(s"srp_buckets($vecCol, $numTables, $bits, ${seed}L)").as("buckets"))
       .select(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val pairs =
-      if (corpusRows >= 0 && corpusRows * numTables <= 2000000L) {
+      if (corpusRows >= 0 && corpusRows * numTables <=
+            graft.GraftConf.bandBroadcastRows(corpus.sparkSession)) {
         val fanout = graft.GraftConf.explosiveFanout(corpus.sparkSession)
         banded.repartition(fanout, col("id")).as("l")
           .join(broadcast(banded).as("r"), Seq("tbl", "bucket"))
-      } else banded.as("l").join(banded.as("r"), Seq("tbl", "bucket"))
+      } else {
+        // shuffle regime: the pin is still required — AQE sizes the
+        // exchange by the banded table's (small) input bytes, not the
+        // O(Σ bucket²) output (the 250k-doc prefix-join measurement:
+        // 3/32 cores busy). Both sides repartitioned on the join keys:
+        // co-partitioned, exempt from AQE coalescing.
+        val fanout = graft.GraftConf.explosiveFanout(corpus.sparkSession)
+        banded.repartition(fanout, col("tbl"), col("bucket")).as("l")
+          .join(banded.repartition(fanout, col("tbl"), col("bucket")).as("r"),
+            Seq("tbl", "bucket"))
+      }
     pairs.select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
   }

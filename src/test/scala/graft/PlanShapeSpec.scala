@@ -328,6 +328,42 @@ class PlanShapeSpec extends SparkSpec {
       "a consumer bypassed the staged counts and re-scanned the corpus")
   }
 
+  test("band self-join in the shuffle regime pins BOTH sides on the join keys") {
+    // Past the broadcast gate the candidate join must shuffle — but the
+    // parallelism pin is still required: AQE sizes the exchange by the
+    // band table's KB-scale input bytes, not its quadratic output
+    // (measured at 250k docs on the prefix join: 3/32 cores busy
+    // unpinned). Force the regime via the conf and assert both sides
+    // carry an explicit hashpartitioning exchange on the join keys.
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    // model the at-scale regime: a 250k-doc band table exceeds Spark's
+    // generic broadcast threshold, so the join must survive as a shuffle
+    // join (at sf0.001 Spark would otherwise upgrade it to broadcast —
+    // fine there, but not the shape under test)
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // srpCandidatePairs returns the lazy plan (minhash/simhash stage
+      // theirs to parquet), so the join shape is directly inspectable
+      val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val pairs = operators.Similarity.srpCandidatePairs(vecs, numTables = 2, bits = 8)
+      pairs.collect() // let AQE finalize exchange-reuse decisions
+      val plan = pairs.queryExecution.executedPlan.toString
+      val pins = "Exchange hashpartitioning\\(tbl".r.findAllIn(plan).length
+      // identical subplans repartitioned on the same keys: the second
+      // side may (ideally) ride a ReusedExchange of the first
+      assert(pins >= 2 || (pins >= 1 &&
+          (plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"))),
+        s"expected both band-join sides pinned on (tbl, bucket), saw $pins in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"gate=0 must force the shuffle regime:\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
   test("cdc chunking keeps chunk text out of the shuffle (hashes only)") {
     val df = Queries.cdcChunks(spark, sf0001)
     df.collect()
