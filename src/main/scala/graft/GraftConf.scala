@@ -75,14 +75,21 @@ object GraftConf {
   /** Byte budget below which a variable-width side table (shingle-hash
     * arrays, posting lists, packed vectors) is broadcast into the verify
     * join. Row-count gates are wrong for fat-array payloads: 100k docs of
-    * long-document shingle arrays can be GBs. Default 64 MiB — inside
-    * every sane executor while far above the autoBroadcastJoinThreshold
-    * default (these broadcasts skip an exchange on a candidate stream
-    * orders of magnitude larger than the table, so a bigger budget than
-    * Spark's generic 10 MB is justified).
+    * long-document shingle arrays can be GBs.
+    *
+    * The default scales with the JVM: `max(64 MiB, min(1 GiB, maxHeap/16))`.
+    * A fixed 64 MiB proved far too timid — the alternative to the
+    * broadcast is an exchange carrying the CANDIDATE STREAM with vector
+    * arrays attached (candidates × vector-bytes: measured at the 250k-doc
+    * shape, ~150 M pairs × ~2.4 KB ≈ 360 GB through one exchange, where
+    * the broadcast was 600 MB — a 600× byte trade). A GiB-scale broadcast
+    * is the cheap side of that trade on any executor with ≥16 GiB. The
+    * default reads the DRIVER heap as a proxy; on clusters whose
+    * executors are smaller than the driver, set the conf explicitly.
     */
   def broadcastBytes(spark: SparkSession): Long = {
-    val v = long(spark, "spark.graft.broadcastBytes", 64L << 20)
+    val v = long(spark, "spark.graft.broadcastBytes",
+      math.max(64L << 20, math.min(1L << 30, Runtime.getRuntime.maxMemory / 16)))
     require(v > 0, s"spark.graft.broadcastBytes must be positive, got $v")
     v
   }

@@ -198,8 +198,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       // count arrays is the expensive step, so duplicated verifies cost
       // more than the (now output-sized) dedup shuffle.
       val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
+      val bandBroadcast =
+        nDocs * bands <= graft.GraftConf.bandBroadcastRows(docs.sparkSession)
       val rawPairs =
-        if (nDocs * bands <= graft.GraftConf.bandBroadcastRows(docs.sparkSession))
+        if (bandBroadcast)
           banded.repartition(fanout, col("id")).as("l")
             .join(broadcast(banded).as("r"), Seq("band", "band_hash"))
         else
@@ -211,10 +213,23 @@ object Dedup extends org.apache.spark.internal.Logging {
           banded.repartition(fanout, col("band"), col("band_hash")).as("l")
             .join(banded.repartition(fanout, col("band"), col("band_hash")).as("r"),
               Seq("band", "band_hash"))
-      val candidates = rawPairs
+      val collisions = rawPairs
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
+      // In the broadcast regime the stream side is partitioned by id, so
+      // a pair's duplicate rows co-locate and the dedup's partial
+      // aggregation collapses them map-side — dropDuplicates alone is
+      // output-sized. In the shuffle regime the collisions come out
+      // partitioned by band keys (duplicates scattered), so pin the
+      // dedup's own exchange to the fan-out width: a bare dropDuplicates
+      // would exchange the raw collision stream at
+      // spark.sql.shuffle.partitions, and the oversized per-task hash
+      // maps fall back to sorts that spill the whole stream (measured
+      // fatal on the prefix join at the 250k-doc shape).
+      val candidates =
+        (if (bandBroadcast) collisions
+         else collisions.repartition(fanout, col("id_a"), col("id_b")))
+          .dropDuplicates("id_a", "id_b")
 
       // verify: fetch each side's shingle set once; merge-join Jaccard over
       // the sorted hash arrays (O(|a|+|b|) per pair). While the shingle
@@ -227,9 +242,14 @@ object Dedup extends org.apache.spark.internal.Logging {
       val sets = sig.select(col("id"), col("sh"))
       val setBytes = sig.agg(coalesce(sum(size(col("sh"))), lit(0L)))
         .head.getLong(0) * 8L + nDocs * 32L
+      // Above the gate the joins must shuffle — hint SHUFFLE_HASH so the
+      // shingle table is the (small) build side and the candidate stream
+      // is never SORTED: a sort-merge join would sort the candidates,
+      // and on the id_b join the stream already carries the id_a-side
+      // shingle arrays, so the sort spill would be candidates × arrays.
       val hint: DataFrame => DataFrame =
         if (setBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession))
-          broadcast(_) else identity
+          broadcast(_) else _.hint("shuffle_hash")
       candidates
         .join(hint(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
         .join(hint(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
@@ -284,8 +304,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       // as [[minhashCandidatePairs]] (the chunk table is 4 fixed-width
       // rows per doc; its self-join output is O(Σ bucket²))
       val fanout = graft.GraftConf.explosiveFanout(docs.sparkSession)
+      val chunkBroadcast =
+        nDocs * 4 <= graft.GraftConf.bandBroadcastRows(docs.sparkSession)
       val rawPairs =
-        if (nDocs * 4 <= graft.GraftConf.bandBroadcastRows(docs.sparkSession))
+        if (chunkBroadcast)
           chunked.repartition(fanout, col("id")).as("l")
             .join(broadcast(chunked).as("r"), Seq("chunk", "chunk_val"))
         else
@@ -295,14 +317,23 @@ object Dedup extends org.apache.spark.internal.Logging {
           chunked.repartition(fanout, col("chunk"), col("chunk_val")).as("l")
             .join(chunked.repartition(fanout, col("chunk"), col("chunk_val")).as("r"),
               Seq("chunk", "chunk_val"))
-      val candidates = rawPairs
+      val collisions = rawPairs
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
+      // shuffle regime: pin the dedup exchange to the fan-out width too
+      // (see [[minhashCandidatePairs]] — a bare dropDuplicates exchanges
+      // the raw collision stream at spark.sql.shuffle.partitions and the
+      // oversized aggregate tasks sort-spill the whole stream)
+      val candidates =
+        (if (chunkBroadcast) collisions
+         else collisions.repartition(fanout, col("id_a"), col("id_b")))
+          .dropDuplicates("id_a", "id_b")
       // the signature table is 16 bytes/doc — broadcast the verify at
-      // any corpus size a single executor can hold
+      // any corpus size a single executor can hold; above that, hash
+      // joins with the signature table as build side (never sort the
+      // candidate stream)
       val hint: DataFrame => DataFrame =
-        if (nDocs <= 10000000L) broadcast(_) else identity
+        if (nDocs <= 10000000L) broadcast(_) else _.hint("shuffle_hash")
       candidates
         .join(hint(sig.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
         .join(hint(sig.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")

@@ -127,9 +127,20 @@ object PrefixJoin {
     // gram) cost an extra in-pipeline intersect each, so dedup AFTER the
     // map-side verify where only output-sized rows shuffle; past the
     // cutoff the verify joins shuffle anyway — dedup the pair stream
-    // first so duplicates never ride an exchange.
+    // first so duplicates never ride an exchange. The dedup's own
+    // exchange is pinned to the fan-out width (a plain dropDuplicates
+    // exchanges the raw stream at spark.sql.shuffle.partitions — at the
+    // 250k-doc shape that put ~10⁸ rows per aggregate task, whose hash
+    // map fell back to a sort that spilled the whole stream to disk),
+    // and the set-table joins are hinted SHUFFLE_HASH: a sort-merge join
+    // would SORT the candidate stream (and, on the second join, the
+    // gram arrays attached by the first) — the build side is the small
+    // set table, so hash joins stream the candidates sort-free.
     if (fitsBroadcast) verified(rawPairs, broadcast(_)).dropDuplicates("id_a", "id_b")
-    else verified(rawPairs.dropDuplicates("id_a", "id_b"), identity)
+    else verified(
+      rawPairs.repartition(fanout, col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b"),
+      _.hint("shuffle_hash"))
   }
 
   /** Candidate-pair counts of the prefix index vs the full inverted index
@@ -357,9 +368,26 @@ object PrefixJoin {
       // Past the broadcast cutoff the verify joins shuffle the candidate
       // rows anyway, so duplicates would ride (and pay for) every
       // exchange twice — dedup first, then shuffle-join the vectors.
-      rawPairs.dropDuplicates("id_a", "id_b")
-        .join(vecs.select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va")), "id_a")
-        .join(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb")), "id_b")
+      // Two plan pins, both measured fatal without them at the 250k-doc
+      // shape: (1) the dedup exchange is repartitioned to the fan-out
+      // width — at spark.sql.shuffle.partitions=32 each aggregate task
+      // got ~10⁸ raw rows, the hash map fell back to sort-based
+      // aggregation and spilled the entire raw stream; (2) the vector
+      // joins are hinted SHUFFLE_HASH — sort-merge joins SORT the
+      // candidate stream, and on the id_b join the stream already
+      // carries the id_a-side (ks, vs) arrays (~2.4 KB/row), so the
+      // sort spill is candidates × vector-bytes. With hash joins the
+      // small vector table is the build side and the fat stream is
+      // never sorted; the one unavoidable cost above the gate is the
+      // id_b exchange carrying the attached arrays — linear in
+      // candidates and spread across the cluster, vs. quadratic sort
+      // spill on whichever task sorts.
+      rawPairs.repartition(fanout, col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .join(vecs.select(col("id").as("id_a"), col("ks").as("ka"), col("vs").as("va"))
+          .hint("shuffle_hash"), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("ks").as("kb"), col("vs").as("vb"))
+          .hint("shuffle_hash"), "id_b")
         .withColumn("cosine", round(expr("sorted_dot(ka, va, kb, vb)"), 4))
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))

@@ -244,9 +244,20 @@ object Similarity extends org.apache.spark.internal.Logging {
     */
   def srpCandidatePairs(corpus: DataFrame, numTables: Int, bits: Int,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        seed: Long = 42L): DataFrame =
-    srpRawPairs(corpus, numTables, bits, idCol, vecCol, seed, corpus.count())
-      .dropDuplicates("id_a", "id_b")
+                        seed: Long = 42L): DataFrame = {
+    val nRows = corpus.count()
+    val raw = srpRawPairs(corpus, numTables, bits, idCol, vecCol, seed, nRows)
+    // broadcast regime: the stream side is id-partitioned, so pair
+    // duplicates collapse map-side and dropDuplicates is output-sized;
+    // shuffle regime: pin the dedup exchange to the fan-out width (see
+    // [[cosineNearDupPairs]])
+    val spark = corpus.sparkSession
+    val pinned =
+      if (nRows * numTables <= graft.GraftConf.bandBroadcastRows(spark)) raw
+      else raw.repartition(graft.GraftConf.explosiveFanout(spark),
+        col("id_a"), col("id_b"))
+    pinned.dropDuplicates("id_a", "id_b")
+  }
 
   /** All-pairs above a cosine threshold via banded SRP-LSH (embedding-cosine
     * near-duplicate detection). Auto-tuned: bits per table from corpus size
@@ -277,7 +288,14 @@ object Similarity extends org.apache.spark.internal.Logging {
     }
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val raw = srpRawPairs(corpus, tables, bits, idCol, vecCol, seed, nRows)
-    if (nRows <= 200000) {
+    // Byte-based verify-broadcast gate (vectors are fixed-width, so
+    // rows × (dim × 4B + row overhead) is exact — a row-count gate is
+    // wrong at high dim: 200k rows is 51 MB at dim 64 but 820 MB at
+    // dim 1024). The dim probe is one head() on the (tiny) plan.
+    val dim = if (nRows == 0) 0
+              else corpus.select(size(col(vecCol))).head.getInt(0)
+    val vecBytes = nRows * (dim.toLong * 4L + 32L)
+    if (vecBytes <= graft.GraftConf.broadcastBytes(corpus.sparkSession)) {
       // VERIFY-THEN-DEDUP (the weighted-prefix-join measurement): while
       // the vector table fits a broadcast, the verify is entirely
       // map-side — two broadcast hash joins + the codegen'd cosine — so
@@ -297,10 +315,22 @@ object Similarity extends org.apache.spark.internal.Logging {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     } else {
       // past the broadcast cutoff the verify joins shuffle candidate
-      // rows anyway — dedup first so duplicates never ride an exchange
-      raw.dropDuplicates("id_a", "id_b")
-        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      // rows anyway — dedup first so duplicates never ride an exchange.
+      // Pin the dedup exchange to the fan-out width (a bare
+      // dropDuplicates exchanges the raw collision stream at
+      // spark.sql.shuffle.partitions; the oversized aggregate tasks
+      // fall back to sorts that spill the whole stream — measured fatal
+      // on the prefix join at the 250k-doc shape) and hint the vector
+      // joins SHUFFLE_HASH so the candidate stream — which carries v_a
+      // into the second join — is never sorted; the small vector table
+      // is the hash build side.
+      val fanout = graft.GraftConf.explosiveFanout(corpus.sparkSession)
+      raw.repartition(fanout, col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"))
+          .hint("shuffle_hash"), "id_b")
         .withColumn("cosine", VectorFunctions.cosine("v_a", "v_b"))
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
@@ -361,14 +391,19 @@ object Similarity extends org.apache.spark.internal.Logging {
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cb = banded(corpus, "neighbor")
     val qb = banded(queries, "query")
+    // score BEFORE the dedup: duplicate (query, neighbor) rows are
+    // bit-identical once reduced to the cosine (the extra in-pipeline
+    // dots are map-side), so the dedup exchange carries three scalars
+    // per row instead of two dim-width vectors
     val scored = cb.join(maybeBroadcast(qb, maxBroadcastQueries),
         Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("query_vec"),
         col("neighbor_vec").as("corpus_vec"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         VectorFunctions.cosine("query_vec", "corpus_vec"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored

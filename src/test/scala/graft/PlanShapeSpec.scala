@@ -240,6 +240,72 @@ class PlanShapeSpec extends SparkSpec {
       s"stream side not fanned out; nested loop would run single-core:\n$plan")
   }
 
+  test("weighted prefix join's shuffle regime: pinned dedup exchange, hash-join verify, no candidate sort") {
+    // Above the verify-broadcast gate the candidate stream must shuffle —
+    // but with two pins, both measured fatal without them at the 250k-doc
+    // shape: the pair dedup repartitions to the fan-out width BEFORE the
+    // aggregate (a bare dropDuplicates exchanged the raw collision stream
+    // at spark.sql.shuffle.partitions and the oversized tasks sort-spilled
+    // the whole stream to disk), and the vector attachments are SHUFFLED
+    // HASH joins (a sort-merge join would sort the candidate stream — on
+    // the id_b side with the id_a vectors already attached).
+    spark.conf.set("spark.graft.prefixJoin.bruteMaxDocs", "0")
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.6)
+      df.collect() // finalize AQE so the executed plan is the real one
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"gate=1 byte must force the shuffle verify:\n$plan")
+      assert("ShuffledHashJoin".r.findAllIn(plan).length >= 2,
+        s"verify joins must be shuffled hash joins (build = vector table):\n$plan")
+      assert(plan.contains("Exchange hashpartitioning(id_a"),
+        s"pair dedup must repartition on (id_a, id_b) at the fan-out width:\n$plan")
+      // the posting SELF-join may sort-merge (its inputs are the small
+      // co-partitioned posting tables) — what must never sort is the
+      // candidate stream, i.e. no Sort on the pair keys
+      assert(!plan.contains("Sort [id_a") && !plan.contains("Sort [id_b"),
+        s"a join sorted the candidate stream:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    } finally {
+      spark.conf.unset("spark.graft.prefixJoin.bruteMaxDocs")
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
+  test("SRP near-dup shuffle regime: pinned dedup exchange and hash-join verify") {
+    // same two pins as the weighted prefix join, on the embedding path:
+    // band gate 0 forces the banded self-join to shuffle, broadcastBytes 1
+    // forces the verify past its gate
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val df = operators.Similarity.cosineNearDupPairs(vecs, threshold = 0.2)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"gates must force the full shuffle regime:\n$plan")
+      assert("ShuffledHashJoin".r.findAllIn(plan).length >= 2,
+        s"verify joins must be shuffled hash joins:\n$plan")
+      assert(plan.contains("Exchange hashpartitioning(id_a"),
+        s"pair dedup must repartition on (id_a, id_b):\n$plan")
+      // the band SELF-join may sort-merge its small co-partitioned
+      // inputs; the candidate stream must never be sorted
+      assert(!plan.contains("Sort [id_a") && !plan.contains("Sort [id_b"),
+        s"a join sorted the candidate stream:\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
   test("q149 zone verdict is literal predicate work over a 64-row manifest agg") {
     val df = Queries.zorderZoneMap(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
