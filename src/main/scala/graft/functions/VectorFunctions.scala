@@ -473,6 +473,63 @@ case class IvfBlockTopK(first: Expression, second: Expression, third: Expression
     copy(first = f, second = s, third = t)
 }
 
+/** Top-`k` (cosine desc, id asc) neighbors for EVERY query in a packed
+  * query block against one packed corpus chunk — the cross-block form of
+  * [[IvfBlockTopK]], returning `array<struct<query_id:long,
+  * neighbor_id:long, cosine:double>>` (each query's entries already in
+  * final rank order). Why it exists: Catalyst BinaryType access COPIES
+  * the blob out of its row on every evaluation (`UnsafeRow.getBinary`),
+  * so the one-row-per-(query, chunk) formulation memcpy'd the corpus
+  * chunk once per probing query — measured 8 TB of copy+GC at the
+  * 250k-doc shape, ~all of the probe scan's 300 s. With queries packed
+  * per (list, salt), one row's two copies amortize over
+  * |qblock| × |chunk| scored pairs and the scan is compute-bound.
+  * Arithmetic and ordering are EXACTLY [[IvfBlockTopK]]'s, so the
+  * per-chunk → global-window cascade still selects the flat join's rows.
+  */
+case class BlockCrossTopK(left: Expression, right: Expression,
+                          k: Int, floor: Double)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "block_cross_topk"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case _ if k < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"block_cross_topk needs k >= 1, got $k")
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"block_cross_topk expects (binary qblock, binary block), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def nullSafeEval(qblob: Any, cblob: Any): Any =
+    VectorFunctions.blockCrossTopK(qblob.asInstanceOf[Array[Byte]],
+      cblob.asInstanceOf[Array[Byte]], k, floor)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qblob, cblob) => {
+      // one static call per row (the row's work is a whole block × chunk
+      // scan); floor rides as raw long bits — Double.NegativeInfinity's
+      // toString is not a valid Java literal (see IvfBlockTopK)
+      val floorBits = java.lang.Double.doubleToRawLongBits(floor)
+      s"""
+         |${ev.value} = graft.functions.VectorFunctions.blockCrossTopK(
+         |  $qblob, $cblob, $k,
+         |  java.lang.Double.longBitsToDouble(${floorBits}L));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Dense `array<float>` of length `dim` from per-document sparse
   * (slot, value) entries — the assembly step of the feature-hashed
   * tf-idf embeddings. One allocation + one pass over the entries per
@@ -543,7 +600,9 @@ object VectorFunctions {
     "sparse_to_dense" -> (c => SparseToDense(c.head, litNum(c(1), "dim").toInt)),
     "pack_vec_block" -> (c => PackVecBlock(c.head)),
     "ivf_block_topk" -> (c => IvfBlockTopK(c.head, c(1), c(2),
-      litNum(c(3), "k").toInt, litDouble(c(4), "floor"))))
+      litNum(c(3), "k").toInt, litDouble(c(4), "floor"))),
+    "block_cross_topk" -> (c => BlockCrossTopK(c.head, c(1),
+      litNum(c(2), "k").toInt, litDouble(c(3), "floor"))))
 
   /** Register every vector function on this session's registry so they
     * are usable from both `expr(...)` and `spark.sql(...)`. Idempotent.
@@ -578,35 +637,90 @@ object VectorFunctions {
     * in a bounded insertion buffer. Ids in the blob ascend, so equal
     * scores keep lowest-id-first without comparing ids.
     */
+  /** A [[PackVecBlock]] blob decoded into contiguous arrays plus each
+    * vector's precomputed norm accumulator (Σ y², double, SAME summation
+    * order as the fused loops it feeds — scores stay bit-identical).
+    * Decoded LOCALLY per expression call: one bulk pass replaces the
+    * four-byte-loads-plus-swap `ByteBuffer.getFloat` per element per
+    * pair, and the norm is computed once per vector instead of once per
+    * pair. (A cross-call identity cache does NOT work here and was
+    * measured 2.9× WORSE: `UnsafeRow.getBinary` copies the blob into a
+    * FRESH array on every row access, so an identity key never hits and
+    * the map only adds contention — the per-row copy itself is why
+    * [[BlockCrossTopK]] exists.)
+    */
+  private final class DecodedBlock(val n: Int, val dim: Int,
+                                   val ids: Array[Long],
+                                   val vecs: Array[Float],
+                                   val normSq: Array[Double])
+
+  private def decodeBlock(blob: Array[Byte]): DecodedBlock = {
+    val buf = java.nio.ByteBuffer.wrap(blob)
+    val n = buf.getInt(0)
+    val dim = buf.getInt(4)
+    val ids = new Array[Long](n)
+    val vecs = new Array[Float](n * dim)
+    buf.position(8)
+    buf.asLongBuffer().get(ids)
+    buf.position(8 + n * 8)
+    buf.asFloatBuffer().get(vecs)
+    val normSq = new Array[Double](n)
+    var r = 0
+    while (r < n) {
+      var ny = 0.0
+      var i = r * dim
+      val end = i + dim
+      while (i < end) { val y = vecs(i).toDouble; ny += y * y; i += 1 }
+      normSq(r) = ny
+      r += 1
+    }
+    new DecodedBlock(n, dim, ids, vecs, normSq)
+  }
+
   def blockTopK(qid: Long, q: Array[Float], blob: Array[Byte], k: Int,
                 floor: Double): ArrayData = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-    val buf = java.nio.ByteBuffer.wrap(blob)
-    val n = buf.getInt(0)
-    val dim = buf.getInt(4)
-    val idBase = 8
-    val vecBase = 8 + n * 8
+    val blk = decodeBlock(blob)
+    val n = blk.n
+    val dim = blk.dim
+    val vecs = blk.vecs
     val m = math.min(q.length, dim)
+    // EXACT CosineSimilarity arithmetic: double accumulation over the min
+    // length, 0.0 on zero norms — the block cascade must select the same
+    // rows the flat join selected. The query norm accumulates once per
+    // (query, chunk) row; each candidate's norm comes precomputed from
+    // the decode (identical summation order, so identical doubles).
+    // NOTE on m < dim: the fused loop accumulated ny over only the first
+    // m candidate elements; the precomputed norm covers all dim. Queries
+    // and corpus vectors share one fixed dim in every caller (the packer
+    // enforces one dim per block), so m == min(q.length, dim) == dim on
+    // real plans; guard the degenerate mismatch by falling back to the
+    // per-pair loop.
+    var nx = 0.0
+    var qi = 0
+    while (qi < m) { val x = q(qi).toDouble; nx += x * x; qi += 1 }
     val topIds = new Array[Long](k)
     val topScores = new Array[Double](k)
     var size = 0
     var r = 0
     while (r < n) {
-      val id = buf.getLong(idBase + r * 8)
+      val id = blk.ids(r)
       if (id != qid) {
-        // EXACT CosineSimilarity arithmetic: all three accumulators over
-        // the min length, double accumulation, 0.0 on zero norms — the
-        // block cascade must select the same rows the flat join selected
-        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var dot = 0.0
         var i = 0
-        var off = vecBase + r * dim * 4
+        var off = r * dim
         while (i < m) {
-          val xi = q(i).toDouble
-          val yi = buf.getFloat(off).toDouble
-          dot += xi * yi; nx += xi * xi; ny += yi * yi
-          i += 1; off += 4
+          dot += q(i).toDouble * vecs(off).toDouble
+          i += 1; off += 1
         }
+        val ny =
+          if (m == dim) blk.normSq(r)
+          else {
+            var acc = 0.0; var j = r * dim; val end = j + m
+            while (j < end) { val y = vecs(j).toDouble; acc += y * y; j += 1 }
+            acc
+          }
         val s = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
         if (s >= floor && (size < k || s > topScores(size - 1))) {
           // insertion position: strictly-greater scores stay ahead; equal
@@ -628,6 +742,79 @@ object VectorFunctions {
       x += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Top-`k` per query of one packed QUERY block against one packed
+    * corpus chunk — the [[BlockCrossTopK]] kernel. Same exact arithmetic
+    * and (cosine desc, id asc) order as [[blockTopK]]: double
+    * accumulation, norms in blob element order, 0.0 on zero norms,
+    * self-match (`id == qid`) excluded, floor applied inside the scan.
+    * Returns the concatenation of every query's ranked entries.
+    */
+  def blockCrossTopK(qblob: Array[Byte], cblob: Array[Byte], k: Int,
+                     floor: Double): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val qb = decodeBlock(qblob)
+    val cb = decodeBlock(cblob)
+    if (qb.n == 0 || cb.n == 0) return new GenericArrayData(Array.empty[Any])
+    val dim = cb.dim
+    // real plans pack one fixed dim on both sides; the mismatched case
+    // keeps the fused loop's min-length semantics via per-pair norms
+    val exact = qb.dim == dim
+    val m = math.min(qb.dim, dim)
+    val out = new java.util.ArrayList[Any](qb.n * math.min(k, cb.n))
+    val topIds = new Array[Long](k)
+    val topScores = new Array[Double](k)
+    var qi = 0
+    while (qi < qb.n) {
+      val qid = qb.ids(qi)
+      val qBase = qi * qb.dim
+      val nx =
+        if (exact) qb.normSq(qi)
+        else {
+          var a = 0.0; var j = qBase; val e = qBase + m
+          while (j < e) { val x = qb.vecs(j).toDouble; a += x * x; j += 1 }
+          a
+        }
+      var size = 0
+      var r = 0
+      while (r < cb.n) {
+        val id = cb.ids(r)
+        if (id != qid) {
+          var dot = 0.0
+          var i = 0; var off = r * dim; var qo = qBase
+          while (i < m) {
+            dot += qb.vecs(qo).toDouble * cb.vecs(off).toDouble
+            i += 1; off += 1; qo += 1
+          }
+          val ny =
+            if (exact) cb.normSq(r)
+            else {
+              var a = 0.0; var j = r * dim; val e = j + m
+              while (j < e) { val y = cb.vecs(j).toDouble; a += y * y; j += 1 }
+              a
+            }
+          val s = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+          if (s >= floor && (size < k || s > topScores(size - 1))) {
+            var p = if (size < k) size else k - 1
+            while (p > 0 && topScores(p - 1) < s) {
+              topIds(p) = topIds(p - 1); topScores(p) = topScores(p - 1); p -= 1
+            }
+            topIds(p) = id; topScores(p) = s
+            if (size < k) size += 1
+          }
+        }
+        r += 1
+      }
+      var x = 0
+      while (x < size) {
+        out.add(new GenericInternalRow(Array[Any](qid, topIds(x), topScores(x))))
+        x += 1
+      }
+      qi += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Codegen'd native cosine (requires [[register]] on the session). */

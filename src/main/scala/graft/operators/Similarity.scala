@@ -635,13 +635,72 @@ object Similarity extends org.apache.spark.internal.Logging {
       if (maxBroadcastQueries <= 0L) packed
       else maybeBroadcastBytes(packed, index.assigned,
         index.centroids.head._2.length)
-    val perChunk = probes
-      .join(packedSide, Seq("list_id"))
-      .select(col("query_id"),
-        explode(call_function("ivf_block_topk", col("query_id"), col("query_vec"),
-          col("block"), lit(k), lit(floor))).as("e"))
-      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
-        col("e.cosine").as("cosine"))
+    // Two probe-scan orientations, gated on the BLOB-COPY volume.
+    // Catalyst BinaryType access COPIES the blob out of its (broadcast)
+    // row on EVERY evaluation (UnsafeRow.getBinary), so the one-row-per-
+    // (query, chunk) formulation memcpy's a corpus chunk per probing
+    // query. That is free at bench scale (GBs of copy) but was the
+    // ENTIRE probe scan at the 250k-doc shape: ~15.7 M probe rows ×
+    // ~0.5 MB chunk = 8 TB of copy+GC, ~300 of the scan's 300 s, dots
+    // far from the compute roof. (An identity-keyed decode cache does
+    // NOT fix it — every access yields a fresh array, so it never hits;
+    // measured 2.9× worse.)
+    //
+    // CROSS-BLOCK orientation: pack the PROBING QUERIES per (list,
+    // salt) and join packed-queries × packed-chunks — each row decodes
+    // two blobs once and scores |qblock| × |chunk| pairs per copy, so
+    // the scan is compute-bound (sf5 shape: 300 s → 114 s, identical
+    // rows). Its cost is one explicit exchange of the probe stream
+    // (fan-out-pinned, AQE-exempt — the band-join lesson) plus the pack
+    // aggregation, a fixed ~1 s that the small-scale path should not
+    // pay: below the copy-bytes gate the per-query orientation stays.
+    // The salt bounds one cross row's work so a dense list cannot
+    // serialize the scan. Kernel arithmetic and ordering are EXACTLY
+    // the flat join's in both orientations (spec-pinned bit-identical),
+    // so the per-chunk → global-window cascade is unchanged.
+    val spark = queries.sparkSession
+    // expected probe rows from Catalyst stats (no job)
+    val vecWidth = index.centroids.head._2.length.toLong * 4L + 24L
+    def estRows(df: DataFrame): Long = {
+      val s = df.queryExecution.optimizedPlan.stats
+      s.rowCount.map(_.toLong)
+        .getOrElse((s.sizeInBytes / vecWidth).min(BigInt(Long.MaxValue)).toLong)
+    }
+    val estQueryRows = estRows(queries)
+    val nLists = math.max(1, index.centroids.size)
+    val estListRows = math.min(estRows(index.assigned) / nLists + 1, blockRows.toLong)
+    val estProbeRows = estQueryRows * nprobe
+    val estCopyBytes = estProbeRows * estListRows * vecWidth
+    val copyGate = graft.GraftConf.long(spark,
+      "spark.graft.ann.probeCopyBytes", 16L << 30)
+    val perChunk = if (estCopyBytes <= copyGate) {
+      probes
+        .join(packedSide, Seq("list_id"))
+        .select(col("query_id"),
+          explode(call_function("ivf_block_topk", col("query_id"), col("query_vec"),
+            col("block"), lit(k), lit(floor))).as("e"))
+        .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+          col("e.cosine").as("cosine"))
+    } else {
+      val fanout = graft.GraftConf.explosiveFanout(spark)
+      val qsalts = math.max(1L, math.min(1024L,
+        estProbeRows / nLists / blockRows + 1L)).toInt
+      val qpacked = probes
+        .withColumn("qsalt",
+          pmod(xxhash64(col("query_id")), lit(qsalts.toLong)).cast("int"))
+        .repartition(fanout, col("list_id"), col("qsalt"))
+        .groupBy(col("list_id"), col("qsalt"))
+        .agg(expr("pack_vec_block(collect_list(struct(query_id, query_vec)))")
+          .as("qblock"))
+        .select(col("list_id"), col("qblock"))
+      qpacked
+        .join(packedSide, Seq("list_id"))
+        .select(explode(call_function("block_cross_topk",
+          col("qblock"), col("block"), lit(k), lit(floor))).as("e"))
+        .select(col("e.query_id").as("query_id"),
+          col("e.neighbor_id").as("neighbor_id"),
+          col("e.cosine").as("cosine"))
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     perChunk

@@ -59,6 +59,30 @@ class IvfBlockTopKSpec extends SparkSpec {
     }
   }
 
+  test("cross-block orientation matches the flat join exactly (copy gate forced)") {
+    // spark.graft.ann.probeCopyBytes=1 forces the cross-block branch (the
+    // at-scale orientation) on the spec corpus; results must equal the
+    // flat formulation bit-for-bit, floor or not
+    val index = Similarity.ivfBuild(emb, numCentroids = 6, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 30)
+    spark.conf.set("spark.graft.ann.probeCopyBytes", "1")
+    try {
+      for (floor <- Seq(None, Some(0.2))) {
+        val cross = resultSet(Similarity.ivfSearch(index, queries, k = 5,
+          nprobe = 3, minCosine = floor))
+        val flat = resultSet(flatIvfSearch(index, queries, k = 5,
+          nprobe = 3, minCosine = floor))
+        assert(cross.nonEmpty && cross == flat, s"floor=$floor")
+      }
+      // salted query packs must not change results either
+      val salted = resultSet(Similarity.ivfSearch(index, queries, k = 5,
+        nprobe = 3, blockRows = 2))
+      val flat = resultSet(flatIvfSearch(index, queries, k = 5, nprobe = 3,
+        minCosine = None))
+      assert(salted == flat, "blockRows=2 (many salts/chunks) must not change results")
+    } finally spark.conf.unset("spark.graft.ann.probeCopyBytes")
+  }
+
   test("chunking never changes the result: blockRows 3 vs unbounded") {
     val index = Similarity.ivfBuild(emb, numCentroids = 4, trainIters = 1)
     val queries = emb.filter(col("vec_id") < 20)
@@ -138,6 +162,44 @@ class IvfBlockTopKSpec extends SparkSpec {
         call_function("ivf_block_topk", col("vec_id"), col("embedding"),
           lit(blob), lit(3), lit(Double.NaN)).as("top")).collect()
       assert(nanFloor.length == 2)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("block_cross_topk equals per-query ivf_block_topk and is codegen'd (CODEGEN_ONLY pin)") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.expr
+    val some = emb.limit(12)
+    val cblob = some
+      .agg(packCol(collect_list(struct(col("vec_id"), col("embedding")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val queries = emb.limit(5)
+    val qblob = queries
+      .agg(packCol(collect_list(struct(col("vec_id"), col("embedding")))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      // no-floor path: NegativeInfinity bits must survive codegen (the
+      // IvfBlockTopK Janino lesson applies to this expression too)
+      val cross = spark.range(1).select(
+          explode(call_function("block_cross_topk", lit(qblob), lit(cblob),
+            lit(3), lit(Double.NegativeInfinity))).as("e"))
+        .select(col("e.query_id"), col("e.neighbor_id"), col("e.cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val perQuery = queries.select(
+          col("vec_id").as("query_id"),
+          call_function("ivf_block_topk", col("vec_id"), col("embedding"),
+            lit(cblob), lit(3), lit(Double.NegativeInfinity)).as("top"))
+        .select(col("query_id"), explode(col("top")).as("e"))
+        .select(col("query_id"), col("e.neighbor_id"), col("e.cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(cross.sortBy(t => (t._1, t._2)).toSeq ==
+        perQuery.sortBy(t => (t._1, t._2)).toSeq,
+        "cross-block kernel must reproduce the per-query kernel exactly")
+      assert(cross.nonEmpty)
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
