@@ -673,6 +673,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     val estCopyBytes = estProbeRows * estListRows * vecWidth
     val copyGate = graft.GraftConf.long(spark,
       "spark.graft.ann.probeCopyBytes", 16L << 30)
+    // log the orientation like the packed-side broadcast decision: a
+    // silently wrong stats estimate would otherwise flip the plan with
+    // nothing to grep for
+    if (estCopyBytes <= copyGate)
+      logInfo(s"ivf probe scan: PER-QUERY orientation (est copy ${estCopyBytes} B" +
+        s" <= gate ${copyGate} B; ~$estProbeRows probe rows × $estListRows-row chunks)")
+    else
+      logInfo(s"ivf probe scan: CROSS-BLOCK orientation (est copy ${estCopyBytes} B" +
+        s" > gate ${copyGate} B; ~$estProbeRows probe rows × $estListRows-row chunks)")
     val perChunk = if (estCopyBytes <= copyGate) {
       probes
         .join(packedSide, Seq("list_id"))
