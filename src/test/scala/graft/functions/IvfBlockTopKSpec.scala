@@ -203,6 +203,58 @@ class IvfBlockTopKSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("generative: cross kernel == per-query kernel over random blocks (dims, k, floor, zero vectors)") {
+    // Raw ScalaCheck driven from ScalaTest (TypeDetectorPropertySpec
+    // idiom): random query/corpus blocks — including zero vectors, ties
+    // from duplicated vectors, k larger than the block, and floors that
+    // kill everything — must give identical (query, neighbor, cosine)
+    // sets from blockCrossTopK and per-query blockTopK.
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val vecGen = (dim: Int) => Gen.oneOf(
+      Gen.listOfN(dim, Gen.chooseNum(-3f, 3f)).map(_.toArray),
+      Gen.const(Array.fill(dim)(0f)))
+    val caseGen = for {
+      dim <- Gen.chooseNum(1, 8)
+      nq <- Gen.chooseNum(1, 12)
+      nc <- Gen.chooseNum(1, 16)
+      qvs <- Gen.listOfN(nq, vecGen(dim))
+      cvs <- Gen.listOfN(nc, vecGen(dim))
+      dup <- Gen.oneOf(true, false) // force score ties via duplicate vectors
+      k <- Gen.chooseNum(1, 20)
+      floor <- Gen.oneOf(Double.NegativeInfinity, -0.5, 0.0, 0.5, 2.0)
+    } yield (dim, qvs.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      (if (dup && cvs.length > 1) (cvs.head :: cvs.tail.init) :+ cvs.head
+       else cvs).zipWithIndex.map { case (v, i) => (100L + i, v) },
+      k, floor)
+    def pack(rows: Seq[(Long, Array[Float])]): Array[Byte] = {
+      import spark.implicits._
+      rows.toDF("id", "vec")
+        .agg(packCol(collect_list(struct(col("id"), col("vec")))).as("b"))
+        .head.getAs[Array[Byte]](0)
+    }
+    val prop = Prop.forAll(caseGen) { case (_, qrows, crows, k, floor) =>
+      val qblob = pack(qrows)
+      val cblob = pack(crows)
+      val cross = {
+        val arr = VectorFunctions.blockCrossTopK(qblob, cblob, k, floor)
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 3)
+          (r.getLong(0), r.getLong(1), r.getDouble(2))
+        }.toSet
+      }
+      val perQuery = qrows.flatMap { case (qid, qv) =>
+        val arr = VectorFunctions.blockTopK(qid, qv, cblob, k, floor)
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2)
+          (qid, r.getLong(0), r.getDouble(1))
+        }
+      }.toSet
+      cross == perQuery
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, s"cross/per-query kernel divergence: $res")
+  }
+
   test("scores are bit-identical to cosine_sim (no arithmetic drift in the kernel)") {
     VectorFunctions.register(spark)
     val blob = emb.limit(50)
