@@ -84,13 +84,50 @@ object GraftConf {
     * shape, ~150 M pairs × ~2.4 KB ≈ 360 GB through one exchange, where
     * the broadcast was 600 MB — a 600× byte trade). A GiB-scale broadcast
     * is the cheap side of that trade on any executor with ≥16 GiB. The
-    * default reads the DRIVER heap as a proxy; on clusters whose
-    * executors are smaller than the driver, set the conf explicitly.
+    * default reads the SMALLER of the driver heap and the configured
+    * executor heap (`spark.executor.memory`, when set): the broadcast
+    * build is materialized on executors, so a driver-only proxy would
+    * push GiB-scale broadcasts into small executors on clusters where
+    * executors < driver/16. The derived default is logged once per key
+    * per session so a heap-dependent regime flip is greppable, exactly
+    * like the IVF orientation log; set the conf explicitly to pin the
+    * plan shape across environments.
     */
   def broadcastBytes(spark: SparkSession): Long = {
-    val v = long(spark, "spark.graft.broadcastBytes",
-      math.max(64L << 20, math.min(1L << 30, Runtime.getRuntime.maxMemory / 16)))
+    val v = spark.conf.getOption("spark.graft.broadcastBytes") match {
+      case Some(raw) =>
+        scala.util.Try(raw.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"conf spark.graft.broadcastBytes must be a long, got '$raw'"))
+      case None =>
+        val driverHeap = Runtime.getRuntime.maxMemory
+        // executor heap if configured ("4g" strings) — min with the driver
+        // heap so neither side of the exchange-vs-broadcast trade can be
+        // sized off the larger JVM. local mode has no executor conf; the
+        // driver heap IS the executor heap there.
+        val execHeap = spark.conf.getOption("spark.executor.memory")
+          .flatMap(m => scala.util.Try(
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)).toOption)
+          .getOrElse(driverHeap)
+        val derived =
+          math.max(64L << 20, math.min(1L << 30, math.min(driverHeap, execHeap) / 16))
+        logDerivedOnce(spark, "spark.graft.broadcastBytes",
+          s"$derived B (min(driverHeap=$driverHeap, executorHeap=$execHeap)/16," +
+            " clamped [64 MiB, 1 GiB])")
+        derived
+    }
     require(v > 0, s"spark.graft.broadcastBytes must be positive, got $v")
     v
   }
+
+  /** One log line per (session, key) for heap/environment-derived conf
+    * defaults — a regime flip caused by a different JVM sizing must be
+    * greppable without being a per-plan log storm.
+    */
+  private val loggedDerived =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def logDerivedOnce(spark: SparkSession, key: String, detail: String): Unit =
+    if (loggedDerived.add(s"${spark.sparkContext.applicationId}/$key"))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"derived default for $key: $detail")
 }

@@ -599,8 +599,20 @@ object Similarity extends org.apache.spark.internal.Logging {
                 minCosine: Option[Double] = None,
                 blockRows: Int = DefaultBlockRows): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
+    // Query vectors must match the index dimension, checked HERE — in the
+    // probe scan itself, no extra job — so both probe orientations reject
+    // a ragged query batch identically. Before this check the accepted
+    // input domain depended on which side of the copy-bytes gate (a stats
+    // ESTIMATE) the job landed: the per-query path scored mismatched
+    // queries with min-length cosine semantics while the cross-block path
+    // threw from inside pack_vec_block.
+    val indexDim = index.centroids.head._2.length
+    val checkedVec = when(size(col(vecCol)) === lit(indexDim), col(vecCol))
+      .otherwise(raise_error(concat(
+        lit("ivfSearch: query vector length "), size(col(vecCol)).cast("string"),
+        lit(s" != index dim $indexDim"))))
     // per query: the nprobe nearest centroid lists (scan-local as well).
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+    val probes = queries.select(col(idCol).as("query_id"), checkedVec.as("query_vec"),
       explode(probeLists(col(vecCol), index.centroids, nprobe)).as("list_id"))
 
     // only the PROBED lists get packed: the semi-join against the (tiny,
@@ -659,16 +671,24 @@ object Similarity extends org.apache.spark.internal.Logging {
     // the flat join's in both orientations (spec-pinned bit-identical),
     // so the per-chunk → global-window cascade is unchanged.
     val spark = queries.sparkSession
-    // expected probe rows from Catalyst stats (no job)
+    // expected probe rows from Catalyst stats (no job). The arithmetic
+    // stays in BigInt end-to-end: when a plan has no stats Catalyst
+    // reports sizeInBytes = defaultSizeInBytes (effectively Long.MaxValue),
+    // so estQueryRows ≈ 2e15 and a Long product estProbeRows × estListRows
+    // × vecWidth WRAPS past Long.MaxValue to an arbitrary-sign value —
+    // silently flipping this gate to the per-query (copy-amplified)
+    // orientation at exactly the largest scales. BigInt cannot wrap, and
+    // an unknown-stats plan then lands on the cross-block side — the
+    // direction that is safe to be wrong in (a fixed ~1 s exchange+pack
+    // overhead, vs TBs of memcpy the other way).
     val vecWidth = index.centroids.head._2.length.toLong * 4L + 24L
-    def estRows(df: DataFrame): Long = {
+    def estRows(df: DataFrame): BigInt = {
       val s = df.queryExecution.optimizedPlan.stats
-      s.rowCount.map(_.toLong)
-        .getOrElse((s.sizeInBytes / vecWidth).min(BigInt(Long.MaxValue)).toLong)
+      s.rowCount.getOrElse(s.sizeInBytes / vecWidth + 1)
     }
     val estQueryRows = estRows(queries)
     val nLists = math.max(1, index.centroids.size)
-    val estListRows = math.min(estRows(index.assigned) / nLists + 1, blockRows.toLong)
+    val estListRows = (estRows(index.assigned) / nLists + 1).min(BigInt(blockRows.toLong))
     val estProbeRows = estQueryRows * nprobe
     val estCopyBytes = estProbeRows * estListRows * vecWidth
     val copyGate = graft.GraftConf.long(spark,
@@ -692,8 +712,8 @@ object Similarity extends org.apache.spark.internal.Logging {
           col("e.cosine").as("cosine"))
     } else {
       val fanout = graft.GraftConf.explosiveFanout(spark)
-      val qsalts = math.max(1L, math.min(1024L,
-        estProbeRows / nLists / blockRows + 1L)).toInt
+      val qsalts = (estProbeRows / nLists / blockRows + 1)
+        .min(BigInt(1024)).max(BigInt(1)).toInt
       val qpacked = probes
         .withColumn("qsalt",
           pmod(xxhash64(col("query_id")), lit(qsalts.toLong)).cast("int"))

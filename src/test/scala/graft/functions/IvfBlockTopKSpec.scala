@@ -274,4 +274,47 @@ class IvfBlockTopKSpec extends SparkSpec {
       .count()
     assert(diff == 0)
   }
+
+  test("ragged query batch fails with the same clear message in BOTH orientations") {
+    // before the up-front dim check, the accepted input domain depended on
+    // which side of the copy-bytes gate (a stats ESTIMATE) the job landed:
+    // per-query scored ragged queries via min-length cosine, cross-block
+    // threw from inside pack_vec_block
+    val index = Similarity.ivfBuild(emb, numCentroids = 4, trainIters = 1)
+    val ragged = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        when(col("vec_id") === 3L, slice(col("embedding"), 1, 5))
+          .otherwise(col("embedding")).as("embedding"))
+    for (gate <- Seq(None, Some("1"))) { // None → per-query; "1" → cross-block
+      gate.foreach(spark.conf.set("spark.graft.ann.probeCopyBytes", _))
+      try {
+        val e = intercept[Exception] {
+          Similarity.ivfSearch(index, ragged, k = 3, nprobe = 2).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("!= index dim")),
+          s"gate=$gate: expected the ivfSearch dim-check message, got $e")
+      } finally spark.conf.unset("spark.graft.ann.probeCopyBytes")
+    }
+  }
+
+  test("stats-sentinel query plans land CROSS-BLOCK (gate arithmetic cannot wrap)") {
+    // an RDD-backed plan has no stats: sizeInBytes is the defaultSizeInBytes
+    // sentinel (~Long.MaxValue), so the old Long arithmetic wrapped
+    // estProbeRows × estListRows × vecWidth to an arbitrary-sign value and
+    // could silently pick the per-query (copy-amplified) orientation at
+    // exactly the largest scales. BigInt math must land on the cross-block
+    // side, with results identical to the flat oracle.
+    val index = Similarity.ivfBuild(emb, numCentroids = 6, trainIters = 1)
+    val q = emb.filter(col("vec_id") < 30)
+    val sentinel = spark.createDataFrame(q.rdd, q.schema)
+    assert(sentinel.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+      "precondition: the RDD-backed plan must have no row-count stats")
+    val res = Similarity.ivfSearch(index, sentinel, k = 5, nprobe = 3)
+    assert(res.queryExecution.executedPlan.toString.contains("block_cross_topk"),
+      "sentinel-stats plan must choose the cross-block orientation")
+    assert(resultSet(res) == resultSet(flatIvfSearch(index, q, k = 5,
+      nprobe = 3, minCosine = None)))
+  }
 }
