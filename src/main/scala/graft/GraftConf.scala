@@ -120,6 +120,65 @@ object GraftConf {
     v
   }
 
+  /** Estimated raw band-collision count above which
+    * [[graft.operators.Similarity.cosineNearDupPairs]] abandons SRP
+    * banding for the IVF-shortlist route. At loose thresholds SRP banding
+    * is near-exhaustive BY CONSTRUCTION: the table auto-tuner hits its
+    * cap and expected within-bucket collisions grow ~N² (measured at the
+    * sf5 shape: 5.0 B raw collisions, 86.3 s, 18.5× on 5× rows — the
+    * wall-clock tracks candidate volume even though the plan is sound).
+    * The estimate is an exact Σ C(bucket,2) aggregate over the banded
+    * table (one linear job, the same signal the r13 audit used). The
+    * default keeps the measured sf1 shape (~300 M collisions) on the
+    * banded path and routes the sf5 shape (5.0 B). `0` forces the IVF
+    * route (specs, scale runs); `Long.MaxValue` pins banding.
+    */
+  def srpRouteCandidates(spark: SparkSession): Long = {
+    val v = long(spark, "spark.graft.srp.routeCandidates", 1000000000L)
+    require(v >= 0, s"spark.graft.srp.routeCandidates must be >= 0, got $v")
+    v
+  }
+
+  /** Per-node neighbor budget for the routed
+    * [[graft.operators.Similarity.cosineNearDupPairs]]: the IVF route
+    * emits the symmetric top-`routeK` neighbor EDGES above the threshold
+    * (a k-NN graph), not the exhaustive pair set — the contract the
+    * recall gate measures. Raise when the corpus has above-threshold
+    * degrees routinely exceeding the budget.
+    */
+  def srpRouteK(spark: SparkSession): Int = {
+    val v = int(spark, "spark.graft.srp.routeK", 64)
+    require(v > 0, s"spark.graft.srp.routeK must be positive, got $v")
+    v
+  }
+
+  /** Profile row cap under which BPE merge training collects the
+    * (vocabulary-sized) word profile and runs the merge loop driver-
+    * locally — zero per-merge Spark jobs, bit-identical merge sequence
+    * (spec-pinned). The distributed per-merge loop remains the fallback
+    * above it. ~10⁶ words × tens of bytes is MBs of driver heap; the cap
+    * guards the pathological all-unique-words profile.
+    */
+  def bpeLocalVocabRows(spark: SparkSession): Long = {
+    val v = long(spark, "spark.graft.bpe.localVocabRows", 2000000L)
+    require(v >= 0, s"spark.graft.bpe.localVocabRows must be >= 0, got $v")
+    v
+  }
+
+  /** Elements of each document's sorted shingle-hash set carried as the
+    * fixed-width screen prefix in the shuffle-regime minhash verify
+    * ([[graft.operators.Dedup.minhashCandidatePairs]] with a declared
+    * threshold). The screen computes an EXACT Jaccard upper bound from
+    * (prefix, set size), so any value is correctness-neutral; it trades
+    * screen-exchange bytes (≈ 8·prefix per candidate) against rejection
+    * power (a longer prefix rejects closer to the threshold).
+    */
+  def minhashScreenPrefix(spark: SparkSession): Int = {
+    val v = int(spark, "spark.graft.minhash.screenPrefix", 64)
+    require(v > 0, s"spark.graft.minhash.screenPrefix must be positive, got $v")
+    v
+  }
+
   /** One log line per (session, key) for heap/environment-derived conf
     * defaults — a regime flip caused by a different JVM sizing must be
     * greppable without being a per-plan log storm.
@@ -130,4 +189,32 @@ object GraftConf {
     if (loggedDerived.add(s"${spark.sparkContext.applicationId}/$key"))
       org.slf4j.LoggerFactory.getLogger(getClass)
         .info(s"derived default for $key: $detail")
+}
+
+/** Logs `graft.*`-named `Dataset.observe` metrics when their query
+  * completes — the zero-extra-job channel for data-dependent plan
+  * telemetry (e.g. the minhash verify screen's candidates/survivors
+  * counts). Registered at most once per application.
+  */
+object ObservedMetrics {
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def ensureLogger(spark: SparkSession): Unit =
+    if (registered.add(spark.sparkContext.applicationId))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val m = qe.observedMetrics.filter(_._1.startsWith("graft."))
+            if (m.nonEmpty)
+              log.info(m.map { case (k, r) => s"$k=$r" }
+                .mkString("observed metrics: ", ", ", ""))
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
 }

@@ -76,8 +76,132 @@ object Bpe {
     * supply runs dry (tiny inputs); otherwise returns exactly `numMerges`
     * distinct (left, right) pairs in learned order with the pair count
     * each was chosen at.
+    *
+    * PHYSICAL ROUTE: the profile is vocabulary-sized (~10⁶ rows at ANY
+    * corpus scale — the corpus was already reduced by the one distributed
+    * scan in [[wordProfile]]), while a real tokenizer needs k ≈ 32 000
+    * merges. The distributed loop pays one driver-coordinated Spark job
+    * PER MERGE — 32 000 sequential job schedulings dominated by latency,
+    * not work — so below `spark.graft.bpe.localVocabRows` the trainer
+    * collects the profile ONCE and runs the merge loop driver-locally
+    * ([[trainMergesLocal]]): identical algorithm, bit-identical merge
+    * sequence (spec-pinned against the distributed loop, including the
+    * ≥5-run two-pass edge), zero per-merge jobs. The distributed loop
+    * remains the fallback for a profile too large to collect.
     */
   def trainMerges(profile: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    val localCap = graft.GraftConf.bpeLocalVocabRows(profile.sparkSession)
+    if (profile.count() <= localCap) trainMergesLocal(profile, numMerges)
+    else trainMergesDistributed(profile, numMerges)
+  }
+
+  /** Driver-local merge loop over the collected profile — the default
+    * physical form (see [[trainMerges]]). Incremental: pair counts and a
+    * pair→words inverted index are maintained under each merge (only
+    * words CONTAINING the merged pair are rewritten, via the exact same
+    * two-leftmost-pass `replace` the distributed loop applies), and the
+    * argmax comes from an ordered set under the same
+    * (count desc, left, right) tie-break — so the merge sequence is
+    * bit-identical to [[trainMergesDistributed]] while each merge costs
+    * O(touched words · log pairs) instead of one Spark job.
+    */
+  def trainMergesLocal(profile: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    val rows = profile.select(col("word"), col("n").cast("long").as("n")).collect()
+    val reprs = rows.map(r => " " + r.getString(0).map(c => s"$c ").mkString)
+    val ns = rows.map(_.getLong(1))
+
+    def pairsOf(repr: String): Array[(String, String)] = {
+      val s = repr.trim.split(" ")
+      if (s.length < 2 || s.head.isEmpty) Array.empty
+      else Array.tabulate(s.length - 1)(i => (s(i), s(i + 1)))
+    }
+
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    var i = 0
+    while (i < reprs.length) {
+      pairsOf(reprs(i)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + ns(i))
+        where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+      }
+      i += 1
+    }
+    // ordered view for the argmax: (count desc, left asc, right asc) —
+    // the exact distributed orderBy. Entries are (cnt, l, r) snapshots;
+    // any count change removes the old snapshot and inserts the new one.
+    val ord = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c
+          else {
+            val cl = a._2.compareTo(b._2)
+            if (cl != 0) cl else a._3.compareTo(b._3)
+          }
+        }
+      })
+    counts.foreach { case (p, c) => ord.add((c, p._1, p._2)) }
+
+    val chosen = scala.collection.mutable.Set.empty[(String, String)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rank = 1
+    var dry = false
+    while (rank <= numMerges && !dry) {
+      // first non-chosen entry (a chosen pair can survive in ≥5-runs —
+      // the distributed loop excludes them with an anti-join)
+      val it = ord.iterator()
+      var pick: (Long, String, String) = null
+      while (pick == null && it.hasNext) {
+        val e = it.next()
+        if (!chosen.contains((e._2, e._3))) pick = e
+      }
+      if (pick == null) dry = true
+      else {
+        val (cnt, l, r) = pick
+        merges += BpeMerge(rank, l, r, cnt)
+        chosen += ((l, r))
+        val pat = s" $l $r "; val rep = s" $l$r "
+        val affected = where.getOrElse((l, r), scala.collection.mutable.Set.empty)
+          .toArray
+        affected.foreach { idx =>
+          val before = reprs(idx)
+          val after = before.replace(pat, rep).replace(pat, rep)
+          if (after != before) {
+            reprs(idx) = after
+            val oldPairs = pairsOf(before); val newPairs = pairsOf(after)
+            val touched = scala.collection.mutable.Set.empty[(String, String)]
+            oldPairs.foreach(touched += _); newPairs.foreach(touched += _)
+            val prior = touched.iterator.map(p => p -> counts.getOrElse(p, 0L)).toMap
+            oldPairs.foreach(p => counts.update(p, counts.getOrElse(p, 0L) - ns(idx)))
+            newPairs.foreach(p => counts.update(p, counts.getOrElse(p, 0L) + ns(idx)))
+            val newSet = newPairs.toSet
+            touched.foreach { p =>
+              val now = counts.getOrElse(p, 0L)
+              val was = prior(p)
+              if (was != now) {
+                if (was > 0L) ord.remove((was, p._1, p._2))
+                if (now > 0L) ord.add((now, p._1, p._2)) else counts.remove(p)
+              }
+              if (!newSet.contains(p)) where.get(p).foreach(_ -= idx)
+              else where.getOrElseUpdate(p,
+                scala.collection.mutable.Set.empty) += idx
+            }
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed merge loop — one combinable pair-count job per merge.
+    * Kept as the fallback for profiles too large to collect; the default
+    * route is [[trainMergesLocal]] (see [[trainMerges]]).
+    */
+  def trainMergesDistributed(profile: DataFrame, numMerges: Int): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")
     // Exactly one checkpoint is live at a time: each new one is eager, so
     // the superseded one unpersists immediately — same storage discipline

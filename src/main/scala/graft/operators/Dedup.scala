@@ -163,7 +163,8 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 16, bands: Int = 2,
-                            shingleK: Int = 5): DataFrame = {
+                            shingleK: Int = 5,
+                            minJaccard: Double = -1.0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into equal bands")
     val rowsPerBand = numHashes / bands
 
@@ -247,16 +248,60 @@ object Dedup extends org.apache.spark.internal.Logging {
       // is never SORTED: a sort-merge join would sort the candidates,
       // and on the id_b join the stream already carries the id_a-side
       // shingle arrays, so the sort spill would be candidates × arrays.
+      val broadcastOk =
+        setBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession)
       val hint: DataFrame => DataFrame =
-        if (setBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession))
-          broadcast(_) else _.hint("shuffle_hash")
-      candidates
+        if (broadcastOk) broadcast(_) else _.hint("shuffle_hash")
+      // Shuffle-regime SCREEN (threshold declared only): the full-array
+      // verify's id_b exchange carries candidates × shingle-array bytes
+      // (measured at 250k docs: ~3.2 KB/doc, 230.8 s / ~21 GB of sort-
+      // free but still exchanged+spilled volume). Before any array is
+      // attached, candidates are screened against an EXACT Jaccard upper
+      // bound computed from fixed-width evidence — each side's first-
+      // `screenPrefix` sorted shingle hashes plus its set size
+      // ([[graft.functions.NativeTextExpressions.SortedJaccardUpperBound]]).
+      // A rejected pair is PROVABLY below the threshold, so the screened
+      // thresholded result is bit-identical to the unscreened one
+      // (spec-pinned), unlike a minhash-agreement estimate which can land
+      // either side of the truth. Survivors alone pay the full-array
+      // joins; the screen's own exchange carries ~prefix-width bytes per
+      // candidate. Rejection is observable: the screen point logs
+      // (candidates, survivors) through [[graft.ObservedMetrics]].
+      val toVerify =
+        if (broadcastOk || minJaccard < 0) candidates
+        else {
+          graft.ObservedMetrics.ensureLogger(docs.sparkSession)
+          val pB = graft.GraftConf.minhashScreenPrefix(docs.sparkSession)
+          val pre = sig.select(col("id"), slice(col("sh"), 1, pB).as("p"),
+            size(col("sh")).as("n"))
+          candidates
+            .join(pre.select(col("id").as("id_a"), col("p").as("p_a"),
+              col("n").as("n_a")).hint("shuffle_hash"), "id_a")
+            .join(pre.select(col("id").as("id_b"), col("p").as("p_b"),
+              col("n").as("n_b")).hint("shuffle_hash"), "id_b")
+            .withColumn("__jub", expr("jaccard_upper_sorted(p_a, n_a, p_b, n_b)"))
+            .observe(s"graft.minhash_screen.${ScreenObs.incrementAndGet()}",
+              count(lit(1)).as("candidates"),
+              sum(when(col("__jub") >= lit(minJaccard), 1L).otherwise(0L))
+                .as("survivors"))
+            .filter(col("__jub") >= lit(minJaccard))
+            .select(col("id_a"), col("id_b"))
+        }
+      val verified = toVerify
         .join(hint(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
         .join(hint(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
         .select(col("id_a"), col("id_b"),
           expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
+      if (minJaccard < 0) verified
+      else verified.filter(col("jaccard") >= lit(minJaccard))
     }
   }
+
+  /** Monotone suffix for screen-observation names: Dataset.observe names
+    * must be unique within one query, and two screened operators can land
+    * in the same composed query.
+    */
+  private val ScreenObs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Bands for a Jaccard threshold: with r = numHashes/b rows per band, a
     * pair at Jaccard s is caught with 1−(1−s^r)^b. Pick the FEWEST bands
@@ -279,8 +324,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8): DataFrame =
     minhashCandidatePairs(docs, idCol, textCol, numHashes = 16,
-        bands = bandsFor(threshold))
-      .filter(col("jaccard") >= threshold)
+        bands = bandsFor(threshold), minJaccard = threshold)
 
   /** SimHash near-dup pairs: 64-bit signature, banded into 4×16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⟹ at least one identical chunk), bucket

@@ -265,6 +265,24 @@ object Similarity extends org.apache.spark.internal.Logging {
     * table count from the recall target at the given threshold. Candidate
     * pairs are verified with the exact codegen'd cosine, so precision is
     * always 1.0 — the tables only control recall and cost.
+    *
+    * COST-GATED ROUTE: at loose thresholds banding goes near-exhaustive
+    * by construction — the table tuner hits [[MaxSrpTables]] and expected
+    * within-bucket collisions grow ~N² (the r13 sf5 measurement: 5.0 B
+    * raw collisions, 18.5× wall-clock on 5× rows, with the plan itself
+    * sound — candidate VOLUME is the scale-killer). Before building the
+    * collision join, the operator therefore measures Σ C(bucket,2) over
+    * the banded table (one linear job) and, past
+    * `spark.graft.srp.routeCandidates`, switches to the IVF-shortlist
+    * route (the q204 pattern): ~√n-list IVF index, each vector probes its
+    * nprobe nearest lists for its top-`spark.graft.srp.routeK` neighbors
+    * at the exact-cosine floor, edges symmetrized and deduped. The routed
+    * contract is the symmetric k-NN GRAPH above the threshold — per-node
+    * degree capped at ~2·routeK — which is what near-dup CLUSTERING
+    * consumes (connectivity, not every edge); recall vs the exhaustive
+    * exact pair set is spec-gated ≥ 0.9 and precision stays 1.0 (the
+    * kernel scores true vectors with the same exact cosine). The chosen
+    * route is logged either way, like the IVF orientation gate.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          numTables: Int = 0, bitsPerTable: Int = 0,
@@ -286,6 +304,42 @@ object Similarity extends org.apache.spark.internal.Logging {
         f"worst-case recall $worst%.3f < target $recallTarget%.2f at threshold $threshold " +
         s"with $bits bits/table; raise targetBucket (fewer bits) or accept the lower recall")
     }
+    // route decision: exact expected raw-collision volume from the band
+    // histogram — one linear job over N×T fixed-width rows, the same
+    // signal the scale audit used. (c·(c−1) DIV 2 stays in long range:
+    // c ≤ N, and N² < 2⁶³ for any corpus this operator can see.)
+    val spark = corpus.sparkSession
+    val estCollisions =
+      if (nRows == 0) 0L
+      else corpus
+        .select(posexplode(expr(s"srp_buckets($vecCol, $tables, $bits, ${seed}L)"))
+          .as(Seq("tbl", "bucket")))
+        .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+        .head.getLong(0)
+    val routeGate = graft.GraftConf.srpRouteCandidates(spark)
+    if (estCollisions > routeGate) {
+      val routeK = graft.GraftConf.srpRouteK(spark)
+      logInfo(s"cosineNearDupPairs: IVF-SHORTLIST route ($estCollisions est raw " +
+        s"band collisions > gate $routeGate; emitting the symmetric top-$routeK " +
+        s"neighbor graph at threshold $threshold)")
+      val fanout = graft.GraftConf.explosiveFanout(spark)
+      val emb = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        .repartition(fanout)
+      val (nLists, nprobe) = ivfAutoGeometry(spark, nRows)
+      val index = ivfBuild(emb, numCentroids = nLists,
+        trainIters = graft.GraftConf.int(spark, "spark.graft.ann.trainIters", 1))
+      ivfSearch(index, emb, k = routeK, nprobe = nprobe,
+          minCosine = Some(threshold))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+          greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+          col("cosine"))
+        .dropDuplicates("id_a", "id_b")
+    } else {
+    if (nRows > 0)
+      logInfo(s"cosineNearDupPairs: BANDED route ($estCollisions est raw band " +
+        s"collisions <= gate $routeGate)")
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val raw = srpRawPairs(corpus, tables, bits, idCol, vecCol, seed, nRows)
     // Byte-based verify-broadcast gate (vectors are fixed-width, so
@@ -335,6 +389,26 @@ object Similarity extends org.apache.spark.internal.Logging {
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }
+    }
+  }
+
+  /** √n IVF geometry with the capped probe fraction — the policy measured
+    * and documented at the q204 call site ([[graft.Queries.annTopkTfidf]]):
+    * ~√n lists (never oversharding a small corpus below 4); probe
+    * `spark.graft.ann.nprobeNum`/8 of them (2/8 once the geometry is fine
+    * enough, 3/8 below ≥32 lists), capped at
+    * ~`nprobeCapFactor`·nprobeNum·√nLists so probed work per query stays
+    * sublinear as the corpus grows.
+    */
+  def ivfAutoGeometry(spark: SparkSession, nVecs: Long): (Int, Int) = {
+    val nLists = math.max(4, math.round(math.sqrt(nVecs.toDouble)).toInt)
+    val nprobeNum = graft.GraftConf.int(spark, "spark.graft.ann.nprobeNum",
+      if (nLists >= 32) 2 else 3)
+    val capFactor = graft.GraftConf.double(spark,
+      "spark.graft.ann.nprobeCapFactor", 1.1)
+    val nprobe = math.max(8, math.min((nprobeNum * nLists + 7) / 8,
+      math.ceil(capFactor * nprobeNum * math.sqrt(nLists.toDouble)).toInt))
+    (nLists, nprobe)
   }
 
   /** Queries-side broadcast ceiling (rows). Below it the query side is

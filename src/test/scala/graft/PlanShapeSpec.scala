@@ -306,6 +306,75 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q55 IVF route (forced): probes the index, never bands, never cartesian") {
+    // the collision-gate route for loose-threshold near-dup search: the
+    // plan must be the q204 probe shape (codebook scan + block kernel),
+    // with no SRP banding and nothing quadratic materialized
+    spark.conf.set("spark.graft.srp.routeCandidates", "0")
+    try {
+      val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val df = operators.Similarity.cosineNearDupPairs(vecs, threshold = 0.2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("srp_buckets"), s"routed plan must not band:\n$plan")
+      assert(plan.contains("nearest_centroids"),
+        s"routed plan must assign/probe via the codebook scan:\n$plan")
+      assert(plan.contains("ivf_block_topk") || plan.contains("block_cross_topk"),
+        s"routed probe must be the packed block kernel, not a pair join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    } finally spark.conf.unset("spark.graft.srp.routeCandidates")
+  }
+
+  test("minhash shuffle regime: fixed-width screen runs before any array join") {
+    // the minhash result is STAGED inside the operator (the returned frame
+    // reads parquet), so the verify plan is captured from the staging
+    // write's QueryExecution via a listener rather than from the returned
+    // frame. Pins: the screen expression is present, the regime is fully
+    // shuffled, the pair-dedup exchange is pinned, and the candidate
+    // stream is never sorted (the r13 disk-fatal shape).
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val corpus = graft.Tables(spark, sf0001, "documents")
+      operators.Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 8, minJaccard = 0.5).collect()
+      import scala.jdk.CollectionConverters._
+      // QueryExecutionListener delivery is async (SQL listener bus) — poll
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var verifyPlan = Option.empty[String]
+      while (verifyPlan.isEmpty && System.nanoTime() < deadline) {
+        verifyPlan = plans.asScala.find(_.contains("jaccard_upper_sorted"))
+        if (verifyPlan.isEmpty) Thread.sleep(50)
+      }
+      assert(verifyPlan.nonEmpty,
+        s"no captured plan contains the screen expression (captured ${plans.size()} plans)")
+      val plan = verifyPlan.get
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"gates must force the full shuffle regime:\n$plan")
+      assert("ShuffledHashJoin".r.findAllIn(plan).length >= 4,
+        s"screen (2) and verify (2) joins must all be shuffled hash joins:\n$plan")
+      assert(plan.contains("Exchange hashpartitioning(id_a"),
+        s"pair dedup must repartition on (id_a, id_b):\n$plan")
+      assert(!plan.contains("Sort [id_a") && !plan.contains("Sort [id_b"),
+        s"a join sorted the candidate stream:\n$plan")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
   test("q149 zone verdict is literal predicate work over a 64-row manifest agg") {
     val df = Queries.zorderZoneMap(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

@@ -101,4 +101,50 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set(("c", "d")))
   }
+
+  test("local and distributed merge loops learn the bit-identical sequence") {
+    // fixtures chosen to hit every branch the two implementations share:
+    // the textbook vocabulary (ties), a ≥5-run of one symbol (the
+    // two-pass replace edge where a chosen pair SURVIVES and must be
+    // excluded, not re-picked), and a real corpus profile
+    val runEdge = Seq(("aaaaaaa", 4L), ("aabaab", 2L), ("banana", 3L))
+      .toDF("word", "n")
+    val corpus = Bpe.wordProfile(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    for ((profile, k, tag) <- Seq((toyProfile, 6, "toy"), (runEdge, 8, "runs"),
+        (corpus, 12, "corpus"))) {
+      val local = Bpe.trainMergesLocal(profile, k)
+      val dist = Bpe.trainMergesDistributed(profile, k)
+      assert(local == dist, s"$tag: local $local != distributed $dist")
+    }
+  }
+
+  test("k=2000 merges train driver-locally in seconds, without one job per merge") {
+    // the whole point of the local route: a real tokenizer is k ≈ 32k,
+    // and 32k sequential Spark jobs is scheduling latency, not work. A
+    // synthetic vocabulary large enough to supply 2000 distinct merges
+    // must train with a bounded number of jobs (profile count + collect)
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 3000).map { _ =>
+      (1 to 10 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct.map(w => (w, 1L + rnd.nextInt(5)))
+    val profile = words.toDF("word", "n")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try Bpe.trainMerges(profile, numMerges = 2000)
+      finally {
+        Thread.sleep(500) // listener bus delivery is async
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(merges.length == 2000, s"supply dried at ${merges.length}")
+    assert(merges.map(m => (m.left, m.right)).distinct.length == 2000)
+    assert(jobs.get() <= 10,
+      s"${jobs.get()} jobs for 2000 merges — the local route is not local")
+  }
 }

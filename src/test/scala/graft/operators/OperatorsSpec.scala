@@ -59,6 +59,40 @@ class OperatorsSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash screen is invisible in results: shuffle regime == broadcast == unscreened") {
+    // the shuffle-regime verify screens candidates on the EXACT fixed-width
+    // Jaccard upper bound before attaching full shingle arrays; a rejected
+    // pair is provably below the threshold, so all three runs must produce
+    // the same rows bit-for-bit: (1) natural broadcast regime (no screen),
+    // (2) forced shuffle regime (screen active), (3) forced shuffle regime
+    // with no declared threshold (no screen), filtered afterwards
+    val corpus = graft.Tables(spark, sf0001, "documents")
+    def runSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val t = 0.5
+    val broadcastRegime = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      numHashes = 16, bands = 8, minJaccard = t))
+    assert(broadcastRegime.nonEmpty, "fixture must contain near-dups above 0.5")
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val screened = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 8, minJaccard = t))
+      val unscreened = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 8)).filter(_._3 >= t)
+      assert(screened == broadcastRegime,
+        s"screened shuffle regime diverged: ${screened.size} vs ${broadcastRegime.size}")
+      assert(screened == unscreened,
+        s"screen dropped/added pairs vs the unscreened shuffle run")
+    } finally {
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     val sh = docs.select($"doc_id", TextFunctions.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -200,6 +234,31 @@ class OperatorsSpec extends SparkSpec {
     assert(approx.subsetOf(exact), "verify step must make precision exact")
     val recall = approx.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("cosineNearDupPairs IVF route (forced): recall >= 0.9, precision 1.0, no banding") {
+    // routeCandidates=0 forces the route the collision gate picks at scale
+    // (the sf5 shape: 5B raw band collisions). The routed contract is the
+    // symmetric top-k neighbor graph above the threshold; on this corpus
+    // every planted pair is its endpoints' top neighbor, so the same 0.9
+    // recall gate applies — and precision must stay exact (the kernel
+    // scores true vectors with the exact cosine).
+    val exact = pairSet(Similarity.exactCosinePairs(plantedCorpus, 0.95))
+    spark.conf.set("spark.graft.srp.routeCandidates", "0")
+    try {
+      val routed = Similarity.cosineNearDupPairs(plantedCorpus, 0.95)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(!plan.contains("srp_buckets"),
+        s"routed plan must not band:\n$plan")
+      assert(plan.contains("nearest_centroids"),
+        s"routed plan must probe the IVF index:\n$plan")
+      val approx = pairSet(routed)
+      assert(approx.subsetOf(exact), "routed precision must be exact")
+      val recall = approx.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"routed recall $recall")
+      // schema contract identical to the banded route
+      assert(routed.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+    } finally spark.conf.unset("spark.graft.srp.routeCandidates")
   }
 
   test("k-means keeps its centroid count when a cluster empties") {
