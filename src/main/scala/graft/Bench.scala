@@ -13,7 +13,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
+    // Regime injection for scale runs (tools/scale_run.md): semicolon-
+    // separated k=v pairs applied to the session conf before any query
+    // plans — e.g. SPARK_GRAFT_CONF="spark.graft.bandJoin.broadcastRows=0;
+    // spark.graft.broadcastBytes=8388608" forces the shuffle regime the
+    // way the plan-shape specs do, without editing code.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        System.err.println(s"bench: conf $k=$v")
+      })
     // Warm-up: touch every table once (footer reads, codegen JIT, the
     // events nanos-schema path) so the first timed query doesn't absorb
     // one-time session costs that no steady-state workload pays.

@@ -165,17 +165,17 @@ object GraftConf {
     v
   }
 
-  /** Elements of each document's sorted shingle-hash set carried as the
-    * fixed-width screen prefix in the shuffle-regime minhash verify
-    * ([[graft.operators.Dedup.minhashCandidatePairs]] with a declared
-    * threshold). The screen computes an EXACT Jaccard upper bound from
-    * (prefix, set size), so any value is correctness-neutral; it trades
-    * screen-exchange bytes (≈ 8·prefix per candidate) against rejection
-    * power (a longer prefix rejects closer to the threshold).
+  /** Per-cell array-byte budget of the grid (fragment-and-replicate)
+    * verify ([[graft.operators.Dedup.gridJaccardVerify]]): the fragment
+    * count P is the smallest whose per-cell array volume
+    * (2·corpusArrayBytes/P) fits this budget, so per-task memory is
+    * bounded regardless of corpus size while total replicated array
+    * traffic stays 2P·corpusBytes. Hash collisions can co-locate a few
+    * cells per task — budget ~3× headroom under the per-core heap.
     */
-  def minhashScreenPrefix(spark: SparkSession): Int = {
-    val v = int(spark, "spark.graft.minhash.screenPrefix", 64)
-    require(v > 0, s"spark.graft.minhash.screenPrefix must be positive, got $v")
+  def gridVerifyCellBytes(spark: SparkSession): Long = {
+    val v = long(spark, "spark.graft.gridVerify.cellBytes", 128L << 20)
+    require(v > 0, s"spark.graft.gridVerify.cellBytes must be positive, got $v")
     v
   }
 

@@ -545,24 +545,16 @@ object Queries {
       .toDF("table_name", "record_count", "n_columns", "key_type", "name_type")
   }
 
-  /** MinHash LSH near-dup pairs at the banding's own design threshold
-    * (rows-only: banding is hash-specific). High-precision banding
-    * (2 bands of 8): on a shared-vocabulary corpus loose bands degenerate
-    * toward all-pairs. The query declares the threshold the banding is
-    * tuned for (s ≳ 0.8) because that is what makes the operator
-    * scale-safe past the verify-broadcast gate: an UNthresholded
-    * collision dump must move candidates × shingle-array bytes through
-    * the verify exchange by construction (every pair has to meet its two
-    * arrays), while the thresholded contract admits the exact fixed-width
-    * prefix screen (see [[graft.operators.Dedup.minhashCandidatePairs]])
-    * — a screened-out pair is provably below the threshold, so the result
-    * is bit-identical to the unscreened run (spec-pinned). Raw candidate
-    * volume stays testable through the operator API with `minJaccard`
-    * unset.
+  /** MinHash LSH candidate pairs (rows-only: banding is hash-specific).
+    * High-precision banding (2 bands of 8): on a shared-vocabulary corpus
+    * loose bands degenerate toward all-pairs. Past the verify-broadcast
+    * gate the full-array verify runs as the grid co-group
+    * ([[graft.operators.Dedup.gridJaccardVerify]]), so the unthresholded
+    * candidate dump scales without moving an array per pair.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(t(spark, dir, "documents"), "doc_id", "text",
-        numHashes = 16, bands = 2, minJaccard = 0.8)
+        numHashes = 16, bands = 2)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs (rows-only). */

@@ -251,124 +251,6 @@ object NativeTextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** EXACT upper bound on the Jaccard of two sets from fixed-width
-    * evidence: each side's sorted-distinct hash PREFIX (its p smallest
-    * elements) plus its full set size. The verify-screen contract
-    * ([[graft.operators.Dedup.minhashCandidatePairs]]): a candidate pair
-    * whose bound falls below the threshold is provably below it, so
-    * screening on this bound changes NO thresholded result — unlike a
-    * minhash-agreement estimate, which is unbiased but can land either
-    * side of the truth.
-    *
-    * Derivation: with distinct sorted elements, every element of a set
-    * that is ≤ its prefix's last value IS in the prefix. So with
-    * hi = min(coveredMax(a), coveredMax(b)) (coveredMax = +∞ for a
-    * complete prefix), the intersection restricted to ≤ hi is EXACTLY the
-    * merge-count of the two prefixes' ≤ hi portions (i), and the
-    * intersection above hi is at most min(|a|−cntA, |b|−cntB) (cnt = that
-    * side's elements ≤ hi). Jaccard is increasing in the intersection, so
-    * J ≤ (i + rest) / (|a| + |b| − (i + rest)). Complete prefixes ⇒ the
-    * bound IS the Jaccard.
-    *
-    * Arguments: (prefixA array<bigint>, sizeA int, prefixB array<bigint>,
-    * sizeB int). Codegen'd: it evaluates once per candidate pair inside
-    * the screen join's inner loop, exactly like [[SortedLongJaccard]].
-    */
-  case class SortedJaccardUpperBound(children: Seq[Expression])
-    extends Expression {
-    override def dataType: DataType = DoubleType
-    override def nullable: Boolean = children.exists(_.nullable)
-    override def prettyName: String = "jaccard_upper_sorted"
-    override def checkInputDataTypes(): TypeCheckResult = {
-      def arr(e: Expression) = e.dataType match {
-        case ArrayType(LongType, _) => true; case _ => false
-      }
-      val ok = children.length == 4 && arr(children(0)) &&
-        children(1).dataType == IntegerType && arr(children(2)) &&
-        children(3).dataType == IntegerType
-      if (ok) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        "jaccard_upper_sorted expects (array<bigint>, int, array<bigint>, int)")
-    }
-
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val paE = children(0).eval(input); val naE = children(1).eval(input)
-      val pbE = children(2).eval(input); val nbE = children(3).eval(input)
-      if (paE == null || naE == null || pbE == null || nbE == null) return null
-      val pa = paE.asInstanceOf[ArrayData]; val pb = pbE.asInstanceOf[ArrayData]
-      val na = naE.asInstanceOf[Int]; val nb = nbE.asInstanceOf[Int]
-      val la = pa.numElements(); val lb = pb.numElements()
-      if (na == 0 || nb == 0) return 0.0
-      // hi: the largest value up to which BOTH sides' membership is fully
-      // known; a complete prefix covers everything (no cap from that side)
-      val aComplete = la >= na; val bComplete = lb >= nb
-      val hiA = if (aComplete) Long.MaxValue else pa.getLong(la - 1)
-      val hiB = if (bComplete) Long.MaxValue else pb.getLong(lb - 1)
-      val hi = math.min(hiA, hiB)
-      var i = 0; var j = 0; var inter = 0L
-      while (i < la && j < lb && pa.getLong(i) <= hi && pb.getLong(j) <= hi) {
-        val xv = pa.getLong(i); val yv = pb.getLong(j)
-        if (xv == yv) { inter += 1; i += 1; j += 1 }
-        else if (xv < yv) i += 1
-        else j += 1
-      }
-      // advance each cursor to its side's count of elements ≤ hi
-      while (i < la && pa.getLong(i) <= hi) i += 1
-      while (j < lb && pb.getLong(j) <= hi) j += 1
-      val rest = math.min(na.toLong - i, nb.toLong - j)
-      val imax = math.min(inter + rest, math.min(na, nb).toLong)
-      val umin = na.toLong + nb.toLong - imax
-      if (umin == 0L) 0.0 else imax.toDouble / umin
-    }
-
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val evs = children.map(_.genCode(ctx))
-      val pa = evs(0).value; val na = evs(1).value
-      val pb = evs(2).value; val nb = evs(3).value
-      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
-      val hi = ctx.freshName("hi"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val inter = ctx.freshName("inter"); val rest = ctx.freshName("rest")
-      val imax = ctx.freshName("imax"); val umin = ctx.freshName("umin")
-      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      val anyNull = evs.map(_.isNull).mkString(" || ")
-      val resultCode =
-        code"""
-           |${evs(0).code}
-           |${evs(1).code}
-           |${evs(2).code}
-           |${evs(3).code}
-           |boolean ${ev.isNull} = $anyNull;
-           |double ${ev.value} = 0.0d;
-           |if (!${ev.isNull}) {
-           |  int $la = $pa.numElements(); int $lb = $pb.numElements();
-           |  if ($na != 0 && $nb != 0) {
-           |    long $hi = java.lang.Math.min(
-           |      ($la >= $na) ? Long.MAX_VALUE : $pa.getLong($la - 1),
-           |      ($lb >= $nb) ? Long.MAX_VALUE : $pb.getLong($lb - 1));
-           |    int $i = 0; int $j = 0; long $inter = 0L;
-           |    while ($i < $la && $j < $lb) {
-           |      long $xv = $pa.getLong($i); long $yv = $pb.getLong($j);
-           |      if ($xv > $hi || $yv > $hi) break;
-           |      if ($xv == $yv) { $inter++; $i++; $j++; }
-           |      else if ($xv < $yv) { $i++; } else { $j++; }
-           |    }
-           |    while ($i < $la && $pa.getLong($i) <= $hi) $i++;
-           |    while ($j < $lb && $pb.getLong($j) <= $hi) $j++;
-           |    long $rest = java.lang.Math.min((long) $na - $i, (long) $nb - $j);
-           |    long $imax = java.lang.Math.min($inter + $rest,
-           |      (long) java.lang.Math.min($na, $nb));
-           |    long $umin = (long) $na + (long) $nb - $imax;
-           |    ${ev.value} = ($umin == 0L) ? 0.0d : (double) $imax / (double) $umin;
-           |  }
-           |}
-         """.stripMargin
-      ev.copy(code = resultCode)
-    }
-
-    override protected def withNewChildrenInternal(
-        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
-  }
-
   /** Sparse dot product over two vectors stored as (sorted key array,
     * aligned value array) — one merge-join pass, O(|a| + |b|). The
     * verify step of the weighted prefix join runs this per candidate
@@ -899,7 +781,6 @@ object NativeTextExpressions {
     "shingle_hashes" -> (c => ShingleHashes(c.head, litInt(c(1), "k"))),
     "minhash_sig" -> (c => MinHashSig(c.head, litInt(c(1), "numHashes"))),
     "jaccard_sorted" -> (c => SortedLongJaccard(c.head, c(1))),
-    "jaccard_upper_sorted" -> (c => SortedJaccardUpperBound(c)),
     "simhash64_native" -> (c => SimHash(c.head)),
     "token_count_native" -> (c => TokenCount(c.head)),
     "word_ngram_hashes" -> (c => WordNgramHashes(c.head, litInt(c(1), "n"))),

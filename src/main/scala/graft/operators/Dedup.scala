@@ -243,65 +243,140 @@ object Dedup extends org.apache.spark.internal.Logging {
       val sets = sig.select(col("id"), col("sh"))
       val setBytes = sig.agg(coalesce(sum(size(col("sh"))), lit(0L)))
         .head.getLong(0) * 8L + nDocs * 32L
-      // Above the gate the joins must shuffle — hint SHUFFLE_HASH so the
-      // shingle table is the (small) build side and the candidate stream
-      // is never SORTED: a sort-merge join would sort the candidates,
-      // and on the id_b join the stream already carries the id_a-side
-      // shingle arrays, so the sort spill would be candidates × arrays.
+      // While the shingle table fits the byte gate, two broadcast hash
+      // joins verify map-side. PAST the gate the verify becomes the GRID
+      // co-group ([[gridJaccardVerify]]): a per-pair array attach is
+      // structurally wrong there — each doc's ~3.2 KB array rides the
+      // exchange once PER CANDIDATE (measured at the 250k-doc shape:
+      // ~119 M candidates × 3.2 KB ≈ 380 GB, 230.8 s with ~21 GB spill
+      // even sort-free), and screening candidates first cannot fix it:
+      // the r14 measurement of an EXACT fixed-width prefix screen
+      // rejected only 10.9% (106.3 M of 119.4 M candidates survived a
+      // Jaccard-upper-bound test at t=0.8 — high-precision bands already
+      // emit near-threshold pairs, and no sound bound can separate them
+      // from fixed-width evidence; 283.2 s, WORSE than no screen). The
+      // grid moves each array 2P times TOTAL (P ≈ corpus/cell-budget)
+      // and the candidate stream thin — bytes independent of the pair
+      // distribution.
       val broadcastOk =
         setBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession)
-      val hint: DataFrame => DataFrame =
-        if (broadcastOk) broadcast(_) else _.hint("shuffle_hash")
-      // Shuffle-regime SCREEN (threshold declared only): the full-array
-      // verify's id_b exchange carries candidates × shingle-array bytes
-      // (measured at 250k docs: ~3.2 KB/doc, 230.8 s / ~21 GB of sort-
-      // free but still exchanged+spilled volume). Before any array is
-      // attached, candidates are screened against an EXACT Jaccard upper
-      // bound computed from fixed-width evidence — each side's first-
-      // `screenPrefix` sorted shingle hashes plus its set size
-      // ([[graft.functions.NativeTextExpressions.SortedJaccardUpperBound]]).
-      // A rejected pair is PROVABLY below the threshold, so the screened
-      // thresholded result is bit-identical to the unscreened one
-      // (spec-pinned), unlike a minhash-agreement estimate which can land
-      // either side of the truth. Survivors alone pay the full-array
-      // joins; the screen's own exchange carries ~prefix-width bytes per
-      // candidate. Rejection is observable: the screen point logs
-      // (candidates, survivors) through [[graft.ObservedMetrics]].
-      val toVerify =
-        if (broadcastOk || minJaccard < 0) candidates
-        else {
-          graft.ObservedMetrics.ensureLogger(docs.sparkSession)
-          val pB = graft.GraftConf.minhashScreenPrefix(docs.sparkSession)
-          val pre = sig.select(col("id"), slice(col("sh"), 1, pB).as("p"),
-            size(col("sh")).as("n"))
+      val verified =
+        if (broadcastOk)
           candidates
-            .join(pre.select(col("id").as("id_a"), col("p").as("p_a"),
-              col("n").as("n_a")).hint("shuffle_hash"), "id_a")
-            .join(pre.select(col("id").as("id_b"), col("p").as("p_b"),
-              col("n").as("n_b")).hint("shuffle_hash"), "id_b")
-            .withColumn("__jub", expr("jaccard_upper_sorted(p_a, n_a, p_b, n_b)"))
-            .observe(s"graft.minhash_screen.${ScreenObs.incrementAndGet()}",
-              count(lit(1)).as("candidates"),
-              sum(when(col("__jub") >= lit(minJaccard), 1L).otherwise(0L))
-                .as("survivors"))
-            .filter(col("__jub") >= lit(minJaccard))
-            .select(col("id_a"), col("id_b"))
-        }
-      val verified = toVerify
-        .join(hint(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
-        .join(hint(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
-        .select(col("id_a"), col("id_b"),
-          expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
+            .join(broadcast(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+            .join(broadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+            .select(col("id_a"), col("id_b"),
+              expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
+        else gridJaccardVerify(candidates, sets, setBytes)
       if (minJaccard < 0) verified
       else verified.filter(col("jaccard") >= lit(minJaccard))
     }
   }
 
-  /** Monotone suffix for screen-observation names: Dataset.observe names
-    * must be unique within one query, and two screened operators can land
-    * in the same composed query.
+  /** Verify candidate pairs against their full sorted shingle-hash sets
+    * WITHOUT attaching an array per pair — the fragment-and-replicate
+    * (grid) co-group, the above-broadcast-gate regime of the minhash
+    * verify.
+    *
+    * The doc space is hashed into P fragments; a pair (a, b) belongs to
+    * grid cell (p(a), p(b)). One pinned exchange co-locates, per cell:
+    * the candidates of that cell (THIN — two ids), every fragment-p(a)
+    * array (replicated across the cell row), and every fragment-p(b)
+    * array (replicated across the cell column). Exchange bytes are
+    * therefore `2P · corpusArrayBytes + 16 B · candidates` — each array
+    * moves 2P times TOTAL instead of once per candidate, so the cost is
+    * independent of the candidate distribution (at the 250k-doc shape:
+    * ~15 GB vs ~380 GB for the per-pair attach; the crossover is
+    * pair-degree > 2P, here ~477 vs 16). P is the smallest fragment
+    * count whose per-cell array volume (2·corpusBytes/P) fits
+    * `spark.graft.gridVerify.cellBytes`, floored so P² covers the
+    * cores. Within a task, rows arrive arrays-first (a bounded
+    * per-partition sort on the `kind` tag — never the global
+    * candidate-stream sort the r13 audit killed), arrays load into hash
+    * maps, and candidates stream through the EXACT same merge-Jaccard
+    * the codegen'd `jaccard_sorted` runs (spec-pinned bit-identical,
+    * null/missing sets skipped exactly as the inner joins they replace
+    * would drop them). At cluster scale the same plan holds: the one
+    * exchange is hash-partitioned on (pa, pb) at width P², and
+    * per-task memory is bounded by the cell budget regardless of
+    * corpus size.
     */
-  private val ScreenObs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[operators] def gridJaccardVerify(candidates: DataFrame,
+                                           sets: DataFrame,
+                                           setBytes: Long): DataFrame = {
+    val spark = candidates.sparkSession
+    graft.ObservedMetrics.ensureLogger(spark)
+    val cellBytes = graft.GraftConf.gridVerifyCellBytes(spark)
+    val cores = spark.sparkContext.defaultParallelism
+    val p = math.max(
+      math.max(2L, (2L * setBytes + cellBytes - 1) / cellBytes),
+      math.ceil(math.sqrt(cores.toDouble)).toLong).toInt
+    logInfo(s"gridJaccardVerify: P=$p fragments (${p.toLong * p} cells; " +
+      s"~${2L * setBytes / p} array B/cell vs budget $cellBytes; " +
+      s"array bytes exchanged ~${2L * p * setBytes})")
+    val pbs = lit((0 until p).toArray)
+    def frag(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(p.toLong)).cast("int")
+    // (pa, pb, kind, id_a, id_b, sh): kind 1 = row-fragment arrays,
+    // 2 = column-fragment arrays, 3 = candidates. Unused ids carry 0 —
+    // kind discriminates, so the sentinel is never read ambiguously.
+    val aSide = sets.select(frag(col("id")).as("pa"), explode(pbs).as("pb"),
+      lit(1).as("kind"), col("id").as("id_a"), lit(0L).as("id_b"), col("sh"))
+    val bSide = sets.select(explode(pbs).as("pa"), frag(col("id")).as("pb"),
+      lit(2).as("kind"), lit(0L).as("id_a"), col("id").as("id_b"), col("sh"))
+    val cand = candidates.select(frag(col("id_a")).as("pa"), frag(col("id_b")).as("pb"),
+      lit(3).as("kind"), col("id_a"), col("id_b"),
+      lit(null).cast("array<bigint>").as("sh"))
+    import spark.implicits._
+    aSide.unionByName(bSide).unionByName(cand)
+      .repartition(p * p, col("pa"), col("pb"))
+      .sortWithinPartitions(col("kind"))
+      .observe(s"graft.grid_verify.${GridObs.incrementAndGet()}",
+        count(when(col("kind") === 3, 1L)).as("candidates"),
+        count(when(col("kind") =!= 3, 1L)).as("replicated_array_rows"))
+      .as[(Int, Int, Int, Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        // hash collisions can co-locate several cells in one partition;
+        // key maps by (cell, id) so cells never mix
+        val aMap = new java.util.HashMap[(Long, Long), Array[Long]]()
+        val bMap = new java.util.HashMap[(Long, Long), Array[Long]]()
+        it.flatMap { case (pa, pb, kind, idA, idB, sh) =>
+          val cell = pa.toLong * p + pb
+          kind match {
+            case 1 => if (sh != null) aMap.put((cell, idA), sh); Iterator.empty
+            case 2 => if (sh != null) bMap.put((cell, idB), sh); Iterator.empty
+            case _ =>
+              val a = aMap.get((cell, idA)); val b = bMap.get((cell, idB))
+              if (a == null || b == null) Iterator.empty
+              else Iterator.single((idA, idB, mergeJaccard(a, b)))
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
+  }
+
+  /** The EXACT merge-pass Jaccard of `jaccard_sorted`
+    * ([[graft.functions.NativeTextExpressions.SortedLongJaccard]]) —
+    * same loop, same long accumulators, same `inter/union` double
+    * division, so the grid verify is bit-identical to the join form
+    * (generatively spec-pinned).
+    */
+  private[operators] def mergeJaccard(x: Array[Long], y: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < x.length && j < y.length) {
+      val xv = x(i); val yv = y(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = x.length.toLong + y.length - inter
+    if (union == 0L) 0.0 else inter.toDouble / union
+  }
+
+  /** Monotone suffix for grid-observation names: Dataset.observe names
+    * must be unique within one query, and two grid verifies can land in
+    * the same composed query.
+    */
+  private val GridObs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Bands for a Jaccard threshold: with r = numHashes/b rows per band, a
     * pair at Jaccard s is caught with 1−(1−s^r)^b. Pick the FEWEST bands

@@ -324,13 +324,16 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.srp.routeCandidates")
   }
 
-  test("minhash shuffle regime: fixed-width screen runs before any array join") {
+  test("minhash shuffle regime: grid verify — no array join, no candidate sort") {
     // the minhash result is STAGED inside the operator (the returned frame
     // reads parquet), so the verify plan is captured from the staging
     // write's QueryExecution via a listener rather than from the returned
-    // frame. Pins: the screen expression is present, the regime is fully
-    // shuffled, the pair-dedup exchange is pinned, and the candidate
-    // stream is never sorted (the r13 disk-fatal shape).
+    // frame. Pins: past the broadcast gate the verify is the grid
+    // co-group — ONE pinned exchange on the cell keys feeding a
+    // MapPartitions, no join attaching arrays per candidate, the
+    // pair-dedup exchange still pinned, and the candidate stream never
+    // sorted on pair keys (the r13 disk-fatal shape; the bounded
+    // within-partition kind-sort is allowed).
     spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
     spark.conf.set("spark.graft.broadcastBytes", "1")
     val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -347,26 +350,30 @@ class PlanShapeSpec extends SparkSpec {
     try {
       val corpus = graft.Tables(spark, sf0001, "documents")
       operators.Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
-        numHashes = 16, bands = 8, minJaccard = 0.5).collect()
+        numHashes = 16, bands = 8).collect()
       import scala.jdk.CollectionConverters._
       // QueryExecutionListener delivery is async (SQL listener bus) — poll
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var verifyPlan = Option.empty[String]
       while (verifyPlan.isEmpty && System.nanoTime() < deadline) {
-        verifyPlan = plans.asScala.find(_.contains("jaccard_upper_sorted"))
+        verifyPlan = plans.asScala.find(p =>
+          p.contains("MapPartitions") && p.contains("hashpartitioning(pa"))
         if (verifyPlan.isEmpty) Thread.sleep(50)
       }
       assert(verifyPlan.nonEmpty,
-        s"no captured plan contains the screen expression (captured ${plans.size()} plans)")
+        s"no captured plan contains the grid co-group (captured ${plans.size()} plans)")
       val plan = verifyPlan.get
       assert(!plan.contains("BroadcastHashJoin"),
         s"gates must force the full shuffle regime:\n$plan")
-      assert("ShuffledHashJoin".r.findAllIn(plan).length >= 4,
-        s"screen (2) and verify (2) joins must all be shuffled hash joins:\n$plan")
+      // the band SELF-join may still sort-merge its small co-partitioned
+      // inputs; what must be gone is the JOIN-form verify (its codegen'd
+      // jaccard_sorted over per-pair attached arrays)
+      assert(!plan.contains("jaccard_sorted"),
+        s"verify still attaches arrays per candidate through a join:\n$plan")
       assert(plan.contains("Exchange hashpartitioning(id_a"),
         s"pair dedup must repartition on (id_a, id_b):\n$plan")
       assert(!plan.contains("Sort [id_a") && !plan.contains("Sort [id_b"),
-        s"a join sorted the candidate stream:\n$plan")
+        s"the candidate stream was sorted on pair keys:\n$plan")
     } finally {
       spark.listenerManager.unregister(listener)
       spark.conf.unset("spark.graft.bandJoin.broadcastRows")

@@ -209,57 +209,4 @@ class NativeTextExpressionsSpec extends SparkSpec {
     }
   }
 
-  /** Driver-side interpreted eval of jaccard_upper_sorted on raw arrays. */
-  private def boundEval(pa: Seq[Long], na: Int, pb: Seq[Long], nb: Int): Double = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
-    NativeTextExpressions.SortedJaccardUpperBound(Seq(
-      Literal.create(pa.toArray, ArrayType(LongType, containsNull = false)),
-      Literal.create(na, IntegerType),
-      Literal.create(pb.toArray, ArrayType(LongType, containsNull = false)),
-      Literal.create(nb, IntegerType))).eval(null).asInstanceOf[Double]
-  }
-
-  test("jaccard_upper_sorted: provable upper bound, exact on complete prefixes (generative)") {
-    import org.scalacheck.{Gen, Prop, Test => ScTest}
-    // small value domain forces real overlaps; sets are distinct-sorted as
-    // the screen contract requires (shingle_hashes emits distinct sorted)
-    val genSet = Gen.chooseNum(0, 60)
-      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-40L, 40L)))
-      .map(_.distinct.sorted)
-    val prop = Prop.forAll(genSet, genSet, Gen.chooseNum(1, 70)) { (a, b, p) =>
-      val inter = a.toSet.intersect(b.toSet).size
-      val union = a.toSet.union(b.toSet).size
-      val exact = if (union == 0) 0.0 else inter.toDouble / union
-      val bound = boundEval(a.take(p), a.size, b.take(p), b.size)
-      val isUpper = bound >= exact - 1e-12
-      val exactWhenComplete =
-        p < math.max(a.size, b.size) || math.abs(bound - exact) < 1e-12
-      isUpper && exactWhenComplete
-    }
-    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(300), prop)
-    assert(res.passed, s"jaccard_upper_sorted bound violated: $res")
-  }
-
-  test("jaccard_upper_sorted: codegen agrees with interpreted eval bit-for-bit") {
-    withNative {
-      // edge cases: empty sets, complete/incomplete prefixes, disjoint,
-      // identical, one-side-empty — run through a DataFrame (whole-stage
-      // codegen) and compare against the interpreted driver eval
-      val cases = Seq(
-        (Seq.empty[Long], 0, Seq.empty[Long], 0),
-        (Seq.empty[Long], 0, Seq(1L, 2L), 2),
-        (Seq(1L, 2L, 3L), 3, Seq(1L, 2L, 3L), 3),
-        (Seq(1L, 2L), 5, Seq(1L, 2L), 5),          // incomplete both
-        (Seq(1L, 2L, 3L), 3, Seq(4L, 5L), 7),      // a complete, b not
-        (Seq(-5L, 0L), 4, Seq(-5L, 7L), 2),        // negative hashes
-        (Seq(10L), 1, Seq(10L), 1))
-      val df = cases.toDF("p_a", "n_a", "p_b", "n_b")
-        .select(expr("jaccard_upper_sorted(p_a, n_a, p_b, n_b)").as("b"))
-      val fromCodegen = df.collect().map(_.getDouble(0))
-      val fromEval = cases.map { case (pa, na, pb, nb) => boundEval(pa, na, pb, nb) }
-      assert(fromCodegen.toSeq == fromEval,
-        s"codegen ${fromCodegen.toSeq} != interpreted $fromEval")
-    }
-  }
 }

@@ -59,38 +59,56 @@ class OperatorsSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("minhash screen is invisible in results: shuffle regime == broadcast == unscreened") {
-    // the shuffle-regime verify screens candidates on the EXACT fixed-width
-    // Jaccard upper bound before attaching full shingle arrays; a rejected
-    // pair is provably below the threshold, so all three runs must produce
-    // the same rows bit-for-bit: (1) natural broadcast regime (no screen),
-    // (2) forced shuffle regime (screen active), (3) forced shuffle regime
-    // with no declared threshold (no screen), filtered afterwards
+  test("grid verify is invisible in results: shuffle regime == broadcast regime") {
+    // past the broadcast gate the minhash verify is the grid co-group —
+    // arrays fragment-replicated, candidates thin. Same rows bit-for-bit
+    // as the broadcast-join verify, thresholded or not.
     val corpus = graft.Tables(spark, sf0001, "documents")
     def runSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val t = 0.5
-    val broadcastRegime = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
-      numHashes = 16, bands = 8, minJaccard = t))
-    assert(broadcastRegime.nonEmpty, "fixture must contain near-dups above 0.5")
+    val broadcastAll = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      numHashes = 16, bands = 8))
+    val broadcastThr = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      numHashes = 16, bands = 8, minJaccard = 0.5))
+    assert(broadcastAll.nonEmpty && broadcastThr.nonEmpty)
     spark.conf.set("spark.graft.broadcastBytes", "1")
     spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val screened = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
-        numHashes = 16, bands = 8, minJaccard = t))
-      val unscreened = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
-        numHashes = 16, bands = 8)).filter(_._3 >= t)
-      assert(screened == broadcastRegime,
-        s"screened shuffle regime diverged: ${screened.size} vs ${broadcastRegime.size}")
-      assert(screened == unscreened,
-        s"screen dropped/added pairs vs the unscreened shuffle run")
+      val gridAll = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 8))
+      val gridThr = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 8, minJaccard = 0.5))
+      assert(gridAll == broadcastAll,
+        s"grid diverged: ${gridAll.size} vs ${broadcastAll.size} pairs")
+      assert(gridThr == broadcastThr)
     } finally {
       spark.conf.unset("spark.graft.broadcastBytes")
       spark.conf.unset("spark.graft.bandJoin.broadcastRows")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+  }
+
+  test("mergeJaccard is bit-identical to jaccard_sorted (generative)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val genSet = Gen.chooseNum(0, 50)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-30L, 30L)))
+      .map(_.distinct.sorted.toArray)
+    val prop = Prop.forAll(genSet, genSet) { (a, b) =>
+      val expr = graft.functions.NativeTextExpressions.SortedLongJaccard(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))
+        .eval(null).asInstanceOf[Double]
+      // bit-identical, not approximately equal: the grid verify replaces
+      // the codegen'd expression row-for-row
+      java.lang.Double.doubleToRawLongBits(Dedup.mergeJaccard(a, b)) ==
+        java.lang.Double.doubleToRawLongBits(expr)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"mergeJaccard diverged from jaccard_sorted: $res")
   }
 
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
