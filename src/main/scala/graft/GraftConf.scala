@@ -179,6 +179,21 @@ object GraftConf {
     v
   }
 
+  /** Multiplier on the grid-vs-join crossover of the shuffle-regime
+    * minhash verify. Past the broadcast gate the verify picks between two
+    * shapes by measured cost: the JOIN-form (shuffle-hash, sort-free)
+    * moves each doc's shingle array once per candidate referencing it
+    * (avg pair-degree), while the grid co-group moves it 2P times
+    * regardless of the candidate distribution. The grid is chosen iff
+    * `est pair degree ≥ 2P · degreeFactor`. 0 forces the grid; a huge
+    * value forces the join-form (both used by the plan-shape specs).
+    */
+  def gridVerifyDegreeFactor(spark: SparkSession): Double = {
+    val v = double(spark, "spark.graft.gridVerify.degreeFactor", 1.0)
+    require(v >= 0, s"spark.graft.gridVerify.degreeFactor must be >= 0, got $v")
+    v
+  }
+
   /** One log line per (session, key) for heap/environment-derived conf
     * defaults — a regime flip caused by a different JVM sizing must be
     * greppable without being a per-plan log storm.

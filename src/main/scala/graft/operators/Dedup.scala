@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.NativeTextExpressions
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a document corpus.
@@ -244,20 +244,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       val setBytes = sig.agg(coalesce(sum(size(col("sh"))), lit(0L)))
         .head.getLong(0) * 8L + nDocs * 32L
       // While the shingle table fits the byte gate, two broadcast hash
-      // joins verify map-side. PAST the gate the verify becomes the GRID
-      // co-group ([[gridJaccardVerify]]): a per-pair array attach is
-      // structurally wrong there — each doc's ~3.2 KB array rides the
-      // exchange once PER CANDIDATE (measured at the 250k-doc shape:
-      // ~119 M candidates × 3.2 KB ≈ 380 GB, 230.8 s with ~21 GB spill
-      // even sort-free), and screening candidates first cannot fix it:
-      // the r14 measurement of an EXACT fixed-width prefix screen
-      // rejected only 10.9% (106.3 M of 119.4 M candidates survived a
-      // Jaccard-upper-bound test at t=0.8 — high-precision bands already
-      // emit near-threshold pairs, and no sound bound can separate them
-      // from fixed-width evidence; 283.2 s, WORSE than no screen). The
-      // grid moves each array 2P times TOTAL (P ≈ corpus/cell-budget)
-      // and the candidate stream thin — bytes independent of the pair
-      // distribution.
+      // joins verify map-side. PAST the gate the verify is chosen by a
+      // measured cost model between the two shuffle shapes — see
+      // [[shuffleVerify]].
       val broadcastOk =
         setBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession)
       val verified =
@@ -267,9 +256,76 @@ object Dedup extends org.apache.spark.internal.Logging {
             .join(broadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
             .select(col("id_a"), col("id_b"),
               expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
-        else gridJaccardVerify(candidates, sets, setBytes)
+        else shuffleVerify(banded, candidates, sets, setBytes, nDocs)
       if (minJaccard < 0) verified
       else verified.filter(col("jaccard") >= lit(minJaccard))
+    }
+  }
+
+  /** Shuffle-regime verify (shingle table past the broadcast byte gate),
+    * chosen between its two shapes by ESTIMATED EXCHANGED ARRAY BYTES:
+    *
+    *  - JOIN-form (shuffle-hash-hinted, sort-free): each doc's sorted
+    *    shingle array rides the exchange once PER CANDIDATE referencing
+    *    it — total ≈ candidates × avg array bytes = degree × corpusBytes,
+    *    where degree = candidates / docs. Screening candidates first
+    *    cannot shrink that: the r14 measurement of an EXACT fixed-width
+    *    prefix screen rejected only 10.9% (106.3 M of 119.4 M candidates
+    *    survived a Jaccard-upper-bound test at t=0.8 — high-precision
+    *    bands already emit near-threshold pairs, and no sound bound can
+    *    separate them from fixed-width evidence; 283.2 s, WORSE than the
+    *    unscreened 230.8 s).
+    *  - GRID co-group ([[gridJaccardVerify]]): each array moves 2P times
+    *    TOTAL (P ∝ corpusBytes / cell budget) — independent of the
+    *    candidate distribution.
+    *
+    * So the grid wins iff avg pair-degree > 2P — at the 250k-doc bench
+    * shape degree ≈ 477 vs 2P = 12 (grid: 110.4 s vs 230.8 s join-form),
+    * but the comparison FLIPS back at mega-corpus scale: with banding
+    * keeping candidates ~linear in docs, degree stays flat while P grows
+    * linearly with corpus bytes, so past ~P ≈ degree/2 (≈12 M docs at the
+    * bench shape's 477) replicating fragments costs more than attaching
+    * arrays per candidate. Degree is estimated as the exact Σ C(bucket,2)
+    * over the band table (one linear job over fixed-width rows — the same
+    * signal as the SRP route gate); it upper-bounds the deduped candidate
+    * count (≤ bands× duplication), biasing toward the grid near the
+    * crossover — the distribution-independent, per-task-bounded side.
+    * The decision is logged; `spark.graft.gridVerify.degreeFactor`
+    * scales the crossover (0 forces the grid, huge forces the join-form).
+    */
+  private[operators] def shuffleVerify(banded: DataFrame, candidates: DataFrame,
+                                       sets: DataFrame, setBytes: Long,
+                                       nDocs: Long): DataFrame = {
+    val spark = candidates.sparkSession
+    val estPairs = banded
+      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+      .head.getLong(0)
+    val degree = estPairs.toDouble / math.max(nDocs, 1L)
+    val p = gridFragments(spark, setBytes)
+    val crossover = 2.0 * p * graft.GraftConf.gridVerifyDegreeFactor(spark)
+    if (degree >= crossover) {
+      logInfo(f"minhash verify: GRID regime (est pair degree $degree%.1f ≥ " +
+        f"crossover $crossover%.1f with P=$p; arrays move 2P× total, " +
+        s"candidates thin; est raw pairs $estPairs over $nDocs docs)")
+      gridJaccardVerify(candidates, sets, setBytes)
+    } else {
+      logInfo(f"minhash verify: JOIN-form regime (est pair degree $degree%.1f < " +
+        f"crossover $crossover%.1f with P=$p; attaching arrays per candidate " +
+        s"moves fewer bytes than 2P-replicating fragments; est raw pairs " +
+        s"$estPairs over $nDocs docs)")
+      // hint SHUFFLE_HASH so the shingle table is the (small) build side
+      // and the candidate stream is never SORTED: a sort-merge join would
+      // sort the candidates, and on the id_b join the stream already
+      // carries the id_a-side arrays, so the sort spill would be
+      // candidates × arrays (the r13 disk-fatal shape).
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+          .hint("shuffle_hash"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
     }
   }
 
@@ -286,8 +342,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * therefore `2P · corpusArrayBytes + 16 B · candidates` — each array
     * moves 2P times TOTAL instead of once per candidate, so the cost is
     * independent of the candidate distribution (at the 250k-doc shape:
-    * ~15 GB vs ~380 GB for the per-pair attach; the crossover is
-    * pair-degree > 2P, here ~477 vs 16). P is the smallest fragment
+    * ~15 GB vs ~380 GB for the per-pair attach; [[shuffleVerify]]'s cost
+    * model picks this shape exactly when pair-degree ≥ 2P, here ~477 vs
+    * 16). P is the smallest fragment
     * count whose per-cell array volume (2·corpusBytes/P) fits
     * `spark.graft.gridVerify.cellBytes`, floored so P² covers the
     * cores. Within a task, rows arrive arrays-first (a bounded
@@ -301,16 +358,26 @@ object Dedup extends org.apache.spark.internal.Logging {
     * per-task memory is bounded by the cell budget regardless of
     * corpus size.
     */
+  /** Fragment count of the grid verify: smallest P whose per-cell array
+    * volume (2·corpusBytes/P) fits the cell budget, floored so P² covers
+    * the cores. Shared by [[gridJaccardVerify]] and the [[shuffleVerify]]
+    * cost model (which compares 2P against the estimated pair-degree).
+    */
+  private[operators] def gridFragments(spark: SparkSession, setBytes: Long): Int = {
+    val cellBytes = graft.GraftConf.gridVerifyCellBytes(spark)
+    val cores = spark.sparkContext.defaultParallelism
+    math.max(
+      math.max(2L, (2L * setBytes + cellBytes - 1) / cellBytes),
+      math.ceil(math.sqrt(cores.toDouble)).toLong).toInt
+  }
+
   private[operators] def gridJaccardVerify(candidates: DataFrame,
                                            sets: DataFrame,
                                            setBytes: Long): DataFrame = {
     val spark = candidates.sparkSession
     graft.ObservedMetrics.ensureLogger(spark)
     val cellBytes = graft.GraftConf.gridVerifyCellBytes(spark)
-    val cores = spark.sparkContext.defaultParallelism
-    val p = math.max(
-      math.max(2L, (2L * setBytes + cellBytes - 1) / cellBytes),
-      math.ceil(math.sqrt(cores.toDouble)).toLong).toInt
+    val p = gridFragments(spark, setBytes)
     logInfo(s"gridJaccardVerify: P=$p fragments (${p.toLong * p} cells; " +
       s"~${2L * setBytes / p} array B/cell vs budget $cellBytes; " +
       s"array bytes exchanged ~${2L * p * setBytes})")

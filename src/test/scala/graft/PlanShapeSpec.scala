@@ -328,14 +328,17 @@ class PlanShapeSpec extends SparkSpec {
     // the minhash result is STAGED inside the operator (the returned frame
     // reads parquet), so the verify plan is captured from the staging
     // write's QueryExecution via a listener rather than from the returned
-    // frame. Pins: past the broadcast gate the verify is the grid
-    // co-group — ONE pinned exchange on the cell keys feeding a
-    // MapPartitions, no join attaching arrays per candidate, the
-    // pair-dedup exchange still pinned, and the candidate stream never
-    // sorted on pair keys (the r13 disk-fatal shape; the bounded
-    // within-partition kind-sort is allowed).
+    // frame. Pins: past the broadcast gate, when the cost model picks the
+    // grid (degreeFactor 0 forces it here — a toy corpus's pair-degree is
+    // below any real crossover), the verify is the grid co-group — ONE
+    // pinned exchange on the cell keys feeding a MapPartitions, no join
+    // attaching arrays per candidate, the pair-dedup exchange still
+    // pinned, and the candidate stream never sorted on pair keys (the r13
+    // disk-fatal shape; the bounded within-partition kind-sort is
+    // allowed).
     spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
     spark.conf.set("spark.graft.broadcastBytes", "1")
+    spark.conf.set("spark.graft.gridVerify.degreeFactor", "0")
     val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -378,6 +381,60 @@ class PlanShapeSpec extends SparkSpec {
       spark.listenerManager.unregister(listener)
       spark.conf.unset("spark.graft.bandJoin.broadcastRows")
       spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.unset("spark.graft.gridVerify.degreeFactor")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
+  test("minhash shuffle regime: low-degree cost model picks the JOIN-form verify") {
+    // the other side of the crossover: when est pair-degree < 2P·factor
+    // (a huge factor forces it here; naturally reached at mega-corpus P),
+    // the verify attaches arrays per candidate through shuffle-hash joins
+    // — sort-free (build = shingle table), no grid MapPartitions, dedup
+    // exchange still pinned. Same listener capture as the grid pin.
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    spark.conf.set("spark.graft.gridVerify.degreeFactor", "1000000000")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val corpus = graft.Tables(spark, sf0001, "documents")
+      operators.Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 8).collect()
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var verifyPlan = Option.empty[String]
+      while (verifyPlan.isEmpty && System.nanoTime() < deadline) {
+        verifyPlan = plans.asScala.find(_.contains("jaccard_sorted"))
+        if (verifyPlan.isEmpty) Thread.sleep(50)
+      }
+      assert(verifyPlan.nonEmpty,
+        s"no captured plan contains the join-form verify (captured ${plans.size()} plans)")
+      val plan = verifyPlan.get
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"gates must force the full shuffle regime:\n$plan")
+      assert("ShuffledHashJoin".r.findAllIn(plan).length >= 2,
+        s"verify joins must be shuffled hash joins (build = shingle table):\n$plan")
+      assert(!plan.contains("hashpartitioning(pa"),
+        s"the grid co-group must not appear in the join-form regime:\n$plan")
+      assert(plan.contains("Exchange hashpartitioning(id_a"),
+        s"pair dedup must repartition on (id_a, id_b):\n$plan")
+      assert(!plan.contains("Sort [id_a") && !plan.contains("Sort [id_b"),
+        s"a join sorted the candidate stream:\n$plan")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.unset("spark.graft.gridVerify.degreeFactor")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
     }
   }

@@ -59,10 +59,13 @@ class OperatorsSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("grid verify is invisible in results: shuffle regime == broadcast regime") {
-    // past the broadcast gate the minhash verify is the grid co-group —
-    // arrays fragment-replicated, candidates thin. Same rows bit-for-bit
-    // as the broadcast-join verify, thresholded or not.
+  test("shuffle verify is invisible in results: grid == join-form == broadcast") {
+    // past the broadcast gate the minhash verify is cost-chosen between
+    // the grid co-group (arrays fragment-replicated, candidates thin) and
+    // the join-form shuffle-hash attach (arrays once per candidate). Both
+    // must return the broadcast-join verify's rows bit-for-bit,
+    // thresholded or not — degreeFactor 0 / huge force each side of the
+    // crossover.
     val corpus = graft.Tables(spark, sf0001, "documents")
     def runSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -76,16 +79,20 @@ class OperatorsSpec extends SparkSpec {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val gridAll = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
-        numHashes = 16, bands = 8))
-      val gridThr = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
-        numHashes = 16, bands = 8, minJaccard = 0.5))
-      assert(gridAll == broadcastAll,
-        s"grid diverged: ${gridAll.size} vs ${broadcastAll.size} pairs")
-      assert(gridThr == broadcastThr)
+      for ((factor, label) <- Seq("0" -> "grid", "1000000000" -> "join-form")) {
+        spark.conf.set("spark.graft.gridVerify.degreeFactor", factor)
+        val all = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+          numHashes = 16, bands = 8))
+        val thr = runSet(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+          numHashes = 16, bands = 8, minJaccard = 0.5))
+        assert(all == broadcastAll,
+          s"$label diverged: ${all.size} vs ${broadcastAll.size} pairs")
+        assert(thr == broadcastThr, s"$label diverged on the thresholded set")
+      }
     } finally {
       spark.conf.unset("spark.graft.broadcastBytes")
       spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.unset("spark.graft.gridVerify.degreeFactor")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
   }
