@@ -667,6 +667,18 @@ object Similarity extends org.apache.spark.internal.Logging {
     * on list_id — at cluster scale persist `assigned` bucketed by
     * list_id so only the (small) packed blobs move.
     */
+  /** Width of the cross-block pack exchange: enough partitions that each
+    * task's collect_list buffer holds ≤ `targetBytes` of the probe
+    * stream, never below the explosive fan-out (small scales keep their
+    * plan), capped so the width cannot explode on a nonsense stats
+    * estimate. Pure — unit-tested directly in IvfBlockTopKSpec.
+    */
+  private[graft] def crossPackWidth(estStreamBytes: BigInt,
+                                    targetBytes: Long,
+                                    fanout: Int): Int =
+    (estStreamBytes / targetBytes.max(1L) + 1)
+      .max(BigInt(fanout)).min(BigInt(65536)).toInt
+
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 maxBroadcastQueries: Long = DefaultMaxBroadcastQueries,
@@ -788,10 +800,28 @@ object Similarity extends org.apache.spark.internal.Logging {
       val fanout = graft.GraftConf.explosiveFanout(spark)
       val qsalts = (estProbeRows / nLists / blockRows + 1)
         .min(BigInt(1024)).max(BigInt(1)).toInt
+      // The pack exchange is sized by BYTES, not the fixed fan-out: the
+      // collect_list aggregation holds every in-flight group's vectors in
+      // task memory, so per-task live state is ~probeStreamBytes / width.
+      // At the 1M-doc tier the probe stream is ~70 M rows × ~1 KB ≈ 73 GB
+      // — at the fixed 128-way fan-out that is ~570 MB of aggregation
+      // buffer per task, and 32 concurrent tasks OOM'd a 64 GiB heap
+      // while SPILLING (Collect.serialize doubles the buffer it
+      // serializes). Width = estProbeBytes / packPartitionBytes bounds
+      // the per-task buffer at any scale; below ~fanout·target bytes the
+      // width stays the fan-out (bench plans unchanged). The (list,
+      // qsalt) key space (nLists × qsalts tracks probeRows / blockRows)
+      // always exceeds this width, so the partitions fill.
+      val packWidth = crossPackWidth(estProbeRows * vecWidth,
+        graft.GraftConf.long(spark, "spark.graft.ann.packPartitionBytes", 64L << 20),
+        fanout)
+      if (packWidth != fanout)
+        logInfo(s"ivf probe scan: cross-block pack exchange widened to $packWidth " +
+          s"(est probe stream ${estProbeRows * vecWidth} B)")
       val qpacked = probes
         .withColumn("qsalt",
           pmod(xxhash64(col("query_id")), lit(qsalts.toLong)).cast("int"))
-        .repartition(fanout, col("list_id"), col("qsalt"))
+        .repartition(packWidth, col("list_id"), col("qsalt"))
         .groupBy(col("list_id"), col("qsalt"))
         .agg(expr("pack_vec_block(collect_list(struct(query_id, query_vec)))")
           .as("qblock"))

@@ -317,4 +317,22 @@ class IvfBlockTopKSpec extends SparkSpec {
     assert(resultSet(res) == resultSet(flatIvfSearch(index, q, k = 5,
       nprobe = 3, minCosine = None)))
   }
+
+  test("cross-block pack exchange width scales with the probe stream bytes") {
+    // per-task collect_list buffer ≈ streamBytes / width, so the width
+    // must grow past the fan-out once the stream outgrows fanout·target
+    // (the 1M-doc OOM: ~73 GB stream at a fixed 128-way fan-out spilled
+    // ~570 MB buffers per task and OOM'd a 64 GiB heap mid-serialize)
+    val target = 64L << 20
+    // small stream: the fan-out floor holds (bench plans unchanged)
+    assert(Similarity.crossPackWidth(BigInt(1) << 30, target, 128) == 128)
+    // the sf20 shape: ~73 GB / 64 MB ⇒ ~1169 partitions (≤64 MB each)
+    val w = Similarity.crossPackWidth(BigInt(73L << 30), target, 128)
+    assert(w > 1000 && w < 1300, s"expected ~1169, got $w")
+    assert(BigInt(73L << 30) / w <= target, "per-task bytes must be bounded")
+    // a sentinel/nonsense estimate cannot explode the width
+    assert(Similarity.crossPackWidth(BigInt(Long.MaxValue) * 1000, target, 128) == 65536)
+    // degenerate target cannot divide by zero
+    assert(Similarity.crossPackWidth(BigInt(1) << 30, 0L, 16) >= 16)
+  }
 }
