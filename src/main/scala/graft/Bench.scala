@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Parse the `SPARK_GRAFT_CONF` regime string (`k=v;k=v`). A malformed
+    * entry fails NAMING the offending pair and the expected format — a
+    * bare destructuring bind would throw an opaque MatchError that points
+    * at nothing (a scale run's regime pin silently half-applied is worse
+    * than a crash, and a crash that doesn't name the typo'd entry wastes
+    * the run either way).
+    */
+  private[graft] def parseConfPairs(s: String): Seq[(String, String)] =
+    s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => (k.trim, v)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF entry '$kv' is malformed: expected " +
+            "semicolon-separated key=value pairs, e.g. " +
+            "\"spark.graft.bandJoin.broadcastRows=0;spark.graft.broadcastBytes=8388608\"")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,12 +38,10 @@ object Bench {
     // plans — e.g. SPARK_GRAFT_CONF="spark.graft.bandJoin.broadcastRows=0;
     // spark.graft.broadcastBytes=8388608" forces the shuffle regime the
     // way the plan-shape specs do, without editing code.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(
-      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-        System.err.println(s"bench: conf $k=$v")
-      })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(parseConfPairs(_).foreach { case (k, v) =>
+      spark.conf.set(k, v)
+      System.err.println(s"bench: conf $k=$v")
+    })
     // Warm-up: touch every table once (footer reads, codegen JIT, the
     // events nanos-schema path) so the first timed query doesn't absorb
     // one-time session costs that no steady-state workload pays.

@@ -106,8 +106,7 @@ object GraftConf {
         // sized off the larger JVM. local mode has no executor conf; the
         // driver heap IS the executor heap there.
         val execHeap = spark.conf.getOption("spark.executor.memory")
-          .flatMap(m => scala.util.Try(
-            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)).toOption)
+          .flatMap(parseExecutorMemoryBytes)
           .getOrElse(driverHeap)
         val derived =
           math.max(64L << 20, math.min(1L << 30, math.min(driverHeap, execHeap) / 16))
@@ -119,6 +118,17 @@ object GraftConf {
     require(v > 0, s"spark.graft.broadcastBytes must be positive, got $v")
     v
   }
+
+  /** `spark.executor.memory` as bytes, with MiB as the suffixless unit —
+    * Spark itself reads this conf through `byteStringAsMb`, so "4096"
+    * means 4096 MiB. `byteStringAsBytes` would read it as 4096 BYTES, a
+    * 2²⁰× underestimate that silently collapses the derived
+    * [[broadcastBytes]] default to its 64 MiB floor — the exact
+    * too-timid regime the derived default exists to avoid.
+    */
+  private[graft] def parseExecutorMemoryBytes(m: String): Option[Long] =
+    scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsMb(m) << 20).toOption
 
   /** Estimated raw band-collision count above which
     * [[graft.operators.Similarity.cosineNearDupPairs]] abandons SRP
@@ -191,6 +201,27 @@ object GraftConf {
   def gridVerifyDegreeFactor(spark: SparkSession): Double = {
     val v = double(spark, "spark.graft.gridVerify.degreeFactor", 1.0)
     require(v >= 0, s"spark.graft.gridVerify.degreeFactor must be >= 0, got $v")
+    v
+  }
+
+  /** Upper bound on the grid verify's fragment count P. P grows linearly
+    * with corpus array bytes (2·setBytes / cellBytes), so uncapped it
+    * requests P² cells — ~1 TB of arrays at the 128 MiB default cell is
+    * P≈16k ⇒ ~270 M shuffle partitions, and the Int cell product
+    * overflows negative past P = 46341. When the uncapped P exceeds this
+    * bound [[graft.operators.Dedup.shuffleVerify]] falls back to the
+    * join-form verify (logged): a grid forced under the cap would exceed
+    * its per-cell byte budget, i.e. per-task memory would no longer be
+    * bounded — the property the grid exists to provide. The default
+    * (512 ⇒ ≤262,144 cells, covering ≤32 GiB of arrays at the default
+    * cell budget) keeps the exchange width in the range any real
+    * scheduler handles.
+    */
+  def gridVerifyMaxFragments(spark: SparkSession): Int = {
+    val v = int(spark, "spark.graft.gridVerify.maxFragments", 512)
+    require(v >= 2 && v <= 46340,
+      s"spark.graft.gridVerify.maxFragments must be in [2, 46340] " +
+        s"(P² must stay a positive Int), got $v")
     v
   }
 

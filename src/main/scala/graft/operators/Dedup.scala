@@ -174,9 +174,19 @@ object Dedup extends org.apache.spark.internal.Logging {
     // Cached for the build (band table + both verify joins), released on
     // return (see [[withCachedSig]]).
     NativeTextExpressions.register(docs.sparkSession)
+    // Null-text docs (null shingle set) are excluded HERE, before banding,
+    // so every downstream shape sees the same corpus. Excluding them later
+    // would be ROUTE-VARIANT: the verify joins key on id — a null-sh doc
+    // still has an id row in the shingle table, so the broadcast/join-form
+    // verifies would emit its pairs with a null jaccard while the grid
+    // co-group (which keys its hash maps on the arrays themselves) would
+    // drop them. A doc with no text has no shingle evidence to dedup on;
+    // it is not a candidate under any regime (spec-pinned in
+    // OperatorsSpec "null-text docs").
     val rawSig = docs
       .select(col(idCol).as("id"), lower(col(textCol)).as("__lt"))
       .select(col("id"), expr(s"shingle_hashes(__lt, $shingleK)").as("sh"))
+      .filter(col("sh").isNotNull)
       .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
 
     withCachedSig(rawSig, "minhash-pairs") { (sig, nDocs) =>
@@ -297,14 +307,22 @@ object Dedup extends org.apache.spark.internal.Logging {
                                        sets: DataFrame, setBytes: Long,
                                        nDocs: Long): DataFrame = {
     val spark = candidates.sparkSession
-    val estPairs = banded
-      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
-      .head.getLong(0)
-    val degree = estPairs.toDouble / math.max(nDocs, 1L)
+    val estPairs = CandidateStats.rawCollisions(
+      banded, Seq("band", "band_hash"), "minhash shuffleVerify")
+    val degree = CandidateStats.pairDegree(estPairs, nDocs)
+    val pUncapped = gridFragmentsUncapped(spark, setBytes)
+    val maxP = graft.GraftConf.gridVerifyMaxFragments(spark)
     val p = gridFragments(spark, setBytes)
-    val crossover = 2.0 * p * graft.GraftConf.gridVerifyDegreeFactor(spark)
-    if (degree >= crossover) {
+    val crossover = 2.0 * pUncapped * graft.GraftConf.gridVerifyDegreeFactor(spark)
+    if (pUncapped > maxP) {
+      // a capped grid would blow the per-cell byte budget (per-task memory
+      // is 2·corpusBytes/P), and an uncapped one would request P² cells —
+      // at this corpus size the join-form is the only bounded shape
+      logInfo(s"minhash verify: JOIN-form regime (grid would need $pUncapped " +
+        s"fragments > cap $maxP — per-cell budget unsatisfiable; est raw " +
+        s"pairs $estPairs over $nDocs docs)")
+      joinFormVerify(candidates, sets)
+    } else if (degree >= crossover) {
       logInfo(f"minhash verify: GRID regime (est pair degree $degree%.1f ≥ " +
         f"crossover $crossover%.1f with P=$p; arrays move 2P× total, " +
         s"candidates thin; est raw pairs $estPairs over $nDocs docs)")
@@ -314,20 +332,25 @@ object Dedup extends org.apache.spark.internal.Logging {
         f"crossover $crossover%.1f with P=$p; attaching arrays per candidate " +
         s"moves fewer bytes than 2P-replicating fragments; est raw pairs " +
         s"$estPairs over $nDocs docs)")
-      // hint SHUFFLE_HASH so the shingle table is the (small) build side
-      // and the candidate stream is never SORTED: a sort-merge join would
-      // sort the candidates, and on the id_b join the stream already
-      // carries the id_a-side arrays, so the sort spill would be
-      // candidates × arrays (the r13 disk-fatal shape).
-      candidates
-        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
-          .hint("shuffle_hash"), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
-          .hint("shuffle_hash"), "id_b")
-        .select(col("id_a"), col("id_b"),
-          expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
+      joinFormVerify(candidates, sets)
     }
   }
+
+  /** The sort-free join-form shuffle verify: hint SHUFFLE_HASH so the
+    * shingle table is the (small) build side and the candidate stream is
+    * never SORTED — a sort-merge join would sort the candidates, and on
+    * the id_b join the stream already carries the id_a-side arrays, so
+    * the sort spill would be candidates × arrays (the r13 disk-fatal
+    * shape).
+    */
+  private def joinFormVerify(candidates: DataFrame, sets: DataFrame): DataFrame =
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("jaccard_sorted(sh_a, sh_b)").as("jaccard"))
 
   /** Verify candidate pairs against their full sorted shingle-hash sets
     * WITHOUT attaching an array per pair — the fragment-and-replicate
@@ -351,9 +374,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * per-partition sort on the `kind` tag — never the global
     * candidate-stream sort the r13 audit killed), arrays load into hash
     * maps, and candidates stream through the EXACT same merge-Jaccard
-    * the codegen'd `jaccard_sorted` runs (spec-pinned bit-identical,
-    * null/missing sets skipped exactly as the inner joins they replace
-    * would drop them). At cluster scale the same plan holds: the one
+    * the codegen'd `jaccard_sorted` runs (spec-pinned bit-identical;
+    * null shingle sets cannot reach any verify shape —
+    * [[minhashCandidatePairs]] filters null-text docs before banding,
+    * which is what keeps the three routes result-identical). At cluster
+    * scale the same plan holds: the one
     * exchange is hash-partitioned on (pa, pb) at width P², and
     * per-task memory is bounded by the cell budget regardless of
     * corpus size.
@@ -363,13 +388,26 @@ object Dedup extends org.apache.spark.internal.Logging {
     * the cores. Shared by [[gridJaccardVerify]] and the [[shuffleVerify]]
     * cost model (which compares 2P against the estimated pair-degree).
     */
-  private[operators] def gridFragments(spark: SparkSession, setBytes: Long): Int = {
+  private[operators] def gridFragmentsUncapped(spark: SparkSession, setBytes: Long): Long = {
     val cellBytes = graft.GraftConf.gridVerifyCellBytes(spark)
     val cores = spark.sparkContext.defaultParallelism
     math.max(
       math.max(2L, (2L * setBytes + cellBytes - 1) / cellBytes),
-      math.ceil(math.sqrt(cores.toDouble)).toLong).toInt
+      math.ceil(math.sqrt(cores.toDouble)).toLong)
   }
+
+  /** Capped fragment count: P grows linearly with corpus array bytes, so
+    * an uncapped grid at mega-corpus scale would request P² cells — a
+    * ~1 TB array corpus at the 128 MiB default cell is P≈16k ⇒ 270 M
+    * shuffle partitions, and `p * p` as Int overflows NEGATIVE past
+    * P = 46341. [[shuffleVerify]] never routes to the grid when the
+    * uncapped P exceeds `spark.graft.gridVerify.maxFragments` (it falls
+    * back to the join-form verify with a log); the cap here is the
+    * belt-and-braces for direct [[gridJaccardVerify]] callers.
+    */
+  private[operators] def gridFragments(spark: SparkSession, setBytes: Long): Int =
+    math.min(gridFragmentsUncapped(spark, setBytes),
+      graft.GraftConf.gridVerifyMaxFragments(spark).toLong).toInt
 
   private[operators] def gridJaccardVerify(candidates: DataFrame,
                                            sets: DataFrame,
@@ -384,41 +422,55 @@ object Dedup extends org.apache.spark.internal.Logging {
     val pbs = lit((0 until p).toArray)
     def frag(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(p.toLong)).cast("int")
     // (pa, pb, kind, id_a, id_b, sh): kind 1 = row-fragment arrays,
-    // 2 = column-fragment arrays, 3 = candidates. Unused ids carry 0 —
-    // kind discriminates, so the sentinel is never read ambiguously.
+    // 2 = column-fragment arrays, 3 = candidates. Unused ids carry null —
+    // kind discriminates, so the sentinel is never read ambiguously. Ids
+    // stay their ORIGINAL type end-to-end (the map keys below are the
+    // Row's external values, whose equals/hashCode are exact for every
+    // Spark atomic type): the grid must accept any id type the
+    // broadcast/join-form verifies accept, not silently require longs.
+    val idType = sets.schema("id").dataType
     val aSide = sets.select(frag(col("id")).as("pa"), explode(pbs).as("pb"),
-      lit(1).as("kind"), col("id").as("id_a"), lit(0L).as("id_b"), col("sh"))
+      lit(1).as("kind"), col("id").as("id_a"), lit(null).cast(idType).as("id_b"), col("sh"))
     val bSide = sets.select(explode(pbs).as("pa"), frag(col("id")).as("pb"),
-      lit(2).as("kind"), lit(0L).as("id_a"), col("id").as("id_b"), col("sh"))
+      lit(2).as("kind"), lit(null).cast(idType).as("id_a"), col("id").as("id_b"), col("sh"))
     val cand = candidates.select(frag(col("id_a")).as("pa"), frag(col("id_b")).as("pb"),
       lit(3).as("kind"), col("id_a"), col("id_b"),
       lit(null).cast("array<bigint>").as("sh"))
-    import spark.implicits._
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", idType),
+      org.apache.spark.sql.types.StructField("id_b", idType),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
     aSide.unionByName(bSide).unionByName(cand)
       .repartition(p * p, col("pa"), col("pb"))
       .sortWithinPartitions(col("kind"))
       .observe(s"graft.grid_verify.${GridObs.incrementAndGet()}",
         count(when(col("kind") === 3, 1L)).as("candidates"),
         count(when(col("kind") =!= 3, 1L)).as("replicated_array_rows"))
-      .as[(Int, Int, Int, Long, Long, Array[Long])]
-      .mapPartitions { it =>
+      .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
         // hash collisions can co-locate several cells in one partition;
         // key maps by (cell, id) so cells never mix
-        val aMap = new java.util.HashMap[(Long, Long), Array[Long]]()
-        val bMap = new java.util.HashMap[(Long, Long), Array[Long]]()
-        it.flatMap { case (pa, pb, kind, idA, idB, sh) =>
-          val cell = pa.toLong * p + pb
-          kind match {
-            case 1 => if (sh != null) aMap.put((cell, idA), sh); Iterator.empty
-            case 2 => if (sh != null) bMap.put((cell, idB), sh); Iterator.empty
+        val aMap = new java.util.HashMap[(Long, Any), Array[Long]]()
+        val bMap = new java.util.HashMap[(Long, Any), Array[Long]]()
+        def arr(r: org.apache.spark.sql.Row): Array[Long] =
+          if (r.isNullAt(5)) null else r.getSeq[Long](5).toArray
+        it.flatMap { r =>
+          val cell = r.getInt(0).toLong * p + r.getInt(1)
+          r.getInt(2) match {
+            case 1 =>
+              val sh = arr(r); if (sh != null) aMap.put((cell, r.get(3)), sh)
+              Iterator.empty
+            case 2 =>
+              val sh = arr(r); if (sh != null) bMap.put((cell, r.get(4)), sh)
+              Iterator.empty
             case _ =>
-              val a = aMap.get((cell, idA)); val b = bMap.get((cell, idB))
+              val a = aMap.get((cell, r.get(3))); val b = bMap.get((cell, r.get(4)))
               if (a == null || b == null) Iterator.empty
-              else Iterator.single((idA, idB, mergeJaccard(a, b)))
+              else Iterator.single(org.apache.spark.sql.Row(
+                r.get(3), r.get(4), mergeJaccard(a, b)))
           }
         }
-      }
-      .toDF("id_a", "id_b", "jaccard")
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** The EXACT merge-pass Jaccard of `jaccard_sorted`

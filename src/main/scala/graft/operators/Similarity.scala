@@ -206,18 +206,29 @@ object Similarity extends org.apache.spark.internal.Logging {
     * AQE still coalesces the exchange while the output explodes (both
     * sides are therefore repartitioned on the join keys).
     */
-  private def srpRawPairs(corpus: DataFrame, numTables: Int, bits: Int,
-                          idCol: String, vecCol: String, seed: Long,
-                          corpusRows: Long): DataFrame = {
+  /** The SRP band table: one (id, tbl, bucket) row per vector per table. */
+  private def srpBanded(corpus: DataFrame, numTables: Int, bits: Int,
+                        idCol: String, vecCol: String, seed: Long): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val banded = corpus
+    corpus
       .select(col(idCol).as("id"),
         expr(s"srp_buckets($vecCol, $numTables, $bits, ${seed}L)").as("buckets"))
       .select(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+  }
+
+  private def srpRawPairs(corpus: DataFrame, numTables: Int, bits: Int,
+                          idCol: String, vecCol: String, seed: Long,
+                          corpusRows: Long): DataFrame =
+    srpRawPairsFromBanded(
+      srpBanded(corpus, numTables, bits, idCol, vecCol, seed),
+      corpus.sparkSession, numTables, corpusRows)
+
+  private def srpRawPairsFromBanded(banded: DataFrame, spark: SparkSession,
+                                    numTables: Int, corpusRows: Long): DataFrame = {
     val pairs =
       if (corpusRows >= 0 && corpusRows * numTables <=
-            graft.GraftConf.bandBroadcastRows(corpus.sparkSession)) {
-        val fanout = graft.GraftConf.explosiveFanout(corpus.sparkSession)
+            graft.GraftConf.bandBroadcastRows(spark)) {
+        val fanout = graft.GraftConf.explosiveFanout(spark)
         banded.repartition(fanout, col("id")).as("l")
           .join(broadcast(banded).as("r"), Seq("tbl", "bucket"))
       } else {
@@ -226,7 +237,7 @@ object Similarity extends org.apache.spark.internal.Logging {
         // O(Σ bucket²) output (the 250k-doc prefix-join measurement:
         // 3/32 cores busy). Both sides repartitioned on the join keys:
         // co-partitioned, exempt from AQE coalescing.
-        val fanout = graft.GraftConf.explosiveFanout(corpus.sparkSession)
+        val fanout = graft.GraftConf.explosiveFanout(spark)
         banded.repartition(fanout, col("tbl"), col("bucket")).as("l")
           .join(banded.repartition(fanout, col("tbl"), col("bucket")).as("r"),
             Seq("tbl", "bucket"))
@@ -309,20 +320,50 @@ object Similarity extends org.apache.spark.internal.Logging {
     // signal the scale audit used. (c·(c−1) DIV 2 stays in long range:
     // c ≤ N, and N² < 2⁶³ for any corpus this operator can see.)
     val spark = corpus.sparkSession
-    val estCollisions =
-      if (nRows == 0) 0L
-      else corpus
-        .select(posexplode(expr(s"srp_buckets($vecCol, $tables, $bits, ${seed}L)"))
-          .as(Seq("tbl", "bucket")))
-        .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
-        .head.getLong(0)
     val routeGate = graft.GraftConf.srpRouteCandidates(spark)
-    if (estCollisions > routeGate) {
+    // Foregone decisions never pay the histogram JOB (the r14 gate ran it
+    // unconditionally — q55 sf0.1 paid +0.13 s, 1.31x, for a decision that
+    // at that scale cannot flip):
+    //  - gate pinned to 0 (forced IVF) or Long.MaxValue (forced banding):
+    //    the answer is the pin;
+    //  - T x C(n,2) <= gate: even all-pairs collisions in every table
+    //    cannot exceed the gate, so banding is safe without measuring.
+    // Only past the floor does the exact histogram run - and then over a
+    // STAGED band table the self-join also consumes, so srp_buckets is
+    // computed once per corpus either way (it was computed twice before:
+    // once for the histogram, once inside the join).
+    val maxPossible =
+      if (nRows < 2) BigInt(0)
+      else BigInt(nRows) * (nRows - 1) / 2 * tables
+    val (useIvf, estCollisions, stagedBanded) =
+      if (nRows == 0) {
+        // empty corpus: banded trivially returns empty; the IVF route
+        // cannot even build a codebook, so no pin may send us there
+        (false, -1L, None)
+      } else if (routeGate == 0L) {
+        logInfo("cosineNearDupPairs: IVF-SHORTLIST route (gate pinned to 0)")
+        (true, -1L, None)
+      } else if (routeGate == Long.MaxValue) {
+        logInfo("cosineNearDupPairs: BANDED route (gate pinned to Long.MaxValue)")
+        (false, -1L, None)
+      } else if (maxPossible <= routeGate) {
+        if (nRows > 0)
+          logInfo(s"cosineNearDupPairs: BANDED route (floor: T*C(n,2) = $maxPossible" +
+            s" <= gate $routeGate - banding cannot exceed the gate; no histogram job)")
+        (false, -1L, None)
+      } else {
+        val banded = graft.operators.Dedup.stage(
+          srpBanded(corpus, tables, bits, idCol, vecCol, seed), "srp-banded")
+        val est = CandidateStats.rawCollisions(banded, Seq("tbl", "bucket"),
+          "cosineNearDupPairs")
+        (est > routeGate, est, Some(banded))
+      }
+    if (useIvf) {
       val routeK = graft.GraftConf.srpRouteK(spark)
-      logInfo(s"cosineNearDupPairs: IVF-SHORTLIST route ($estCollisions est raw " +
-        s"band collisions > gate $routeGate; emitting the symmetric top-$routeK " +
-        s"neighbor graph at threshold $threshold)")
+      if (estCollisions >= 0)
+        logInfo(s"cosineNearDupPairs: IVF-SHORTLIST route ($estCollisions est raw " +
+          s"band collisions > gate $routeGate; emitting the symmetric top-$routeK " +
+          s"neighbor graph at threshold $threshold)")
       val fanout = graft.GraftConf.explosiveFanout(spark)
       val emb = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
         .repartition(fanout)
@@ -337,11 +378,14 @@ object Similarity extends org.apache.spark.internal.Logging {
           col("cosine"))
         .dropDuplicates("id_a", "id_b")
     } else {
-    if (nRows > 0)
+    if (estCollisions >= 0)
       logInfo(s"cosineNearDupPairs: BANDED route ($estCollisions est raw band " +
         s"collisions <= gate $routeGate)")
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val raw = srpRawPairs(corpus, tables, bits, idCol, vecCol, seed, nRows)
+    val raw = stagedBanded match {
+      case Some(banded) => srpRawPairsFromBanded(banded, spark, tables, nRows)
+      case None => srpRawPairs(corpus, tables, bits, idCol, vecCol, seed, nRows)
+    }
     // Byte-based verify-broadcast gate (vectors are fixed-width, so
     // rows × (dim × 4B + row overhead) is exact — a row-count gate is
     // wrong at high dim: 200k rows is 51 MB at dim 64 but 820 MB at
@@ -621,7 +665,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     * probed lists at the scan).
     */
   final case class IvfIndex private[operators] (
-      centroids: Seq[(Long, Array[Float])], assigned: DataFrame)
+      centroids: Seq[(Long, Array[Float])], assigned: DataFrame,
+      packed: Option[DataFrame] = None)
 
   /** Train the codebook and assign every corpus vector to its inverted
     * list — one scan-local pass after training (no join, no shuffle).
@@ -710,20 +755,32 @@ object Similarity extends org.apache.spark.internal.Logging {
     // (partitionBy list_id, orderBy id), so pruning whole lists cannot
     // move them.
     val probedLists = probes.select(col("list_id")).distinct()
-    val probedAssigned = index.assigned.join(
+    def pruneToProbed(df: DataFrame): DataFrame = df.join(
       if (maxBroadcastQueries <= 0L) probedLists else broadcast(probedLists),
       Seq("list_id"), "leftsemi")
-    // pack each list into ≤blockRows chunks. The chunk window shuffles on
-    // list_id and the pack groupBy reuses that partitioning (clustering
-    // on a superset of the partition keys adds no exchange).
-    val byList = Window.partitionBy(col("list_id")).orderBy(col("neighbor_id"))
-    val packed = probedAssigned
-      .withColumn("chunk",
-        ((row_number().over(byList) - lit(1)) / lit(blockRows)).cast("int"))
-      .groupBy(col("list_id"), col("chunk"))
-      .agg(expr("pack_vec_block(collect_list(struct(neighbor_id, corpus_vec)))")
-        .as("block"))
-      .select(col("list_id"), col("block"))
+    // The packed chunk table: pre-built when the index carries a PACKED
+    // ARTIFACT ([[ivfSavePacked]]/[[ivfLoad]]) — the probe then scans the
+    // persisted blobs directly, paying zero window/pack work per search
+    // (the sf20 measurement: the per-run re-pack was the dominant
+    // artifact-side cost; a 1M-doc corpus re-packed ~GBs through a
+    // window + collect_list exchange on EVERY query batch). Otherwise
+    // pack the probed lists on the fly. Either way the downstream plan
+    // is identical — and the RESULT is identical under ANY chunking of a
+    // list (every global winner wins its own chunk, so the per-chunk →
+    // global cascade is chunking-invariant; spec-pinned), which is what
+    // makes a pre-built layout legal in the first place.
+    val packed = index.packed match {
+      case Some(pre) =>
+        logInfo("ivf probe scan: packed artifact (pre-built chunk blobs; no per-search pack)")
+        pruneToProbed(pre.select(col("list_id"), col("block")))
+      case None =>
+        // pack each probed list into ≤blockRows chunks. The chunk window
+        // shuffles on list_id and the pack groupBy reuses that
+        // partitioning (clustering on a superset of the partition keys
+        // adds no exchange).
+        packLists(pruneToProbed(index.assigned), blockRows)
+          .select(col("list_id"), col("block"))
+    }
 
     val floor = minCosine.getOrElse(Double.NegativeInfinity)
     // maxBroadcastQueries keeps its role as the no-broadcast escape hatch
@@ -1310,10 +1367,52 @@ object Similarity extends org.apache.spark.internal.Logging {
       .parquet(s"$dir/assigned")
   }
 
+  /** Pack each inverted list into ≤`blockRows` chunk blobs — the corpus
+    * side of the probe join, exposed as a BUILD step. [[ivfSearch]] runs
+    * this per search when the index has no packed artifact; persisting
+    * the result once ([[ivfSavePacked]]) and scanning it directly removes
+    * the per-search window + collect_list pack of the corpus entirely —
+    * at the 1M-doc tier that pack was re-streaming corpus-scale bytes
+    * through an aggregation exchange on every query batch.
+    */
+  private[operators] def packLists(assigned: DataFrame, blockRows: Int): DataFrame = {
+    val byList = Window.partitionBy(col("list_id")).orderBy(col("neighbor_id"))
+    assigned
+      .withColumn("chunk",
+        ((row_number().over(byList) - lit(1)) / lit(blockRows)).cast("int"))
+      .groupBy(col("list_id"), col("chunk"))
+      .agg(expr("pack_vec_block(collect_list(struct(neighbor_id, corpus_vec)))")
+        .as("block"))
+      .select(col("list_id"), col("chunk"), col("block"))
+  }
+
+  /** [[ivfSave]] plus the packed chunk artifact: searches against the
+    * loaded index scan the persisted blobs directly instead of re-packing
+    * the corpus per query batch. Results are identical either way — the
+    * per-chunk → global top-k cascade is invariant under ANY chunking of
+    * a list (every global winner wins its own chunk), which is what makes
+    * a persisted layout legal. Layout note: `blockRows` here fixes the
+    * artifact's chunk geometry; the `blockRows` argument of a later
+    * [[ivfSearch]] call is ignored on the pre-packed path.
+    */
+  def ivfSavePacked(index: IvfIndex, dir: String,
+                    blockRows: Int = DefaultBlockRows): Unit = {
+    ivfSave(index, dir)
+    packLists(index.assigned, blockRows)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/packed")
+  }
+
   def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
     val assigned = spark.read.parquet(s"$dir/assigned")
       .withColumn("list_id", col("list_id").cast("long"))
-    IvfIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")), assigned)
+    val packedPath = new org.apache.hadoop.fs.Path(s"$dir/packed")
+    val fs = packedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val packed =
+      if (fs.exists(packedPath))
+        Some(spark.read.parquet(s"$dir/packed")
+          .withColumn("list_id", col("list_id").cast("long")))
+      else None
+    IvfIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")), assigned, packed)
   }
 
   /** Assign-only append of a new vector batch to an existing index — the
@@ -1330,6 +1429,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     VectorFunctions.register(batch.sparkSession)
     val appended = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
       nearestCentroid(col(vecCol), index.centroids).as("list_id"))
+    // the in-memory union invalidates any packed artifact (it reflects
+    // the pre-append corpus); drop it so searches re-pack correctly
     IvfIndex(index.centroids,
       index.assigned.select(col("neighbor_id"), col("corpus_vec"), col("list_id"))
         .unionByName(appended))
@@ -1344,9 +1445,20 @@ object Similarity extends org.apache.spark.internal.Logging {
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     VectorFunctions.register(spark)
     val cents = centroidsFromDf(spark.read.parquet(s"$dir/centroids"))
-    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
-        nearestCentroid(col(vecCol), cents).as("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$dir/assigned")
+    val assignedBatch = batch.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("corpus_vec"), nearestCentroid(col(vecCol), cents).as("list_id"))
+    assignedBatch.write.mode("append").partitionBy("list_id").parquet(s"$dir/assigned")
+    // keep a packed artifact coherent: the batch packs into NEW blobs per
+    // list (existing blobs are never rewritten — write cost stays batch-
+    // sized). Chunk ids can repeat across appends; chunk is layout
+    // metadata, not identity, and search results are chunking-invariant.
+    // Appended blobs may run under-full until a re-save compacts them —
+    // the probe reads proportionally more (small) rows, never wrong rows.
+    val packedPath = new org.apache.hadoop.fs.Path(s"$dir/packed")
+    val fs = packedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(packedPath))
+      packLists(assignedBatch, DefaultBlockRows)
+        .write.mode("append").partitionBy("list_id").parquet(s"$dir/packed")
   }
 
   /** Inverted-list occupancy after builds/appends — |lists| rows (bounded

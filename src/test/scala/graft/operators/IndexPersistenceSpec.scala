@@ -67,6 +67,60 @@ class IndexPersistenceSpec extends SparkSpec {
     }
   }
 
+  test("packed artifact: search scans pre-built blobs, results identical (pack-equivalence)") {
+    val built = Similarity.ivfBuild(corpus, numCentroids = 8)
+    val dir = tmp("ivf-packed")
+    Similarity.ivfSavePacked(built, dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.packed.nonEmpty, "ivfLoad must attach the packed artifact")
+    def rows(idx: Similarity.IvfIndex) =
+      Similarity.ivfSearch(idx, queries, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fresh = rows(built) // packs on the fly
+    assert(rows(loaded) == fresh, "pre-packed search diverged from on-the-fly pack")
+    // chunking-invariance is what makes a persisted layout legal: a
+    // pathological 3-row chunk geometry must return the same rows/ranks
+    val dirTiny = tmp("ivf-packed-tiny")
+    Similarity.ivfSavePacked(built, dirTiny, blockRows = 3)
+    assert(rows(Similarity.ivfLoad(spark, dirTiny)) == fresh,
+      "search results must be invariant under the artifact's chunk geometry")
+    // the packed layout is also one directory per list — probes prune it
+    val dirs = new java.io.File(s"$dir/packed").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list_id="))
+    assert(dirs.length == built.centroids.length)
+  }
+
+  test("ivfAppendToSaved keeps the packed artifact coherent (batch-sized writes)") {
+    val built = Similarity.ivfBuild(corpus, numCentroids = 8)
+    val dir = tmp("ivf-packed-append")
+    Similarity.ivfSavePacked(built, dir)
+    def packedFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/packed"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = packedFiles()
+    val batch = corpus.filter($"vec_id" < 20)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    Similarity.ivfAppendToSaved(spark, dir, batch)
+    val after = packedFiles()
+    assert(before.toSet.subsetOf(after.toSet),
+      "append must only add packed blobs, never rewrite existing ones")
+    assert(after.size > before.size, "append must add packed blobs for the batch")
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.packed.nonEmpty)
+    // the appended twins are findable THROUGH the packed path
+    val hits = Similarity.ivfSearch(loaded, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    (0L until 4L).foreach { qid =>
+      assert(hits.contains((qid, qid + 1000L)),
+        s"appended twin of $qid not found via packed artifact")
+    }
+  }
+
   test("ivfPqSave/ivfPqLoad round-trips codebooks and codes exactly") {
     val built = Similarity.ivfPqBuild(corpus, numCentroids = 8, m = 8, ksub = 16)
     val dir = tmp("ivfpq")

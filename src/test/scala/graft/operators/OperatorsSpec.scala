@@ -97,6 +97,116 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("null-text docs are excluded from every verify route (route-invariant)") {
+    // a null-text doc has a null shingle set. Before r15 it was filtered
+    // AT THE VERIFY: the broadcast/join-form inner joins key on id (the
+    // null-sh row exists in the shingle table, so its pairs surfaced with
+    // a null jaccard) while the grid co-group keyed on the arrays and
+    // dropped them — the unthresholded result depended on which physical
+    // route the cost model picked. Now null-sh docs are filtered before
+    // banding: no route ever sees them.
+    // TWO null docs: null signatures band identically, so pre-fix they
+    // became candidates of each other — surfacing with a null jaccard on
+    // the join routes and dropped by the grid
+    val withNull = docs.unionByName(
+      Seq((9L, null: String), (10L, null: String)).toDF("doc_id", "text"))
+    def runSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val broadcastAll = runSet(Dedup.minhashCandidatePairs(withNull, "doc_id", "text",
+      numHashes = 16, bands = 8))
+    assert(broadcastAll.nonEmpty)
+    assert(!broadcastAll.exists(p => p._1 >= 9L || p._2 >= 9L),
+      "a null-text doc must never be a candidate")
+    assert(!broadcastAll.exists(_._3 == null), "no null jaccard rows")
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((factor, label) <- Seq("0" -> "grid", "1000000000" -> "join-form")) {
+        spark.conf.set("spark.graft.gridVerify.degreeFactor", factor)
+        val got = runSet(Dedup.minhashCandidatePairs(withNull, "doc_id", "text",
+          numHashes = 16, bands = 8))
+        assert(got == broadcastAll, s"$label diverged on the null-text corpus")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.unset("spark.graft.gridVerify.degreeFactor")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
+  test("grid verify accepts non-long ids (string-id corpus, all routes agree)") {
+    val sdocs = docs.select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    def runSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val broadcastAll = runSet(Dedup.minhashCandidatePairs(sdocs, "doc_id", "text",
+      numHashes = 16, bands = 8))
+    assert(broadcastAll.nonEmpty)
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    spark.conf.set("spark.graft.gridVerify.degreeFactor", "0") // force the grid
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = runSet(Dedup.minhashCandidatePairs(sdocs, "doc_id", "text",
+        numHashes = 16, bands = 8))
+      assert(got == broadcastAll, "grid diverged on a string-id corpus")
+    } finally {
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.unset("spark.graft.gridVerify.degreeFactor")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
+  test("grid fragment count is Long-safe, capped, and past the cap the verify falls back") {
+    // uncapped P grows linearly with array bytes: 1 TB of arrays at a
+    // 128 MiB cell is P ≈ 16k — past the Int-safe p*p range and far past
+    // any sane exchange width. gridFragments must cap it.
+    val tb = 1L << 40
+    val pUncapped = Dedup.gridFragmentsUncapped(spark, tb)
+    assert(pUncapped > 512, s"expected huge uncapped P, got $pUncapped")
+    assert(Dedup.gridFragments(spark, tb) == 512) // default cap
+    spark.conf.set("spark.graft.gridVerify.maxFragments", "16")
+    try assert(Dedup.gridFragments(spark, tb) == 16)
+    finally spark.conf.unset("spark.graft.gridVerify.maxFragments")
+    intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.gridVerify.maxFragments", "100000")
+      try graft.GraftConf.gridVerifyMaxFragments(spark)
+      finally spark.conf.unset("spark.graft.gridVerify.maxFragments")
+    }
+    // end-to-end: shrink the cell budget so the uncapped P exceeds the
+    // cap even on the toy corpus — degreeFactor 0 would force the grid,
+    // but the cap fallback must route to the join-form and still return
+    // the broadcast verify's rows
+    def runSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val broadcastAll = runSet(Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 8))
+    spark.conf.set("spark.graft.broadcastBytes", "1")
+    spark.conf.set("spark.graft.bandJoin.broadcastRows", "0")
+    spark.conf.set("spark.graft.gridVerify.degreeFactor", "0")
+    spark.conf.set("spark.graft.gridVerify.cellBytes", "1")
+    spark.conf.set("spark.graft.gridVerify.maxFragments", "8")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = runSet(Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 8))
+      assert(got == broadcastAll, "cap fallback diverged")
+    } finally {
+      spark.conf.unset("spark.graft.broadcastBytes")
+      spark.conf.unset("spark.graft.bandJoin.broadcastRows")
+      spark.conf.unset("spark.graft.gridVerify.degreeFactor")
+      spark.conf.unset("spark.graft.gridVerify.cellBytes")
+      spark.conf.unset("spark.graft.gridVerify.maxFragments")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("mergeJaccard is bit-identical to jaccard_sorted (generative)") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     val genSet = Gen.chooseNum(0, 50)
