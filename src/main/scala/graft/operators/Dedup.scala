@@ -183,10 +183,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     // drop them. A doc with no text has no shingle evidence to dedup on;
     // it is not a candidate under any regime (spec-pinned in
     // OperatorsSpec "null-text docs").
+    // The filter is on the TEXT column, not on `sh`: `sh` is null iff the
+    // text is null (shingle_hashes is a null-safe UnaryExpression), and a
+    // filter on `sh` would be pushed below the projection by substituting
+    // the alias — re-evaluating the expensive shingle pass once for the
+    // predicate and once for the projection (measured 1.6× on the q36
+    // scan leg). IsNotNull(text) pushes to the parquet scan for free.
     val rawSig = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), lower(col(textCol)).as("__lt"))
       .select(col("id"), expr(s"shingle_hashes(__lt, $shingleK)").as("sh"))
-      .filter(col("sh").isNotNull)
       .withColumn("sig", expr(s"minhash_sig(sh, $numHashes)"))
 
     withCachedSig(rawSig, "minhash-pairs") { (sig, nDocs) =>
