@@ -39,6 +39,9 @@ import org.apache.spark.sql.functions._
   * BEFORE it once the verify joins must shuffle.
   */
 object PrefixJoin {
+  // not the Logging trait: its `log` member shadows functions.log used in
+  // the tf-idf weighting below
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Gate override with a validating parse: a typo'd value fails with a
     * message naming the conf key, not a bare NumberFormatException.
@@ -97,6 +100,13 @@ object PrefixJoin {
     val setsBytes = sets.agg(coalesce(sum(col("sz")), lit(0L)))
       .head.getLong(0) * 8L + nSets * 32L
     val fitsBroadcast = setsBytes <= graft.GraftConf.broadcastBytes(docs.sparkSession)
+    // log the regime like every other byte gate: the sf20 tier crossed
+    // this one NATURALLY (1M docs pushed the gram table past the 1 GiB
+    // heap-derived cap) and the 3.6x step was undiagnosable from a
+    // silent flip
+    logger.info(s"jaccardPrefixJoin verify: ${if (fitsBroadcast) "BROADCAST" else "SHUFFLE"}" +
+      s" regime (set table ~$setsBytes B vs gate " +
+      s"${graft.GraftConf.broadcastBytes(docs.sparkSession)} B, $nSets docs)")
     val rawPairs = (
       if (fitsBroadcast)
         prefix.repartition(fanout, col("id")).as("a").join(broadcast(prefix).as("b"),
@@ -313,6 +323,10 @@ object PrefixJoin {
     val nTerms = tails.count()
     val fitsBroadcast = nTerms * 16L + nDocs.toLong * 32L <=
       graft.GraftConf.broadcastBytes(docs.sparkSession)
+    logger.info(s"weightedCosinePrefixJoin verify: " +
+      s"${if (fitsBroadcast) "BROADCAST" else "SHUFFLE"} regime " +
+      s"(vector table ~${nTerms * 16L + nDocs.toLong * 32L} B vs gate " +
+      s"${graft.GraftConf.broadcastBytes(docs.sparkSession)} B, $nDocs docs)")
     val rawPairs = (
       if (fitsBroadcast)
         posting.repartition(fanout, col("id")).as("a").join(broadcast(posting).as("b"),
