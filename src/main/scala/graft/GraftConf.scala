@@ -149,6 +149,24 @@ object GraftConf {
     v
   }
 
+  /** Corpus-byte budget under which [[graft.operators.Similarity.ivfSearch]]
+    * REPLICATES the decoded packed index to every executor (one torrent
+    * broadcast of primitive arrays) and probes entirely map-side: no
+    * probe-stream exchange (the per-(list, salt) query pack moved
+    * ~nprobe × queryBytes — 73 GB at the 1M-doc corpus-as-queries shape)
+    * and no global top-k window shuffle (each query's final top-k is
+    * computed where its row already sits). This is the standard
+    * replicated-small-index ANN tier; past the budget the existing
+    * per-query / cross-block orientations remain the distributed path.
+    * Defaults to [[broadcastBytes]] (the same executor-heap-derived
+    * budget — the decoded arrays live on every executor). `0` disables.
+    */
+  def annReplicateIndexBytes(spark: SparkSession): Long = {
+    val v = long(spark, "spark.graft.ann.replicateIndexBytes", broadcastBytes(spark))
+    require(v >= 0, s"spark.graft.ann.replicateIndexBytes must be >= 0, got $v")
+    v
+  }
+
   /** Per-node neighbor budget for the routed
     * [[graft.operators.Similarity.cosineNearDupPairs]]: the IVF route
     * emits the symmetric top-`routeK` neighbor EDGES above the threshold

@@ -649,12 +649,12 @@ object VectorFunctions {
     * the map only adds contention — the per-row copy itself is why
     * [[BlockCrossTopK]] exists.)
     */
-  private final class DecodedBlock(val n: Int, val dim: Int,
+  private[graft] final class DecodedBlock(val n: Int, val dim: Int,
                                    val ids: Array[Long],
                                    val vecs: Array[Float],
-                                   val normSq: Array[Double])
+                                   val normSq: Array[Double]) extends Serializable
 
-  private def decodeBlock(blob: Array[Byte]): DecodedBlock = {
+  private[graft] def decodeBlock(blob: Array[Byte]): DecodedBlock = {
     val buf = java.nio.ByteBuffer.wrap(blob)
     val n = buf.getInt(0)
     val dim = buf.getInt(4)
@@ -742,6 +742,75 @@ object VectorFunctions {
       x += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Global top-`k` of one query against MANY decoded chunks — the
+    * replicated-index probe kernel ([[graft.operators.Similarity]]'s
+    * REPLICATED orientation). Arithmetic is EXACTLY [[blockTopK]]'s
+    * (double accumulation, min-length, 0.0 on zero norms, self-match
+    * excluded, floor inside the scan). The insertion order is the full
+    * (cosine desc, id asc) total order — the id tie-break is explicit
+    * here because chunks arrive in arbitrary list order, where
+    * [[blockTopK]] gets it implicitly from the blob's ascending ids —
+    * so the result is the SAME rows and ranks the per-chunk → global
+    * window cascade selects (spec-pinned).
+    *
+    * Returns (ids, scores, size): the caller emits rows ranked 1..size.
+    */
+  private[graft] def replicatedTopK(qid: Long, q: Array[Float],
+                                    blocks: Iterator[DecodedBlock],
+                                    k: Int, floor: Double):
+      (Array[Long], Array[Double], Int) = {
+    var nx = 0.0
+    var qi = 0
+    while (qi < q.length) { val x = q(qi).toDouble; nx += x * x; qi += 1 }
+    val topIds = new Array[Long](k)
+    val topScores = new Array[Double](k)
+    var size = 0
+    while (blocks.hasNext) {
+      val blk = blocks.next()
+      val dim = blk.dim
+      val vecs = blk.vecs
+      val m = math.min(q.length, dim)
+      var r = 0
+      while (r < blk.n) {
+        val id = blk.ids(r)
+        if (id != qid) {
+          var dot = 0.0
+          var i = 0
+          var off = r * dim
+          while (i < m) {
+            dot += q(i).toDouble * vecs(off).toDouble
+            i += 1; off += 1
+          }
+          // q-norm over min-length when ragged, like blockTopK's guard
+          val nxm =
+            if (m == q.length) nx
+            else { var a = 0.0; var j = 0; while (j < m) { val x = q(j).toDouble; a += x * x; j += 1 }; a }
+          val ny =
+            if (m == dim) blk.normSq(r)
+            else {
+              var acc = 0.0; var j = r * dim; val end = j + m
+              while (j < end) { val y = vecs(j).toDouble; acc += y * y; j += 1 }
+              acc
+            }
+          val sc = if (nxm == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nxm * ny)
+          val last = size - 1
+          if (sc >= floor && (size < k || sc > topScores(last) ||
+              (sc == topScores(last) && id < topIds(last)))) {
+            var p = if (size < k) size else k - 1
+            while (p > 0 && (topScores(p - 1) < sc ||
+                (topScores(p - 1) == sc && topIds(p - 1) > id))) {
+              topIds(p) = topIds(p - 1); topScores(p) = topScores(p - 1); p -= 1
+            }
+            topIds(p) = id; topScores(p) = sc
+            if (size < k) size += 1
+          }
+        }
+        r += 1
+      }
+    }
+    (topIds, topScores, size)
   }
 
   /** Top-`k` per query of one packed QUERY block against one packed

@@ -742,6 +742,35 @@ object Similarity extends org.apache.spark.internal.Logging {
       .otherwise(raise_error(concat(
         lit("ivfSearch: query vector length "), size(col(vecCol)).cast("string"),
         lit(s" != index dim $indexDim"))))
+    // REPLICATED orientation: while the decoded index fits the
+    // executor-heap-derived budget, broadcast it whole and probe entirely
+    // map-side — no probe-stream exchange (the cross-block query pack
+    // moves ~nprobe × queryBytes: 73 GB at the 1M-doc corpus-as-queries
+    // shape) and no global top-k window shuffle (each query's final
+    // top-k is computed where its row sits, by the same total order).
+    // Stats-estimated corpus bytes, BigInt like the copy gate: an
+    // unknown-stats plan reads as huge and lands on the distributed
+    // path — the safe direction. Long ids only (the packed blobs carry
+    // i64 ids); non-long id corpora keep the generic join path, which
+    // rejects them with the kernel's own analysis error as before.
+    val spark = queries.sparkSession
+    val vecWidth = index.centroids.head._2.length.toLong * 4L + 24L
+    def estRows(df: DataFrame): BigInt = {
+      val st = df.queryExecution.optimizedPlan.stats
+      st.rowCount.getOrElse(st.sizeInBytes / vecWidth + 1)
+    }
+    val replicateBytes = graft.GraftConf.annReplicateIndexBytes(spark)
+    val longIds = queries.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (maxBroadcastQueries > 0L && longIds &&
+        estRows(index.assigned) * vecWidth <= BigInt(replicateBytes)) {
+      logInfo(s"ivf probe scan: REPLICATED orientation (est corpus " +
+        s"${estRows(index.assigned) * vecWidth} B <= replicate budget " +
+        s"$replicateBytes B; index broadcast whole, zero probe exchange)")
+      return ivfSearchReplicated(index, queries, checkedVec, k, nprobe,
+        idCol, vecCol, minCosine, blockRows)
+    }
+
     // per query: the nprobe nearest centroid lists (scan-local as well).
     val probes = queries.select(col(idCol).as("query_id"), checkedVec.as("query_vec"),
       explode(probeLists(col(vecCol), index.centroids, nprobe)).as("list_id"))
@@ -813,7 +842,6 @@ object Similarity extends org.apache.spark.internal.Logging {
     // serialize the scan. Kernel arithmetic and ordering are EXACTLY
     // the flat join's in both orientations (spec-pinned bit-identical),
     // so the per-chunk → global-window cascade is unchanged.
-    val spark = queries.sparkSession
     // expected probe rows from Catalyst stats (no job). The arithmetic
     // stays in BigInt end-to-end: when a plan has no stats Catalyst
     // reports sizeInBytes = defaultSizeInBytes (effectively Long.MaxValue),
@@ -824,11 +852,6 @@ object Similarity extends org.apache.spark.internal.Logging {
     // an unknown-stats plan then lands on the cross-block side — the
     // direction that is safe to be wrong in (a fixed ~1 s exchange+pack
     // overhead, vs TBs of memcpy the other way).
-    val vecWidth = index.centroids.head._2.length.toLong * 4L + 24L
-    def estRows(df: DataFrame): BigInt = {
-      val s = df.queryExecution.optimizedPlan.stats
-      s.rowCount.getOrElse(s.sizeInBytes / vecWidth + 1)
-    }
     val estQueryRows = estRows(queries)
     val nLists = math.max(1, index.centroids.size)
     val estListRows = (estRows(index.assigned) / nLists + 1).min(BigInt(blockRows.toLong))
@@ -898,6 +921,82 @@ object Similarity extends org.apache.spark.internal.Logging {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
         col("rk").cast("int").as("rk"))
+  }
+
+  /** The REPLICATED probe orientation: the whole packed index, decoded
+    * ONCE driver-side into primitive arrays, rides a torrent broadcast;
+    * each query row probes its nprobe lists against the broadcast map in
+    * place. Zero exchanges downstream of the query scan: no probe
+    * fan-out, no query pack, no packed-side join, no global top-k window
+    * — the per-query global top-k is computed locally under the exact
+    * (cosine desc, neighbor_id asc) total order the window used
+    * ([[graft.functions.VectorFunctions.replicatedTopK]], arithmetic
+    * bit-identical to the block kernels; equality spec-pinned including
+    * exact-tie ranks). Gated by [[graft.GraftConf.annReplicateIndexBytes]]
+    * — the decoded arrays live on every executor, so the budget is the
+    * same heap-derived broadcast budget; TB-scale indexes keep the
+    * distributed orientations. The blobs come from the persisted packed
+    * artifact when the index carries one (zero pack work per search) and
+    * from one pack pass otherwise.
+    */
+  private def ivfSearchReplicated(index: IvfIndex, queries: DataFrame,
+                                  checkedVec: org.apache.spark.sql.Column,
+                                  k: Int, nprobe: Int, idCol: String,
+                                  vecCol: String, minCosine: Option[Double],
+                                  blockRows: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val spark = queries.sparkSession
+    val packedDf = index.packed match {
+      case Some(pre) => pre.select(col("list_id"), col("block"))
+      case None => packLists(index.assigned, blockRows)
+        .select(col("list_id"), col("block"))
+    }
+    val decoded: Array[(Long, VectorFunctions.DecodedBlock)] =
+      packedDf.collect().map { r =>
+        (r.getLong(0), VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)))
+      }
+    val bc = spark.sparkContext.broadcast(decoded)
+    val floor = minCosine.getOrElse(Double.NegativeInfinity)
+    val qrows = queries.select(col(idCol).as("query_id"),
+      checkedVec.as("query_vec"),
+      probeLists(col(vecCol), index.centroids, nprobe).as("lists"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cosine",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rk",
+        org.apache.spark.sql.types.IntegerType)))
+    val ranked = qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      // group the broadcast chunks by list once per task: ~|chunks| map
+      // inserts over shared array references, no data copy
+      val byList = new java.util.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[VectorFunctions.DecodedBlock]]()
+      bc.value.foreach { case (l, blk) =>
+        var b = byList.get(l)
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byList.put(l, b) }
+        b += blk
+      }
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Float](1).toArray
+        val lists = r.getSeq[Long](2)
+        val blocks = lists.iterator.flatMap { l =>
+          val b = byList.get(l)
+          if (b == null) Iterator.empty else b.iterator
+        }
+        val (ids, scores, size) = VectorFunctions.replicatedTopK(
+          qid, q, blocks, k, floor)
+        (0 until size).iterator.map(i =>
+          org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // the same final projection as the window path: rank BEFORE rounding,
+    // Catalyst round so the emitted doubles are bit-identical
+    ranked.select(col("query_id"), col("neighbor_id"),
+      round(col("cosine"), 4).as("cosine"), col("rk"))
   }
 
   /** Packed inverted-list blobs per search task: bounds any one blob to

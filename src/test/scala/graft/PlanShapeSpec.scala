@@ -318,8 +318,10 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("srp_buckets"), s"routed plan must not band:\n$plan")
       assert(plan.contains("nearest_centroids"),
         s"routed plan must assign/probe via the codebook scan:\n$plan")
-      assert(plan.contains("ivf_block_topk") || plan.contains("block_cross_topk"),
-        s"routed probe must be the packed block kernel, not a pair join:\n$plan")
+      assert(plan.contains("ivf_block_topk") || plan.contains("block_cross_topk")
+          || plan.contains("MapPartitions"),
+        s"routed probe must be a packed block kernel or the replicated " +
+          s"map-side scan, not a pair join:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
     } finally spark.conf.unset("spark.graft.srp.routeCandidates")
   }

@@ -48,14 +48,41 @@ class IvfBlockTopKSpec extends SparkSpec {
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
 
   test("block ivfSearch matches the flat-join formulation exactly (with and without floor)") {
+    // replicateIndexBytes=0 pins the per-query BLOCK-JOIN orientation (a
+    // spec corpus is tiny, so the replicated orientation would otherwise
+    // swallow the path this test exists to pin)
     val index = Similarity.ivfBuild(emb, numCentroids = 6, trainIters = 1)
     val queries = emb.filter(col("vec_id") < 30)
+    spark.conf.set("spark.graft.ann.replicateIndexBytes", "0")
+    try {
+      for (floor <- Seq(None, Some(0.2))) {
+        val block = resultSet(Similarity.ivfSearch(index, queries, k = 5,
+          nprobe = 3, minCosine = floor))
+        val flat = resultSet(flatIvfSearch(index, queries, k = 5,
+          nprobe = 3, minCosine = floor))
+        assert(block.nonEmpty && block == flat, s"floor=$floor")
+      }
+    } finally spark.conf.unset("spark.graft.ann.replicateIndexBytes")
+  }
+
+  test("replicated orientation matches the flat join exactly, including tie ranks") {
+    // duplicate vectors under distinct ids force EXACT cosine ties — the
+    // local top-k's (cosine desc, id asc) total order must place them in
+    // the same ranks as the flat join's window (the id tie-break is
+    // explicit in replicatedTopK because chunks arrive in arbitrary list
+    // order)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val twins = base.limit(40).select((col("vec_id") + 10000L).as("vec_id"),
+      col("embedding"))
+    val corpus = base.unionByName(twins)
+    val index = Similarity.ivfBuild(corpus, numCentroids = 6, trainIters = 1)
+    val queries = corpus.filter(col("vec_id") < 30)
     for (floor <- Seq(None, Some(0.2))) {
-      val block = resultSet(Similarity.ivfSearch(index, queries, k = 5,
-        nprobe = 3, minCosine = floor))
+      val rep = resultSet(Similarity.ivfSearch(index, queries, k = 5,
+        nprobe = 3, minCosine = floor)) // tiny corpus ⇒ replicated fires
       val flat = resultSet(flatIvfSearch(index, queries, k = 5,
         nprobe = 3, minCosine = floor))
-      assert(block.nonEmpty && block == flat, s"floor=$floor")
+      assert(rep.nonEmpty && rep == flat, s"floor=$floor")
     }
   }
 
@@ -66,6 +93,7 @@ class IvfBlockTopKSpec extends SparkSpec {
     val index = Similarity.ivfBuild(emb, numCentroids = 6, trainIters = 1)
     val queries = emb.filter(col("vec_id") < 30)
     spark.conf.set("spark.graft.ann.probeCopyBytes", "1")
+    spark.conf.set("spark.graft.ann.replicateIndexBytes", "0")
     try {
       for (floor <- Seq(None, Some(0.2))) {
         val cross = resultSet(Similarity.ivfSearch(index, queries, k = 5,
@@ -80,17 +108,28 @@ class IvfBlockTopKSpec extends SparkSpec {
       val flat = resultSet(flatIvfSearch(index, queries, k = 5, nprobe = 3,
         minCosine = None))
       assert(salted == flat, "blockRows=2 (many salts/chunks) must not change results")
-    } finally spark.conf.unset("spark.graft.ann.probeCopyBytes")
+    } finally {
+      spark.conf.unset("spark.graft.ann.probeCopyBytes")
+      spark.conf.unset("spark.graft.ann.replicateIndexBytes")
+    }
   }
 
   test("chunking never changes the result: blockRows 3 vs unbounded") {
     val index = Similarity.ivfBuild(emb, numCentroids = 4, trainIters = 1)
     val queries = emb.filter(col("vec_id") < 20)
-    val tiny = resultSet(Similarity.ivfSearch(index, queries, k = 4,
-      nprobe = 2, blockRows = 3))
-    val big = resultSet(Similarity.ivfSearch(index, queries, k = 4,
-      nprobe = 2, blockRows = 1 << 20))
-    assert(tiny.nonEmpty && tiny == big)
+    // once on the distributed block-join path, once replicated — chunk
+    // geometry must be invisible on both
+    for (rep <- Seq("0", null)) {
+      if (rep == null) spark.conf.unset("spark.graft.ann.replicateIndexBytes")
+      else spark.conf.set("spark.graft.ann.replicateIndexBytes", rep)
+      try {
+        val tiny = resultSet(Similarity.ivfSearch(index, queries, k = 4,
+          nprobe = 2, blockRows = 3))
+        val big = resultSet(Similarity.ivfSearch(index, queries, k = 4,
+          nprobe = 2, blockRows = 1 << 20))
+        assert(tiny.nonEmpty && tiny == big, s"replicateIndexBytes=$rep")
+      } finally spark.conf.unset("spark.graft.ann.replicateIndexBytes")
+    }
   }
 
   test("pack_vec_block is order-insensitive and ids ascend in the blob") {
@@ -311,11 +350,16 @@ class IvfBlockTopKSpec extends SparkSpec {
     val sentinel = spark.createDataFrame(q.rdd, q.schema)
     assert(sentinel.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
       "precondition: the RDD-backed plan must have no row-count stats")
-    val res = Similarity.ivfSearch(index, sentinel, k = 5, nprobe = 3)
-    assert(res.queryExecution.executedPlan.toString.contains("block_cross_topk"),
-      "sentinel-stats plan must choose the cross-block orientation")
-    assert(resultSet(res) == resultSet(flatIvfSearch(index, q, k = 5,
-      nprobe = 3, minCosine = None)))
+    // replication is gated on the CORPUS estimate (real stats here, so it
+    // would fire and hide the copy gate this test pins) — disable it
+    spark.conf.set("spark.graft.ann.replicateIndexBytes", "0")
+    try {
+      val res = Similarity.ivfSearch(index, sentinel, k = 5, nprobe = 3)
+      assert(res.queryExecution.executedPlan.toString.contains("block_cross_topk"),
+        "sentinel-stats plan must choose the cross-block orientation")
+      assert(resultSet(res) == resultSet(flatIvfSearch(index, q, k = 5,
+        nprobe = 3, minCosine = None)))
+    } finally spark.conf.unset("spark.graft.ann.replicateIndexBytes")
   }
 
   test("cross-block pack exchange width scales with the probe stream bytes") {
