@@ -197,41 +197,90 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Distributed merge loop — one combinable pair-count job per merge.
-    * Kept as the fallback for profiles too large to collect; the default
-    * route is [[trainMergesLocal]] (see [[trainMerges]]).
+  /** Distributed merge loop — the fallback for profiles too large to
+    * collect (the default route is [[trainMergesLocal]], see
+    * [[trainMerges]]). BATCHED, exactly: each round runs one pair-count
+    * job and then accepts the longest PREFIX of the snapshot's top
+    * candidates that is PROVABLY the sequence the one-merge-per-job loop
+    * would have chosen, so k merges cost ~k/batch jobs with a
+    * bit-identical merge table (spec-pinned against the local trainer).
+    *
+    * Why a prefix can be exact: merging (l, r) changes only the counts
+    * of pairs ADJACENT to its occurrences — pairs touching l or r
+    * decrease, and the only pairs that can INCREASE are the newly
+    * created (x, lr) / (lr, y), each bounded by both the merged pair's
+    * own count and the snapshot count of the neighbor pair it descends
+    * from ((x, lr) ≤ count(x, l) ≤ max over pairs ending in l). So a
+    * candidate is accepted while (a) its symbols are disjoint from every
+    * earlier accepted merge — its own count is then still its snapshot
+    * count — and (b) its count STRICTLY exceeds the accumulated creation
+    * bound — no pair created by the earlier accepted merges can have
+    * overtaken it (strict, so the lexicographic tie-break can never be
+    * contested by an unseen created pair). The first rejected candidate
+    * ends the round: from there the sequential argmax may differ from
+    * snapshot order. The first candidate is always accepted, so progress
+    * is guaranteed and the worst case (top pairs sharing symbols — early
+    * rounds of natural text: " t h ", " h e ") degenerates to the old
+    * one-merge-per-round behavior plus two tiny aggregations.
     */
-  def trainMergesDistributed(profile: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+  def trainMergesDistributed(profile: DataFrame, numMerges: Int,
+                             batchCandidates: Int = 1024): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")
-    // Exactly one checkpoint is live at a time: each new one is eager, so
-    // the superseded one unpersists immediately — same storage discipline
-    // as Dedup.connectedComponents (peak = one repr table, released on
-    // return; the merge table itself is plain driver data).
+    require(batchCandidates > 0, "batchCandidates must be positive")
+    // Exactly one words-checkpoint is live at a time — same storage
+    // discipline as Dedup.connectedComponents (peak = one repr table,
+    // released on return). The per-round candidate table is also
+    // checkpointed (three consumers: top-N, the two neighbor maxima)
+    // and released inside the round.
     var lastCk = profile
       .select(initialRepr(col("word")).as("repr"), col("n").cast("long").as("n"))
       .localCheckpoint()
     var words = lastCk
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    var rank = 1
     var dry = false
-    while (rank <= numMerges && !dry) {
-      val cand = pairCounts(words)
-      val fresh = excludeChosen(cand,
-        merges.toSeq.map(m => (m.left, m.right)))
-      val top = fresh.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty) dry = true
-      else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += BpeMerge(rank, l, r, cnt)
-        words = applyMerge(words, l, r)
-        if (rank % 4 == 0) {
+    while (merges.size < numMerges && !dry) {
+      val cand = pairCounts(words).localCheckpoint()
+      try {
+        val top = excludeChosen(cand, merges.toSeq.map(m => (m.left, m.right)))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(batchCandidates).collect()
+        if (top.isEmpty) dry = true
+        else {
+          // global neighbor maxima over the snapshot: the symbol alphabet
+          // is ≤ 26 + merges.size rows, so both maps are driver-tiny.
+          // Computed from the UN-excluded counts: a previously chosen
+          // pair can survive with a nonzero count (the ≥5-run two-pass
+          // edge) and its count still bounds pairs created next to it —
+          // excluding it here would under-state the creation bound.
+          val maxEndingIn = cand.groupBy(col("r")).agg(max(col("cnt")).as("m"))
+            .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+          val maxStartingWith = cand.groupBy(col("l")).agg(max(col("cnt")).as("m"))
+            .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+          val used = scala.collection.mutable.Set.empty[String]
+          var createdBound = Long.MinValue
+          var i = 0
+          var stop = false
+          val before = merges.size
+          while (i < top.length && !stop && merges.size < numMerges) {
+            val (l, r, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+            if (merges.size == before || (!used(l) && !used(r) && c > createdBound)) {
+              merges += BpeMerge(merges.size + 1, l, r, c)
+              used += l; used += r
+              createdBound = math.max(createdBound, math.min(c,
+                math.max(maxEndingIn.getOrElse(l, 0L), maxStartingWith.getOrElse(r, 0L))))
+              i += 1
+            } else stop = true
+          }
+          // apply the whole batch in rank order as ONE projection (2
+          // replaces per merge, nested), then checkpoint the round
+          words = merges.drop(before).foldLeft(words)((w, m) =>
+            applyMerge(w, m.left, m.right))
           val ck = words.localCheckpoint()
           Checkpoints.release(lastCk)
           lastCk = ck
           words = ck
         }
-        rank += 1
-      }
+      } finally Checkpoints.release(cand)
     }
     Checkpoints.release(lastCk)
     merges.toSeq

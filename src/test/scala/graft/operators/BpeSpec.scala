@@ -147,4 +147,35 @@ class BpeSpec extends SparkSpec {
     assert(jobs.get() <= 10,
       s"${jobs.get()} jobs for 2000 merges — the local route is not local")
   }
+
+  test("distributed fallback batches symbol-disjoint merges: k merges in fewer than k jobs") {
+    // a profile whose top pairs are pairwise symbol-disjoint with strictly
+    // decreasing counts and NO shared neighbors: the exact-prefix rule
+    // accepts all of them from one snapshot, so 13 merges take one round
+    // (~7 jobs: words checkpoint, pair-count checkpoint, top-N, two
+    // neighbor maxima, batch-apply checkpoint) instead of 13 top-1 jobs
+    // plus cadence checkpoints
+    val letters = ('a' to 'z').toSeq
+    val profile = letters.grouped(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      (s"$a$b", (100 - i).toLong)
+    }.toSeq.toDF("word", "n")
+    val local = Bpe.trainMergesLocal(profile, 13)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dist =
+      try Bpe.trainMergesDistributed(profile, 13)
+      finally {
+        Thread.sleep(500) // listener bus delivery is async
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(dist == local, s"batched sequence diverged: $dist vs $local")
+    assert(dist.length == 13)
+    assert(jobs.get() < 13,
+      s"${jobs.get()} jobs for 13 disjoint merges — batching did not batch")
+  }
 }
