@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The SIMD kernels (graft.simd.PanamaVecOps) build against the JDK's
+// incubator Vector API — a JDK module, not a dependency. javac needs
+// --add-modules for it, and the flag must go to a FORKED javac (setting
+// javaHome forks it): zinc's in-process javac resolves the module inside
+// the sbt JVM, where the incubator classes also ride sbt's
+// java9-rt-export jar as unnamed-module classpath entries, and the
+// duplicate definition dies on a superclass access check. Runtime JVMs
+// get the real module via javaOptions below; a JVM launched WITHOUT it
+// falls back to the scalar kernel (VecKernels loads the SIMD class
+// reflectively), so embedding the jar elsewhere needs no flags.
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector", "-encoding", "UTF-8")
+Compile / javaHome := Some(file(sys.props("java.home")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +36,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 16g default: the bench/verify box has 128 GiB and runs local[32];

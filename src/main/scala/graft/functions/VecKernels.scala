@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.simd.{LaneSplitScalarVecOps, ScalarVecOps, VecOps}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** The ONE float-vector arithmetic provider for every cosine/dot hot
+  * path: the `cosine_sim` expression (eval AND codegen), the IVF
+  * centroid scorer, and the packed block kernels ([[VectorFunctions]]'s
+  * `blockTopK` / `replicatedTopK` / `blockCrossTopK` / `decodeBlock`
+  * norms). Routing every site through one statically-chosen [[VecOps]]
+  * keeps scores bit-identical ACROSS physical routes whichever
+  * implementation a JVM ends up with — the property the cross-route
+  * equality specs pin (flat join vs block cascade vs replicated probe).
+  *
+  * Selection, once per JVM (logged, greppable like the regime gates):
+  *   - `graft.simd` system property / `GRAFT_SIMD` env = `off` → the
+  *     historical serial scalar kernel;
+  *   - otherwise, if `jdk.incubator.vector` is resolvable AND the
+  *     preferred double species is 512-bit → [[graft.simd.PanamaVecOps]]
+  *     (measured 2.0× aggregate over serial on the 32-thread bench box:
+  *     36.9 vs 18.4 Gmult/s streaming — the ANN scan roof doubles);
+  *   - else the serial scalar kernel (narrow-SIMD hardware would only
+  *     EMULATE 512-bit lanes; the 8-way scalar split measured 0.5× of
+  *     serial, so non-SIMD JVMs keep the historical arithmetic).
+  *
+  * The SIMD class is loaded REFLECTIVELY (Lucene's vectorization-provider
+  * pattern): a JVM launched without `--add-modules=jdk.incubator.vector`
+  * (build.sbt adds it for every forked run) falls back cleanly instead of
+  * failing class resolution. The two arithmetics differ only in double
+  * summation ORDER (float→double products are exact), i.e. in final
+  * ulps — inside the 1e-12 HOF-agreement gate and far inside the DuckDB
+  * oracles' round(·,4).
+  */
+object VecKernels {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Spec-only reference for the lane-split-8 arithmetic (never serves
+    * production traffic — SimdKernelsSpec pins the SIMD kernel to it). */
+  private[graft] val laneSplitReference: VecOps = new LaneSplitScalarVecOps
+
+  private[graft] val serial: VecOps = new ScalarVecOps
+
+  /** Reflective so the incubator module stays optional at runtime. */
+  private[graft] def tryLoadSimd(): Option[VecOps] =
+    try {
+      val cls = Class.forName("graft.simd.PanamaVecOps")
+      Some(cls.getDeclaredConstructor().newInstance().asInstanceOf[VecOps])
+    } catch {
+      case t: Throwable =>
+        log.info(s"graft.simd: vector kernels unavailable (${t.getClass.getSimpleName}: " +
+          s"${t.getMessage}); using ${serial.name}")
+        None
+    }
+
+  val ops: VecOps = {
+    val mode = sys.props.getOrElse("graft.simd", sys.env.getOrElse("GRAFT_SIMD", "auto"))
+    val chosen = mode match {
+      case "off" | "scalar" => serial
+      case _                => tryLoadSimd().getOrElse(serial)
+    }
+    log.info(s"graft.simd: mode=$mode kernel=${chosen.name}")
+    chosen
+  }
+
+  /** True when the 512-bit SIMD kernel is serving (A/B logging). */
+  def simdActive: Boolean = ops ne serial
+
+  // ---- static-forwarder entry points (Janino-generated code calls these) ----
+
+  def dot(a: Array[Float], aOff: Int, b: Array[Float], bOff: Int, m: Int): Double =
+    ops.dot(a, aOff, b, bOff, m)
+
+  def normSq(v: Array[Float], off: Int, m: Int): Double =
+    ops.normSq(v, off, m)
+
+  /** Cosine over two float arrays with `cosine_sim` semantics: min-length
+    * prefix, fused dot+norms, 0.0 on a zero norm. */
+  def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    val m = math.min(a.length, b.length)
+    val out = new Array[Double](3)
+    ops.dotNorms(a, 0, b, 0, m, out)
+    if (out(1) == 0.0 || out(2) == 0.0) 0.0 else out(0) / math.sqrt(out(1) * out(2))
+  }
+
+  /** Cosine over two Catalyst arrays (copies to primitive arrays — an
+    * UnsafeArrayData bulk copy, repaid multiply by the vector loop). */
+  def cosineAD(x: ArrayData, y: ArrayData): Double =
+    cosineFF(x.toFloatArray(), y.toFloatArray())
+}
