@@ -41,5 +41,20 @@ public final class LaneSplitScalarVecOps implements VecOps {
   }
 
   @Override
+  public long dotI8(byte[] a, int aOff, byte[] b, int bOff, int m) {
+    // integer adds are associative — same value in any order
+    long acc = 0L;
+    for (int i = 0; i < m; i++) acc += (long) a[aOff + i] * b[bOff + i];
+    return acc;
+  }
+
+  @Override
+  public void dotNormsI8(byte[] a, int aOff, byte[] b, int bOff, int m, long[] out) {
+    out[0] = dotI8(a, aOff, b, bOff, m);
+    out[1] = dotI8(a, aOff, a, aOff, m);
+    out[2] = dotI8(b, bOff, b, bOff, m);
+  }
+
+  @Override
   public String name() { return "scalar-lane8-reference"; }
 }

@@ -1,7 +1,10 @@
 package graft.simd;
 
+import jdk.incubator.vector.ByteVector;
 import jdk.incubator.vector.DoubleVector;
 import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.IntVector;
+import jdk.incubator.vector.ShortVector;
 import jdk.incubator.vector.VectorOperators;
 import jdk.incubator.vector.VectorSpecies;
 
@@ -93,6 +96,75 @@ public final class PanamaVecOps implements VecOps {
     for (; i < m; i++) {
       double x = a[aOff + i];
       double y = b[bOff + i];
+      dot += x * y; na += x * x; nb += y * y;
+    }
+    out[0] = dot; out[1] = na; out[2] = nb;
+  }
+
+  // ---- int8 kernels: 16 bytes -> 16 shorts (products |x·y| <= 16384 fit
+  // short) -> widen to 16 int lanes and accumulate. Integer adds are
+  // associative, so SIMD == scalar EXACTLY with no reference arithmetic.
+  // Int lanes overflow only past ~2^31/2^14 = 2^17 elements per lane
+  // (m ~ 2M) — vector dims never get there, but guard anyway.
+  private static final VectorSpecies<Byte> BSP = ByteVector.SPECIES_128;
+  private static final VectorSpecies<Short> SSP = ShortVector.SPECIES_256;
+  private static final VectorSpecies<Integer> ISP = IntVector.SPECIES_512;
+  private static final int I8_SAFE_M = 1 << 20;
+
+  @Override
+  public long dotI8(byte[] a, int aOff, byte[] b, int bOff, int m) {
+    if (m >= I8_SAFE_M) {
+      long acc = 0L;
+      for (int i = 0; i < m; i++) acc += (long) a[aOff + i] * b[bOff + i];
+      return acc;
+    }
+    IntVector acc = IntVector.zero(ISP);
+    int ub = m & ~15;
+    int i = 0;
+    for (; i < ub; i += 16) {
+      ShortVector sa = (ShortVector)
+          ByteVector.fromArray(BSP, a, aOff + i).convertShape(VectorOperators.B2S, SSP, 0);
+      ShortVector sb = (ShortVector)
+          ByteVector.fromArray(BSP, b, bOff + i).convertShape(VectorOperators.B2S, SSP, 0);
+      acc = acc.add((IntVector) sa.mul(sb).convertShape(VectorOperators.S2I, ISP, 0));
+    }
+    long s = acc.reduceLanesToLong(VectorOperators.ADD);
+    for (; i < m; i++) s += (long) a[aOff + i] * b[bOff + i];
+    return s;
+  }
+
+  @Override
+  public void dotNormsI8(byte[] a, int aOff, byte[] b, int bOff, int m, long[] out) {
+    if (m >= I8_SAFE_M) {
+      long dot = 0L, na = 0L, nb = 0L;
+      for (int i = 0; i < m; i++) {
+        long x = a[aOff + i];
+        long y = b[bOff + i];
+        dot += x * y; na += x * x; nb += y * y;
+      }
+      out[0] = dot; out[1] = na; out[2] = nb;
+      return;
+    }
+    IntVector dAcc = IntVector.zero(ISP);
+    IntVector aAcc = IntVector.zero(ISP);
+    IntVector bAcc = IntVector.zero(ISP);
+    int ub = m & ~15;
+    int i = 0;
+    for (; i < ub; i += 16) {
+      ShortVector sa = (ShortVector)
+          ByteVector.fromArray(BSP, a, aOff + i).convertShape(VectorOperators.B2S, SSP, 0);
+      ShortVector sb = (ShortVector)
+          ByteVector.fromArray(BSP, b, bOff + i).convertShape(VectorOperators.B2S, SSP, 0);
+      dAcc = dAcc.add((IntVector) sa.mul(sb).convertShape(VectorOperators.S2I, ISP, 0));
+      aAcc = aAcc.add((IntVector) sa.mul(sa).convertShape(VectorOperators.S2I, ISP, 0));
+      bAcc = bAcc.add((IntVector) sb.mul(sb).convertShape(VectorOperators.S2I, ISP, 0));
+    }
+    long dot = dAcc.reduceLanesToLong(VectorOperators.ADD);
+    long na = aAcc.reduceLanesToLong(VectorOperators.ADD);
+    long nb = bAcc.reduceLanesToLong(VectorOperators.ADD);
+    for (; i < m; i++) {
+      long x = a[aOff + i];
+      long y = b[bOff + i];
       dot += x * y; na += x * x; nb += y * y;
     }
     out[0] = dot; out[1] = na; out[2] = nb;

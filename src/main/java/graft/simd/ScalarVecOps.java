@@ -34,5 +34,23 @@ public final class ScalarVecOps implements VecOps {
   }
 
   @Override
+  public long dotI8(byte[] a, int aOff, byte[] b, int bOff, int m) {
+    long acc = 0L;
+    for (int i = 0; i < m; i++) acc += (long) a[aOff + i] * b[bOff + i];
+    return acc;
+  }
+
+  @Override
+  public void dotNormsI8(byte[] a, int aOff, byte[] b, int bOff, int m, long[] out) {
+    long dot = 0L, na = 0L, nb = 0L;
+    for (int i = 0; i < m; i++) {
+      long x = a[aOff + i];
+      long y = b[bOff + i];
+      dot += x * y; na += x * x; nb += y * y;
+    }
+    out[0] = dot; out[1] = na; out[2] = nb;
+  }
+
+  @Override
   public String name() { return "scalar-serial"; }
 }

@@ -41,6 +41,16 @@ public interface VecOps {
    *  {@link #normSq} calls, so fused and staged callers agree bitwise. */
   void dotNorms(float[] a, int aOff, float[] b, int bOff, int m, double[] out);
 
+  /** Dot product of two int8 vectors accumulated in long. Integer adds
+   *  are associative, so every implementation returns the SAME long for
+   *  the same inputs (no reference arithmetic needed — the spec just
+   *  asserts scalar == SIMD). */
+  long dotI8(byte[] a, int aOff, byte[] b, int bOff, int m);
+
+  /** Fused int8 dot + both square norms over the common prefix of length
+   *  m; writes {dot, normSqA, normSqB} into out (length &ge; 3). */
+  void dotNormsI8(byte[] a, int aOff, byte[] b, int bOff, int m, long[] out);
+
   /** Implementation tag for the one-time selection log line. */
   String name();
 }

@@ -167,6 +167,26 @@ object GraftConf {
     v
   }
 
+  /** Score the REPLICATED probe orientation against an int8-quantized
+    * copy of the index (the scalar-quantizer scan: 4× smaller resident
+    * index, 16-lane integer SIMD dot). Cosine is per-vector
+    * scale-invariant, so each vector quantizes independently
+    * (`quantize_i8` math exactly); probe scores carry ~1e-2 quantization
+    * error, which the exact rerank downstream of every ANN shortlist
+    * absorbs — the recall gates measure the end-to-end effect. Default
+    * OFF: all orientation-equality specs pin the float path.
+    */
+  def annProbeInt8(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.ann.probeInt8") match {
+      case None => false
+      case Some(raw) => raw.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"conf spark.graft.ann.probeInt8 must be true|false, got '$other'")
+      }
+    }
+
   /** Per-node neighbor budget for the routed
     * [[graft.operators.Similarity.cosineNearDupPairs]]: the IVF route
     * emits the symmetric top-`routeK` neighbor EDGES above the threshold

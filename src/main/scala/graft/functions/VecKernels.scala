@@ -86,4 +86,50 @@ object VecKernels {
     * UnsafeArrayData bulk copy, repaid multiply by the vector loop). */
   def cosineAD(x: ArrayData, y: ArrayData): Double =
     cosineFF(x.toFloatArray(), y.toFloatArray())
+
+  // ---- int8 entry points (cosine_sim_i8 semantics; integer arithmetic
+  // is order-free, so scalar and SIMD agree EXACTLY — no per-JVM
+  // arithmetic caveats apply to these) ----
+
+  def dotI8(a: Array[Byte], aOff: Int, b: Array[Byte], bOff: Int, m: Int): Long =
+    ops.dotI8(a, aOff, b, bOff, m)
+
+  def normSqI8(v: Array[Byte], off: Int, m: Int): Long =
+    ops.dotI8(v, off, v, off, m)
+
+  /** Cosine over two int8 vectors with `cosine_sim_i8` semantics:
+    * min-length prefix, long accumulation, 0.0 on a zero norm. */
+  def cosineI8FF(a: Array[Byte], b: Array[Byte]): Double = {
+    val m = math.min(a.length, b.length)
+    val out = new Array[Long](3)
+    ops.dotNormsI8(a, 0, b, 0, m, out)
+    if (out(1) == 0L || out(2) == 0L) 0.0
+    else out(0).toDouble / math.sqrt(out(1).toDouble * out(2).toDouble)
+  }
+
+  /** Symmetric int8 quantization of v[off..off+m) — BIT-COMPATIBLE with
+    * the `quantize_i8` expression (float max-abs, float scale division,
+    * Math.round, clamp to [-127, 127]; all-zero input → all-zero bytes).
+    */
+  def quantizeI8(v: Array[Float], off: Int, m: Int): Array[Byte] = {
+    var maxAbs = 0f
+    var i = 0
+    while (i < m) { val a = math.abs(v(off + i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val out = new Array[Byte](m)
+    if (maxAbs > 0f) {
+      val s = maxAbs / 127f
+      i = 0
+      while (i < m) {
+        out(i) = math.max(-127, math.min(127, math.round(v(off + i) / s))).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** `quantize_i8` over a Catalyst array (codegen entry point). */
+  def quantizeI8AD(x: ArrayData): Array[Byte] = {
+    val v = x.toFloatArray()
+    quantizeI8(v, 0, v.length)
+  }
 }

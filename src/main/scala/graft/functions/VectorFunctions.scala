@@ -132,8 +132,7 @@ case class SrpBuckets(child: Expression, numTables: Int, bits: Int, seed: Long)
   * so [[QuantizedCosine]] needs no dequantization.
   */
 case class QuantizeI8(child: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def prettyName: String = "quantize_i8"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -142,23 +141,16 @@ case class QuantizeI8(child: Expression)
       s"quantize_i8 expects array<float>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var maxAbs = 0f
-    var i = 0
-    while (i < n) { val a = math.abs(v.getFloat(i)); if (a > maxAbs) maxAbs = a; i += 1 }
-    val out = new Array[Byte](n)
-    if (maxAbs > 0f) {
-      val s = maxAbs / 127f
-      i = 0
-      while (i < n) {
-        out(i) = math.max(-127, math.min(127, math.round(v.getFloat(i) / s))).toByte
-        i += 1
-      }
-    }
-    out
-  }
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.quantizeI8AD(input.asInstanceOf[ArrayData])
+
+  // codegen'd (was a CodegenFallback): the per-row boxed eval dispatch is
+  // gone and the quantize loop lives in ONE precompiled kernel shared
+  // with the int8 probe path, so expression and probe quantize
+  // bit-identically by construction.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.VecKernels.quantizeI8AD($x);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -169,8 +161,7 @@ case class QuantizeI8(child: Expression)
   * cosine to the quantization error (~1e-2 worst case at 64 dims).
   */
 case class QuantizedCosine(left: Expression, right: Expression)
-  extends BinaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim_i8"
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -179,18 +170,16 @@ case class QuantizedCosine(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure("cosine_sim_i8 expects two binary columns")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Array[Byte]]
-    val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
-    var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
-    while (i < n) {
-      val xi = x(i).toLong; val yi = y(i).toLong
-      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
-    }
-    if (nx == 0L || ny == 0L) 0.0
-    else dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosineI8FF(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  // codegen'd (was a CodegenFallback): per-PAIR hot on the quantized
+  // all-pairs scans. The kernel is the 16-lane integer SIMD path when
+  // available; integer adds are order-free, so the result is the same
+  // long-for-long either way (the q63 oracle stays bit-for-bit).
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.VecKernels.cosineI8FF($x, $y);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -739,6 +728,83 @@ object VectorFunctions {
             if (m == dim) blk.normSq(r)
             else VecKernels.normSq(vecs, r * dim, m)
           val sc = if (nxm == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nxm * ny)
+          val last = size - 1
+          if (sc >= floor && (size < k || sc > topScores(last) ||
+              (sc == topScores(last) && id < topIds(last)))) {
+            var p = if (size < k) size else k - 1
+            while (p > 0 && (topScores(p - 1) < sc ||
+                (topScores(p - 1) == sc && topIds(p - 1) > id))) {
+              topIds(p) = topIds(p - 1); topScores(p) = topScores(p - 1); p -= 1
+            }
+            topIds(p) = id; topScores(p) = sc
+            if (size < k) size += 1
+          }
+        }
+        r += 1
+      }
+    }
+    (topIds, topScores, size)
+  }
+
+  /** A [[DecodedBlock]] quantized to int8 — the REPLICATED orientation's
+    * optional scalar-quantizer index copy (spark.graft.ann.probeInt8):
+    * 4× smaller resident arrays, 16-lane integer SIMD dots. Each vector
+    * quantizes independently with the `quantize_i8` expression's exact
+    * math (cosine is per-vector scale-invariant); norms precompute at
+    * quantize time like [[decodeBlock]]'s.
+    */
+  private[graft] final class QuantBlock(val n: Int, val dim: Int,
+                                        val ids: Array[Long],
+                                        val qvecs: Array[Byte],
+                                        val normSq: Array[Long]) extends Serializable
+
+  private[graft] def quantizeBlock(blk: DecodedBlock): QuantBlock = {
+    val n = blk.n
+    val dim = blk.dim
+    val qvecs = new Array[Byte](n * dim)
+    val normSq = new Array[Long](n)
+    var r = 0
+    while (r < n) {
+      val q = VecKernels.quantizeI8(blk.vecs, r * dim, dim)
+      System.arraycopy(q, 0, qvecs, r * dim, dim)
+      normSq(r) = VecKernels.normSqI8(qvecs, r * dim, dim)
+      r += 1
+    }
+    new QuantBlock(n, dim, blk.ids, qvecs, normSq)
+  }
+
+  /** [[replicatedTopK]] over int8-quantized blocks: IDENTICAL selection
+    * semantics (floor inside the scan, self-match excluded, full
+    * (cosine desc, id asc) insertion order) with `cosine_sim_i8` score
+    * arithmetic — long dot / sqrt(long norms), 0.0 on zero norms. The
+    * scores are approximations of the float cosine to ~1e-2; callers
+    * rerank the shortlist exactly downstream.
+    */
+  private[graft] def replicatedTopKI8(qid: Long, q: Array[Byte],
+                                      blocks: Iterator[QuantBlock],
+                                      k: Int, floor: Double):
+      (Array[Long], Array[Double], Int) = {
+    val nxFull = VecKernels.normSqI8(q, 0, q.length)
+    val topIds = new Array[Long](k)
+    val topScores = new Array[Double](k)
+    var size = 0
+    while (blocks.hasNext) {
+      val blk = blocks.next()
+      val dim = blk.dim
+      val qvecs = blk.qvecs
+      val m = math.min(q.length, dim)
+      var r = 0
+      while (r < blk.n) {
+        val id = blk.ids(r)
+        if (id != qid) {
+          val dot = VecKernels.dotI8(q, 0, qvecs, r * dim, m)
+          val nx = if (m == q.length) nxFull else VecKernels.normSqI8(q, 0, m)
+          val ny =
+            if (m == dim) blk.normSq(r)
+            else VecKernels.normSqI8(qvecs, r * dim, m)
+          val sc =
+            if (nx == 0L || ny == 0L) 0.0
+            else dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
           val last = size - 1
           if (sc >= floor && (size < k || sc > topScores(last) ||
               (sc == topScores(last) && id < topIds(last)))) {

@@ -955,7 +955,24 @@ object Similarity extends org.apache.spark.internal.Logging {
       packedDf.collect().map { r =>
         (r.getLong(0), VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)))
       }
-    val bc = spark.sparkContext.broadcast(decoded)
+    // optional int8 scoring (spark.graft.ann.probeInt8): quantize the
+    // decoded index ONCE here (quantize_i8 math per vector — cosine is
+    // per-vector scale-invariant) and broadcast the 4×-smaller copy;
+    // queries quantize per row in the kernel loop. Scores carry ~1e-2
+    // quantization error; the exact rerank downstream of every shortlist
+    // absorbs it (recall spec-gated). Logged like the orientation gates.
+    val int8 = graft.GraftConf.annProbeInt8(spark)
+    val quantized: Array[(Long, VectorFunctions.QuantBlock)] =
+      if (int8) {
+        log.info("ivf probe scan: INT8 scoring enabled " +
+          "(spark.graft.ann.probeInt8=true; quantized index replaces the " +
+          "float copy in the broadcast)")
+        decoded.map { case (l, blk) => (l, VectorFunctions.quantizeBlock(blk)) }
+      } else Array.empty[(Long, VectorFunctions.QuantBlock)]
+    // exactly ONE of the two broadcasts carries the index
+    val bc = spark.sparkContext.broadcast(
+      if (int8) Array.empty[(Long, VectorFunctions.DecodedBlock)] else decoded)
+    val bcQ = spark.sparkContext.broadcast(quantized)
     val floor = minCosine.getOrElse(Double.NegativeInfinity)
     val qrows = queries.select(col(idCol).as("query_id"),
       checkedVec.as("query_vec"),
@@ -969,30 +986,54 @@ object Similarity extends org.apache.spark.internal.Logging {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("rk",
         org.apache.spark.sql.types.IntegerType)))
-    val ranked = qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
-      // group the broadcast chunks by list once per task: ~|chunks| map
-      // inserts over shared array references, no data copy
-      val byList = new java.util.HashMap[Long,
-        scala.collection.mutable.ArrayBuffer[VectorFunctions.DecodedBlock]]()
-      bc.value.foreach { case (l, blk) =>
-        var b = byList.get(l)
-        if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byList.put(l, b) }
-        b += blk
-      }
-      it.flatMap { r =>
-        val qid = r.getLong(0)
-        val q = r.getSeq[Float](1).toArray
-        val lists = r.getSeq[Long](2)
-        val blocks = lists.iterator.flatMap { l =>
-          val b = byList.get(l)
-          if (b == null) Iterator.empty else b.iterator
+    val ranked =
+      if (int8) qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        val byList = new java.util.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[VectorFunctions.QuantBlock]]()
+        bcQ.value.foreach { case (l, blk) =>
+          var b = byList.get(l)
+          if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byList.put(l, b) }
+          b += blk
         }
-        val (ids, scores, size) = VectorFunctions.replicatedTopK(
-          qid, q, blocks, k, floor)
-        (0 until size).iterator.map(i =>
-          org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+        it.flatMap { r =>
+          val qid = r.getLong(0)
+          val qf = r.getSeq[Float](1).toArray
+          val q = graft.functions.VecKernels.quantizeI8(qf, 0, qf.length)
+          val lists = r.getSeq[Long](2)
+          val blocks = lists.iterator.flatMap { l =>
+            val b = byList.get(l)
+            if (b == null) Iterator.empty else b.iterator
+          }
+          val (ids, scores, size) = VectorFunctions.replicatedTopKI8(
+            qid, q, blocks, k, floor)
+          (0 until size).iterator.map(i =>
+            org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      else qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        // group the broadcast chunks by list once per task: ~|chunks| map
+        // inserts over shared array references, no data copy
+        val byList = new java.util.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[VectorFunctions.DecodedBlock]]()
+        bc.value.foreach { case (l, blk) =>
+          var b = byList.get(l)
+          if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byList.put(l, b) }
+          b += blk
+        }
+        it.flatMap { r =>
+          val qid = r.getLong(0)
+          val q = r.getSeq[Float](1).toArray
+          val lists = r.getSeq[Long](2)
+          val blocks = lists.iterator.flatMap { l =>
+            val b = byList.get(l)
+            if (b == null) Iterator.empty else b.iterator
+          }
+          val (ids, scores, size) = VectorFunctions.replicatedTopK(
+            qid, q, blocks, k, floor)
+          (0 until size).iterator.map(i =>
+            org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     // the same final projection as the window path: rank BEFORE rounding,
     // Catalyst round so the emitted doubles are bit-identical
     ranked.select(col("query_id"), col("neighbor_id"),

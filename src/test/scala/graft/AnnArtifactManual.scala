@@ -34,6 +34,13 @@ object AnnArtifactManual {
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
+    // same regime injection as graft.Bench (tools/scale_run.md §2) — e.g.
+    // SPARK_GRAFT_CONF="spark.graft.ann.probeInt8=true" for the int8 probe
+    sys.env.get("SPARK_GRAFT_CONF").foreach(Bench.parseConfPairs(_).foreach {
+      case (k, v) =>
+        spark.conf.set(k, v)
+        System.err.println(s"ann-art: conf $k=$v")
+    })
     spark
   }
 

@@ -89,6 +89,43 @@ class SimdKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 dot/dotNorms: SIMD equals scalar exactly (integer adds are order-free)") {
+    val simd = VecKernels.tryLoadSimd().get
+    val rnd = new java.util.Random(99L)
+    val out1 = new Array[Long](3)
+    val out2 = new Array[Long](3)
+    for (trial <- 0 until 200) {
+      val n = if (trial < 36) trial else 1 + rnd.nextInt(2048) // every tail mod 16, then random
+      val a = new Array[Byte](n); rnd.nextBytes(a) // full range incl. -128
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      assert(simd.dotI8(a, 0, b, 0, n) == serial.dotI8(a, 0, b, 0, n), s"dotI8 n=$n")
+      simd.dotNormsI8(a, 0, b, 0, n, out1)
+      serial.dotNormsI8(a, 0, b, 0, n, out2)
+      assert(out1.toSeq == out2.toSeq, s"dotNormsI8 n=$n")
+      if (n >= 16) {
+        val off = rnd.nextInt(8)
+        val m = n - off
+        assert(simd.dotI8(a, off, b, off, m) == serial.dotI8(a, off, b, off, m),
+          s"dotI8 off=$off m=$m")
+      }
+    }
+    // extremes: all -128 (largest per-element product, 16384)
+    val lo = Array.fill[Byte](257)(-128)
+    assert(simd.dotI8(lo, 0, lo, 0, 257) == 257L * 16384)
+  }
+
+  test("quantizeI8 static matches the quantize_i8 expression math on edge shapes") {
+    // all-zero → all-zero bytes (maxAbs == 0 branch)
+    assert(VecKernels.quantizeI8(Array(0f, 0f, 0f), 0, 3).toSeq == Seq[Byte](0, 0, 0))
+    // max element maps to ±127; clamp holds
+    val v = Array(-1f, 0.5f, 1f)
+    val q = VecKernels.quantizeI8(v, 0, 3)
+    assert(q(0) == -127 && q(2) == 127 && math.abs(q(1) - 64) <= 1)
+    // offset slicing sees only the window
+    val w = Array(100f, 1f, -1f, 100f)
+    assert(VecKernels.quantizeI8(w, 1, 2).toSeq == Seq[Byte](127, -127))
+  }
+
   test("cosineFF semantics: min-length prefix, 0.0 on zero norms, empty arrays") {
     assert(VecKernels.cosineFF(Array.empty[Float], Array.empty[Float]) == 0.0)
     assert(VecKernels.cosineFF(Array(0f, 0f), Array(1f, 2f)) == 0.0)
