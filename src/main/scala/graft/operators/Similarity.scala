@@ -762,10 +762,17 @@ object Similarity extends org.apache.spark.internal.Logging {
     val replicateBytes = graft.GraftConf.annReplicateIndexBytes(spark)
     val longIds = queries.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
+    // the budget gates what RESIDES on every executor: the float arrays
+    // (dim·4B + id + norm per vector), or the int8 copy (dim·1B + id +
+    // long norm) when spark.graft.ann.probeInt8 is on — a corpus up to
+    // ~4× over the float budget still replicates quantized. estRows
+    // keeps the FLOAT width (it estimates rows from float-table bytes).
+    val residentWidth =
+      if (graft.GraftConf.annProbeInt8(spark)) indexDim.toLong + 40L else vecWidth
     if (maxBroadcastQueries > 0L && longIds &&
-        estRows(index.assigned) * vecWidth <= BigInt(replicateBytes)) {
-      logInfo(s"ivf probe scan: REPLICATED orientation (est corpus " +
-        s"${estRows(index.assigned) * vecWidth} B <= replicate budget " +
+        estRows(index.assigned) * residentWidth <= BigInt(replicateBytes)) {
+      logInfo(s"ivf probe scan: REPLICATED orientation (est resident " +
+        s"${estRows(index.assigned) * residentWidth} B <= replicate budget " +
         s"$replicateBytes B; index broadcast whole, zero probe exchange)")
       return ivfSearchReplicated(index, queries, checkedVec, k, nprobe,
         idCol, vecCol, minCosine, blockRows)

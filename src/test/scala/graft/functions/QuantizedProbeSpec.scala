@@ -92,6 +92,33 @@ class QuantizedProbeSpec extends SparkSpec {
     assert(diff == 0, "int8 probe scores drifted from cosine_sim_i8(quantize_i8(.))")
   }
 
+  test("replicate gate budgets the RESIDENT copy: int8 replicates where float cannot") {
+    val index = Similarity.ivfBuild(emb, numCentroids = 4, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dim = 64
+    val vecWidth = dim.toLong * 4 + 24
+    val i8Width = dim.toLong + 40
+    val st = index.assigned.queryExecution.optimizedPlan.stats
+    val rows = st.rowCount.getOrElse(BigInt(st.sizeInBytes.toLong) / vecWidth + 1)
+    // a budget BETWEEN the int8 and float resident estimates
+    val budget = ((rows * i8Width + rows * vecWidth) / 2).toString
+    def planOf(int8: Boolean): String = {
+      val confs = Seq("spark.graft.ann.replicateIndexBytes" -> budget) ++
+        (if (int8) Seq("spark.graft.ann.probeInt8" -> "true") else Nil)
+      withConf(confs: _*) {
+        val df = Similarity.ivfSearch(index, queries, k = 3, nprobe = 2, minCosine = None)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+    }
+    val distributed = planOf(int8 = false)
+    assert(distributed.contains("ivf_block_topk") || distributed.contains("block_cross_topk"),
+      "float path over budget should land on a distributed orientation")
+    val replicated = planOf(int8 = true)
+    assert(!replicated.contains("ivf_block_topk") && !replicated.contains("block_cross_topk"),
+      "int8 resident copy fits the same budget and must replicate")
+  }
+
   test("conf default is off and a malformed value fails naming the conf") {
     assert(!graft.GraftConf.annProbeInt8(spark))
     withConf("spark.graft.ann.probeInt8" -> "yes") {
