@@ -104,12 +104,18 @@ public final class PanamaVecOps implements VecOps {
   // ---- int8 kernels: 16 bytes -> 16 shorts (products |x·y| <= 16384 fit
   // short) -> widen to 16 int lanes and accumulate. Integer adds are
   // associative, so SIMD == scalar EXACTLY with no reference arithmetic.
-  // Int lanes overflow only past ~2^31/2^14 = 2^17 elements per lane
-  // (m ~ 2M) — vector dims never get there, but guard anyway.
+  // The binding overflow is NOT the per-lane accumulator: IntVector
+  // .reduceLanesToLong(ADD) sums the 16 lanes in int (wrapping) BEFORE
+  // widening to long, so the TOTAL |dot| must fit an int. Worst case is
+  // all-(-128) inputs (per-element product 2^14), so m*2^14 < 2^31 needs
+  // m < 2^17: at m = 2^17-1 the max total is 2^31-2^14 (safe); at
+  // m = 2^17 it is exactly 2^31 (wraps). Vector dims never approach
+  // 131072, but the guard must be correct anyway — SimdKernelsSpec pins
+  // both sides of the boundary.
   private static final VectorSpecies<Byte> BSP = ByteVector.SPECIES_128;
   private static final VectorSpecies<Short> SSP = ShortVector.SPECIES_256;
   private static final VectorSpecies<Integer> ISP = IntVector.SPECIES_512;
-  private static final int I8_SAFE_M = 1 << 20;
+  private static final int I8_SAFE_M = 1 << 17;
 
   @Override
   public long dotI8(byte[] a, int aOff, byte[] b, int bOff, int m) {

@@ -28,6 +28,18 @@ object GraftConf {
           s"conf $key must be a long, got '$raw'"))
     }.getOrElse(default)
 
+  /** Boolean conf with a strict parse (only literal true|false; the
+    * same no-silent-fallthrough posture as the mode-string confs). */
+  def bool(spark: SparkSession, key: String, default: => Boolean): Boolean =
+    spark.conf.getOption(key).map { raw =>
+      raw.trim.toLowerCase match {
+        case "true"  => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"conf $key must be true|false, got '$other'")
+      }
+    }.getOrElse(default)
+
   /** Double conf with a validating parse. */
   def double(spark: SparkSession, key: String, default: => Double): Double =
     spark.conf.getOption(key).map { raw =>
@@ -167,25 +179,79 @@ object GraftConf {
     v
   }
 
-  /** Score the REPLICATED probe orientation against an int8-quantized
-    * copy of the index (the scalar-quantizer scan: 4× smaller resident
-    * index, 16-lane integer SIMD dot). Cosine is per-vector
-    * scale-invariant, so each vector quantizes independently
-    * (`quantize_i8` math exactly); probe scores carry ~1e-2 quantization
-    * error, which the exact rerank downstream of every ANN shortlist
-    * absorbs — the recall gates measure the end-to-end effect. Default
-    * OFF: all orientation-equality specs pin the float path.
+  /** Scoring regime of the REPLICATED probe orientation
+    * (`spark.graft.ann.probeInt8` = true | false | auto, default AUTO):
+    * whether the broadcast index copy is int8-quantized (the
+    * scalar-quantizer scan: 4× smaller resident index, 16-lane integer
+    * SIMD dot). Cosine is per-vector scale-invariant, so each vector
+    * quantizes independently (`quantize_i8` math exactly). The quantized
+    * scan selects a SHORTLIST only (`rerankFactor`·k per query, floor
+    * relaxed by the quantization margin); the emitted scores and the
+    * `minCosine` filter are EXACT — an in-operator float rerank of the
+    * shortlist, same recipe as the PQ routes. Approximation therefore
+    * lives only in shortlist membership (recall spec-gated ≥ its float
+    * twin's gate).
+    *
+    *   - `auto` (default): replicate the float copy while it fits the
+    *     resident budget (bench/driver plans unchanged — bit-identical
+    *     float path); when only the int8 copy fits, replicate quantized
+    *     instead of falling to the distributed orientations (measured
+    *     3.2× faster at equal recall, sf20 AND sf40).
+    *   - `true`: always score the replicated probe quantized (the A/B
+    *     knob the scale measurements use).
+    *   - `false`: never quantize — float-or-distributed only.
     */
-  def annProbeInt8(spark: SparkSession): Boolean =
+  def annProbeInt8Mode(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.ann.probeInt8") match {
-      case None => false
+      case None => "auto"
       case Some(raw) => raw.trim.toLowerCase match {
-        case "true" => true
-        case "false" => false
+        case m @ ("true" | "false" | "auto") => m
         case other => throw new IllegalArgumentException(
-          s"conf spark.graft.ann.probeInt8 must be true|false, got '$other'")
+          s"conf spark.graft.ann.probeInt8 must be true|false|auto, got '$other'")
       }
     }
+
+  /** Score the REPLICATED probe orientation against PQ codes + codebook
+    * LUTs (`spark.graft.ann.probePq`, default false): the resident copy
+    * shrinks to `pqM` bytes/vector + a driver-small shared codebook —
+    * 2–4× under the int8 copy, 8–16× under float at dim 64 — and scoring
+    * a candidate is m table lookups instead of dim multiplies. Shortlist
+    * + exact rerank exactly like the int8 regime (emitted scores exact);
+    * ADC error exceeds int8 error, so shortlist recall is the honest
+    * cost — measure it before turning this on for a threshold consumer.
+    * Opt-in (wins over the int8 regime when set).
+    */
+  def annProbePq(spark: SparkSession): Boolean =
+    bool(spark, "spark.graft.ann.probePq", default = false)
+
+  /** Shortlist overfetch of the quantized/PQ replicated probe: the
+    * approximate scan keeps `rerankFactor`·k candidates per query for the
+    * exact rerank (the same knob the PQ search routes default to 4).
+    */
+  def annRerankFactor(spark: SparkSession): Int = {
+    val v = int(spark, "spark.graft.ann.rerankFactor", 4)
+    require(v >= 1, s"spark.graft.ann.rerankFactor must be >= 1, got $v")
+    v
+  }
+
+  /** Subquantizer count for the replicated PQ probe copy (dim must
+    * divide by it). 8 at dim 64 → 8-float subspaces, 8 bytes/vector.
+    */
+  def annPqM(spark: SparkSession): Int = {
+    val v = int(spark, "spark.graft.ann.pqM", 8)
+    require(v >= 1, s"spark.graft.ann.pqM must be >= 1, got $v")
+    v
+  }
+
+  /** Codebook size per subspace for the replicated PQ probe copy (byte
+    * codes: at most 256).
+    */
+  def annPqKsub(spark: SparkSession): Int = {
+    val v = int(spark, "spark.graft.ann.pqKsub", 256)
+    require(v >= 2 && v <= 256,
+      s"spark.graft.ann.pqKsub must be in [2, 256], got $v")
+    v
+  }
 
   /** Per-node neighbor budget for the routed
     * [[graft.operators.Similarity.cosineNearDupPairs]]: the IVF route

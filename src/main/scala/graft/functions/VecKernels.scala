@@ -52,8 +52,24 @@ object VecKernels {
         None
     }
 
+  /** Normalized + validated mode resolution: `OFF`/` Off ` count as `off`
+    * (an env-var typo must not silently re-enable SIMD — the same strict
+    * posture as `spark.graft.ann.probeInt8`), and anything outside
+    * {auto, off, scalar} fails fast at class-load with the valid set
+    * named rather than falling through to the auto path. */
+  private[graft] def resolveMode(raw: String): String = {
+    val norm = raw.trim.toLowerCase(java.util.Locale.ROOT)
+    norm match {
+      case "auto" | "off" | "scalar" => norm
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft.simd / GRAFT_SIMD value '$other' (raw '$raw') is not one of auto|off|scalar")
+    }
+  }
+
   val ops: VecOps = {
-    val mode = sys.props.getOrElse("graft.simd", sys.env.getOrElse("GRAFT_SIMD", "auto"))
+    val mode = resolveMode(
+      sys.props.getOrElse("graft.simd", sys.env.getOrElse("GRAFT_SIMD", "auto")))
     val chosen = mode match {
       case "off" | "scalar" => serial
       case _                => tryLoadSimd().getOrElse(serial)

@@ -763,19 +763,27 @@ object Similarity extends org.apache.spark.internal.Logging {
     val longIds = queries.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
     // the budget gates what RESIDES on every executor: the float arrays
-    // (dim·4B + id + norm per vector), or the int8 copy (dim·1B + id +
-    // long norm) when spark.graft.ann.probeInt8 is on — a corpus up to
-    // ~4× over the float budget still replicates quantized. estRows
-    // keeps the FLOAT width (it estimates rows from float-table bytes).
-    val residentWidth =
-      if (graft.GraftConf.annProbeInt8(spark)) indexDim.toLong + 40L else vecWidth
-    if (maxBroadcastQueries > 0L && longIds &&
-        estRows(index.assigned) * residentWidth <= BigInt(replicateBytes)) {
-      logInfo(s"ivf probe scan: REPLICATED orientation (est resident " +
-        s"${estRows(index.assigned) * residentWidth} B <= replicate budget " +
-        s"$replicateBytes B; index broadcast whole, zero probe exchange)")
-      return ivfSearchReplicated(index, queries, checkedVec, k, nprobe,
-        idCol, vecCol, minCosine, blockRows)
+    // (dim·4B + id + norm per vector), the int8 copy (dim·1B + id + long
+    // norm — a corpus up to ~4× over the float budget still replicates
+    // quantized), or the PQ codes (pqM bytes + id — another 2–4× under
+    // int8). estRows keeps the FLOAT width (it estimates rows from
+    // float-table bytes). The decision itself is a pure function
+    // ([[replicatedDecision]]) so every branch — including the skips —
+    // is unit-testable, and EVERY outcome logs (the greppability rule:
+    // a silent regime flip cost a diagnosis session at sf20).
+    replicatedDecision(
+      estRows = estRows(index.assigned), dim = indexDim, floatWidth = vecWidth,
+      pqM = graft.GraftConf.annPqM(spark), budget = replicateBytes,
+      broadcastEligible = maxBroadcastQueries > 0L, longIds = longIds,
+      int8Mode = graft.GraftConf.annProbeInt8Mode(spark),
+      pq = graft.GraftConf.annProbePq(spark)) match {
+      case Right((scoring, why)) =>
+        logInfo(s"ivf probe scan: REPLICATED orientation, $scoring scoring ($why; " +
+          "index broadcast whole, zero probe exchange)")
+        return ivfSearchReplicated(index, queries, checkedVec, k, nprobe,
+          idCol, vecCol, minCosine, blockRows, scoring)
+      case Left(reason) =>
+        logInfo(s"ivf probe scan: distributed orientations ($reason)")
     }
 
     // per query: the nprobe nearest centroid lists (scan-local as well).
@@ -946,40 +954,82 @@ object Similarity extends org.apache.spark.internal.Logging {
     * artifact when the index carries one (zero pack work per search) and
     * from one pack pass otherwise.
     */
+  /** Floor relaxation of the approximate shortlist scans: a candidate
+    * whose TRUE cosine clears `minCosine` may score up to this much lower
+    * under the approximate arithmetic, so the scan keeps everything above
+    * `floor − margin` and the exact rerank re-applies the exact floor.
+    * int8: |Δcos| stays well under 1e-2 on unit-ish vectors (measured);
+    * PQ/ADC reconstruction error is coarser.
+    */
+  private[graft] val Int8FloorMargin = 0.02
+  private[graft] val PqFloorMargin = 0.10
+
+  /** The replicated-orientation decision, pure so every branch is
+    * unit-testable (SimilarityGateSpec) — Right((scoring, why)) picks the
+    * replicated probe with that scoring regime, Left(reason) keeps the
+    * distributed orientations. Resident widths per vector: float
+    * dim·4+24 (arrays + id + double norm), int8 dim+40 (bytes + id +
+    * long norm), PQ pqM+40 (codes + id; the shared codebook is
+    * driver-small). Regime precedence: forced PQ > the probeInt8 mode
+    * (`auto` tries float first — bench plans unchanged where the float
+    * copy fits — then the quantized copy).
+    */
+  private[graft] def replicatedDecision(estRows: BigInt, dim: Int,
+                                        floatWidth: Long, pqM: Int,
+                                        budget: Long,
+                                        broadcastEligible: Boolean,
+                                        longIds: Boolean, int8Mode: String,
+                                        pq: Boolean):
+      Either[String, (String, String)] = {
+    val floatBytes = estRows * floatWidth
+    val i8Bytes = estRows * (dim.toLong + 40L)
+    val pqBytes = estRows * (pqM.toLong + 40L)
+    val b = BigInt(budget)
+    if (!broadcastEligible)
+      Left("maxBroadcastQueries <= 0 pins the no-broadcast shuffle plan")
+    else if (!longIds)
+      Left("non-long id column — the packed blobs carry i64 ids, so this " +
+        "corpus keeps the distributed path (generalizing ids is the open lift)")
+    else if (pq) {
+      if (pqBytes <= b)
+        Right(("pq", s"forced by spark.graft.ann.probePq; est resident " +
+          s"$pqBytes B <= replicate budget $budget B"))
+      else Left(s"PQ resident copy est $pqBytes B exceeds replicate budget $budget B")
+    } else int8Mode match {
+      case "false" =>
+        if (floatBytes <= b)
+          Right(("float", s"est resident $floatBytes B <= replicate budget $budget B"))
+        else Left(s"float copy est $floatBytes B exceeds replicate budget " +
+          s"$budget B and int8 scoring is disabled (probeInt8=false)")
+      case "true" =>
+        if (i8Bytes <= b)
+          Right(("int8", s"forced by spark.graft.ann.probeInt8=true; est resident " +
+            s"$i8Bytes B <= replicate budget $budget B"))
+        else Left(s"int8 resident copy est $i8Bytes B exceeds replicate budget $budget B")
+      case _ => // auto
+        if (floatBytes <= b)
+          Right(("float", s"est resident $floatBytes B <= replicate budget $budget B"))
+        else if (i8Bytes <= b)
+          Right(("int8", s"auto regime: float copy est $floatBytes B over budget " +
+            s"$budget B but int8 copy est $i8Bytes B fits"))
+        else Left(s"neither float ($floatBytes B) nor int8 ($i8Bytes B) resident " +
+          s"copy fits replicate budget $budget B")
+    }
+  }
+
   private def ivfSearchReplicated(index: IvfIndex, queries: DataFrame,
                                   checkedVec: org.apache.spark.sql.Column,
                                   k: Int, nprobe: Int, idCol: String,
                                   vecCol: String, minCosine: Option[Double],
-                                  blockRows: Int): DataFrame = {
+                                  blockRows: Int,
+                                  scoring: String): DataFrame = {
     import graft.functions.VectorFunctions
     val spark = queries.sparkSession
-    val packedDf = index.packed match {
+    def packedDf = index.packed match {
       case Some(pre) => pre.select(col("list_id"), col("block"))
       case None => packLists(index.assigned, blockRows)
         .select(col("list_id"), col("block"))
     }
-    val decoded: Array[(Long, VectorFunctions.DecodedBlock)] =
-      packedDf.collect().map { r =>
-        (r.getLong(0), VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)))
-      }
-    // optional int8 scoring (spark.graft.ann.probeInt8): quantize the
-    // decoded index ONCE here (quantize_i8 math per vector — cosine is
-    // per-vector scale-invariant) and broadcast the 4×-smaller copy;
-    // queries quantize per row in the kernel loop. Scores carry ~1e-2
-    // quantization error; the exact rerank downstream of every shortlist
-    // absorbs it (recall spec-gated). Logged like the orientation gates.
-    val int8 = graft.GraftConf.annProbeInt8(spark)
-    val quantized: Array[(Long, VectorFunctions.QuantBlock)] =
-      if (int8) {
-        log.info("ivf probe scan: INT8 scoring enabled " +
-          "(spark.graft.ann.probeInt8=true; quantized index replaces the " +
-          "float copy in the broadcast)")
-        decoded.map { case (l, blk) => (l, VectorFunctions.quantizeBlock(blk)) }
-      } else Array.empty[(Long, VectorFunctions.QuantBlock)]
-    // exactly ONE of the two broadcasts carries the index
-    val bc = spark.sparkContext.broadcast(
-      if (int8) Array.empty[(Long, VectorFunctions.DecodedBlock)] else decoded)
-    val bcQ = spark.sparkContext.broadcast(quantized)
     val floor = minCosine.getOrElse(Double.NegativeInfinity)
     val qrows = queries.select(col(idCol).as("query_id"),
       checkedVec.as("query_vec"),
@@ -993,40 +1043,27 @@ object Similarity extends org.apache.spark.internal.Logging {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("rk",
         org.apache.spark.sql.types.IntegerType)))
-    val ranked =
-      if (int8) qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
-        val byList = new java.util.HashMap[Long,
-          scala.collection.mutable.ArrayBuffer[VectorFunctions.QuantBlock]]()
-        bcQ.value.foreach { case (l, blk) =>
-          var b = byList.get(l)
-          if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byList.put(l, b) }
-          b += blk
+    // group broadcast chunks by list once per task: ~|chunks| map inserts
+    // over shared references, no data copy
+    def groupByList[B](blks: Array[(Long, B)]): java.util.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[B]] = {
+      val byList = new java.util.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[B]]()
+      blks.foreach { case (l, blk) =>
+        var b = byList.get(l)
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byList.put(l, b) }
+        b += blk
+      }
+      byList
+    }
+    if (scoring == "float") {
+      val decoded: Array[(Long, VectorFunctions.DecodedBlock)] =
+        packedDf.collect().map { r =>
+          (r.getLong(0), VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)))
         }
-        it.flatMap { r =>
-          val qid = r.getLong(0)
-          val qf = r.getSeq[Float](1).toArray
-          val q = graft.functions.VecKernels.quantizeI8(qf, 0, qf.length)
-          val lists = r.getSeq[Long](2)
-          val blocks = lists.iterator.flatMap { l =>
-            val b = byList.get(l)
-            if (b == null) Iterator.empty else b.iterator
-          }
-          val (ids, scores, size) = VectorFunctions.replicatedTopKI8(
-            qid, q, blocks, k, floor)
-          (0 until size).iterator.map(i =>
-            org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-      else qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
-        // group the broadcast chunks by list once per task: ~|chunks| map
-        // inserts over shared array references, no data copy
-        val byList = new java.util.HashMap[Long,
-          scala.collection.mutable.ArrayBuffer[VectorFunctions.DecodedBlock]]()
-        bc.value.foreach { case (l, blk) =>
-          var b = byList.get(l)
-          if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; byList.put(l, b) }
-          b += blk
-        }
+      val bc = spark.sparkContext.broadcast(decoded)
+      val ranked = qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        val byList = groupByList(bc.value)
         it.flatMap { r =>
           val qid = r.getLong(0)
           val q = r.getSeq[Float](1).toArray
@@ -1041,11 +1078,166 @@ object Similarity extends org.apache.spark.internal.Logging {
             org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
-    // the same final projection as the window path: rank BEFORE rounding,
-    // Catalyst round so the emitted doubles are bit-identical
-    ranked.select(col("query_id"), col("neighbor_id"),
-      round(col("cosine"), 4).as("cosine"), col("rk"))
+      // the same final projection as the window path: rank BEFORE
+      // rounding, Catalyst round so the emitted doubles are bit-identical
+      return ranked.select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rk"))
+    }
+
+    // ---- approximate-scan regimes (int8 / pq): the quantized copy only
+    // SELECTS a shortlist (rerankFactor·k per query, floor relaxed by the
+    // regime's quantization margin); scores and the minCosine filter are
+    // EXACT via an in-operator float rerank — the same recipe as the PQ
+    // search routes, so flipping the regime never changes score
+    // semantics, only shortlist membership (recall spec-gated).
+    //
+    // Driver residency: the float blocks are decoded and re-encoded ONE
+    // AT A TIME off a toLocalIterator stream, so the driver never holds
+    // the float index alongside the quantized copy — peak residency is
+    // the quantized arrays + one in-flight partition, not the 4–5×
+    // replicate-budget footprint a whole-collect would pin at exactly
+    // the scale these regimes target.
+    val rerankFactor = graft.GraftConf.annRerankFactor(spark)
+    val kFetch = math.max(k, k * rerankFactor)
+    val margin = if (scoring == "pq") PqFloorMargin else Int8FloorMargin
+    val fetchFloor = if (minCosine.isDefined) floor - margin else floor
+    val shortSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("query_vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType)))
+    val shortlist: DataFrame = scoring match {
+      case "int8" =>
+        val quantized: Array[(Long, VectorFunctions.QuantBlock)] = {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, VectorFunctions.QuantBlock)]
+          val it = packedDf.toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            buf += ((r.getLong(0), VectorFunctions.quantizeBlock(
+              VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)))))
+          }
+          buf.toArray
+        }
+        val bcQ = spark.sparkContext.broadcast(quantized)
+        qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          val byList = groupByList(bcQ.value)
+          it.flatMap { r =>
+            val qid = r.getLong(0)
+            val qseq = r.getSeq[Float](1)
+            val qf = qseq.toArray
+            val q = graft.functions.VecKernels.quantizeI8(qf, 0, qf.length)
+            val lists = r.getSeq[Long](2)
+            val blocks = lists.iterator.flatMap { l =>
+              val b = byList.get(l)
+              if (b == null) Iterator.empty else b.iterator
+            }
+            val (ids, _, size) = VectorFunctions.replicatedTopKI8(
+              qid, q, blocks, kFetch, fetchFloor)
+            (0 until size).iterator.map(i =>
+              org.apache.spark.sql.Row(qid, qseq, ids(i)))
+          }
+        }(org.apache.spark.sql.Encoders.row(shortSchema))
+      case "pq" =>
+        val m = graft.GraftConf.annPqM(spark)
+        val ksub = graft.GraftConf.annPqKsub(spark)
+        require(indexDimOf(index) % m == 0,
+          s"ivfSearch pq scoring: index dim ${indexDimOf(index)} not divisible " +
+            s"into spark.graft.ann.pqM=$m subspaces")
+        // pass 1: a bounded, deterministic training sample off the block
+        // stream (hash-stride on vector id — no RNG, order-independent).
+        // estRows sets the stride so ~PqTrainSample vectors survive.
+        val st = index.assigned.queryExecution.optimizedPlan.stats
+        val estRows = st.rowCount.getOrElse(
+          st.sizeInBytes / (indexDimOf(index).toLong * 4L + 24L) + 1)
+        val stride = ((estRows / PqTrainSample) + 1).min(BigInt(Long.MaxValue)).toLong
+        val sample = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        locally {
+          val it = packedDf.toLocalIterator()
+          while (it.hasNext && sample.size < 4 * PqTrainSample) {
+            val blk = VectorFunctions.decodeBlock(
+              it.next().getAs[Array[Byte]](1))
+            var r = 0
+            while (r < blk.n && sample.size < 4 * PqTrainSample) {
+              if (math.floorMod(scala.util.hashing.byteswap64(blk.ids(r)), stride) == 0L)
+                sample += java.util.Arrays.copyOfRange(
+                  blk.vecs, r * blk.dim, (r + 1) * blk.dim)
+              r += 1
+            }
+          }
+        }
+        require(sample.nonEmpty, "ivfSearch pq scoring: empty training sample")
+        val codebooks = pqTrainLocal(sample.toArray, m, ksub, iters = 3)
+        logInfo(s"ivf probe scan: PQ scoring trained m=$m ksub=$ksub codebooks " +
+          s"on ${sample.size} sampled vectors (stride $stride)")
+        // pass 2: encode each block streaming; floats are dropped per block
+        val encoded: Array[(Long, VectorFunctions.PqRepBlock)] = {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, VectorFunctions.PqRepBlock)]
+          val it = packedDf.toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            buf += ((r.getLong(0), VectorFunctions.encodePqRepBlock(
+              VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)), codebooks)))
+          }
+          buf.toArray
+        }
+        val bcP = spark.sparkContext.broadcast(encoded)
+        val bcCb = spark.sparkContext.broadcast(codebooks)
+        val normLut = VectorFunctions.pqRepCodeNorms(codebooks)
+        val bcNorm = spark.sparkContext.broadcast(normLut)
+        qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+          val byList = groupByList(bcP.value)
+          val cbs = bcCb.value
+          val nLut = bcNorm.value
+          it.flatMap { r =>
+            val qid = r.getLong(0)
+            val qseq = r.getSeq[Float](1)
+            val qf = qseq.toArray
+            val lut = VectorFunctions.pqRepLut(qf, cbs)
+            val qn = VectorFunctions.pqRepQueryNorm(qf)
+            val lists = r.getSeq[Long](2)
+            val blocks = lists.iterator.flatMap { l =>
+              val b = byList.get(l)
+              if (b == null) Iterator.empty else b.iterator
+            }
+            val (ids, _, size) = VectorFunctions.replicatedTopKPq(
+              qid, lut, nLut, qn, blocks, kFetch, fetchFloor)
+            (0 until size).iterator.map(i =>
+              org.apache.spark.sql.Row(qid, qseq, ids(i)))
+          }
+        }(org.apache.spark.sql.Encoders.row(shortSchema))
+      case other =>
+        throw new IllegalArgumentException(s"unknown replicated scoring '$other'")
+    }
+    // exact rerank: join the float vectors back for the shortlist rows
+    // only (rerankFactor·k per query — corpus-independent volume), score
+    // with the exact cosine kernel, re-apply the exact floor, rank under
+    // the float path's (cosine desc, neighbor_id asc) total order.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val rescored = shortlist
+      .join(index.assigned.select(col("neighbor_id"), col("corpus_vec")),
+        "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
+    val floored = minCosine match {
+      case Some(t) => rescored.filter(col("cosine") >= t)
+      case None => rescored
+    }
+    floored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rk").cast("int").as("rk"))
   }
+
+  /** Bounded driver-side PQ training-sample target (vectors). */
+  private[graft] val PqTrainSample = 16384
+
+  private def indexDimOf(index: IvfIndex): Int = index.centroids.head._2.length
 
   /** Packed inverted-list blobs per search task: bounds any one blob to
     * ~blockRows·dim·4 bytes and splits skewed-list work across tasks.

@@ -6,20 +6,25 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The int8-scored replicated probe (spark.graft.ann.probeInt8): the
-  * optional scalar-quantizer index copy — 4× smaller resident arrays,
-  * 16-lane integer SIMD dots, scores within quantization error of the
-  * float path. Contracts pinned here:
+  * scalar-quantizer index copy — 4× smaller resident arrays, 16-lane
+  * integer SIMD dots — used to SELECT a shortlist that an in-operator
+  * float rerank rescores exactly. Contracts pinned here:
   *
-  *   - OFF by default: with the conf unset the probe is the float path
-  *     (the orientation-equality specs already pin that bit-identically).
+  *   - Default is AUTO: with the conf unset and the float copy inside
+  *     the replicate budget, the probe is the bit-identical float path
+  *     (the orientation-equality specs pin that); when only the int8
+  *     copy fits, auto replicates quantized instead of falling to the
+  *     distributed orientations.
   *   - Same output contract (schema, rank 1..k, self-exclusion).
   *   - Deterministic: two int8 runs return identical rows.
+  *   - Emitted scores are EXACT (the rerank): every score equals the
+  *     float `cosine_sim` of the two real vectors, and `minCosine`
+  *     filters on the exact score — quantization affects shortlist
+  *     membership only.
   *   - Quantization error is bounded IN EFFECT: nprobe=all int8 top-k
-  *     recalls ≥ 0.8 of the float top-k per query on the real fixture
-  *     (the deployment shape reranks the shortlist exactly downstream,
-  *     so shortlist-level recall is the quantity that matters).
-  *   - The probe's quantizer IS the quantize_i8 expression's math: the
-  *     kernel scores agree with cosine_sim_i8 over quantize_i8 columns.
+  *     recalls ≥ 0.8 of the float top-k per query on the real fixture.
+  *   - The pure gate function ([[Similarity.replicatedDecision]])
+  *     covers every branch, including the non-long-id skip.
   */
 class QuantizedProbeSpec extends SparkSpec {
 
@@ -71,7 +76,7 @@ class QuantizedProbeSpec extends SparkSpec {
       s"(|float|=${float.size}, |int8|=${int8.size})")
   }
 
-  test("kernel scores agree with cosine_sim_i8 over quantize_i8 columns") {
+  test("int8 probe scores are EXACT: every emitted cosine is the float cosine_sim") {
     VectorFunctions.register(spark)
     val index = Similarity.ivfBuild(emb, numCentroids = 2, trainIters = 1)
     val queries = emb.filter(col("vec_id") < 10)
@@ -79,17 +84,39 @@ class QuantizedProbeSpec extends SparkSpec {
       "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
       Similarity.ivfSearch(index, queries, k = 3, nprobe = 2, minCosine = None)
     }
-    // recompute each emitted score from the expressions; the probe
+    // recompute each emitted score with the exact expression; the probe
     // rounds to 4 decimals in its final projection, so compare there
-    val q = emb.select(col("vec_id").as("query_id"),
-      expr("quantize_i8(embedding)").as("qa"))
-    val c = emb.select(col("vec_id").as("neighbor_id"),
-      expr("quantize_i8(embedding)").as("qb"))
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qa"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("qb"))
     val diff = probe.join(q, "query_id").join(c, "neighbor_id")
-      .withColumn("ref", round(expr("cosine_sim_i8(qa, qb)"), 4))
+      .withColumn("ref", round(expr("cosine_sim(qa, qb)"), 4))
       .filter(col("cosine") =!= col("ref"))
       .count()
-    assert(diff == 0, "int8 probe scores drifted from cosine_sim_i8(quantize_i8(.))")
+    assert(diff == 0, "int8 probe emitted a non-exact cosine (rerank missing?)")
+  }
+
+  test("int8 probe at nprobe=all with a wide rerank equals the float path exactly") {
+    // with every list probed and the shortlist overfetch covering the
+    // whole corpus, quantization cannot change shortlist membership →
+    // the reranked int8 result must EQUAL the float path, including a
+    // minCosine floor applied on exact scores (the near-threshold
+    // misclassification ADVICE flagged is structurally gone)
+    val index = Similarity.ivfBuild(emb, numCentroids = 2, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 30)
+    val n = emb.count().toInt
+    val float = withConf(
+      "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
+      rows(Similarity.ivfSearch(index, queries, k = 5, nprobe = 2,
+        minCosine = Some(0.2)))
+    }
+    val int8 = withConf("spark.graft.ann.probeInt8" -> "true",
+      "spark.graft.ann.rerankFactor" -> n.toString,
+      "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
+      rows(Similarity.ivfSearch(index, queries, k = 5, nprobe = 2,
+        minCosine = Some(0.2)))
+    }
+    assert(int8 == float,
+      s"full-shortlist int8 != float (|int8|=${int8.size}, |float|=${float.size})")
   }
 
   test("replicate gate budgets the RESIDENT copy: int8 replicates where float cannot") {
@@ -102,28 +129,86 @@ class QuantizedProbeSpec extends SparkSpec {
     val rows = st.rowCount.getOrElse(BigInt(st.sizeInBytes.toLong) / vecWidth + 1)
     // a budget BETWEEN the int8 and float resident estimates
     val budget = ((rows * i8Width + rows * vecWidth) / 2).toString
-    def planOf(int8: Boolean): String = {
-      val confs = Seq("spark.graft.ann.replicateIndexBytes" -> budget) ++
-        (if (int8) Seq("spark.graft.ann.probeInt8" -> "true") else Nil)
+    def planOf(mode: String): String = {
+      val confs = Seq("spark.graft.ann.replicateIndexBytes" -> budget,
+        "spark.graft.ann.probeInt8" -> mode)
       withConf(confs: _*) {
         val df = Similarity.ivfSearch(index, queries, k = 3, nprobe = 2, minCosine = None)
         df.collect()
         df.queryExecution.executedPlan.toString
       }
     }
-    val distributed = planOf(int8 = false)
+    val distributed = planOf("false")
     assert(distributed.contains("ivf_block_topk") || distributed.contains("block_cross_topk"),
-      "float path over budget should land on a distributed orientation")
-    val replicated = planOf(int8 = true)
+      "probeInt8=false over the float budget should land on a distributed orientation")
+    val replicated = planOf("true")
     assert(!replicated.contains("ivf_block_topk") && !replicated.contains("block_cross_topk"),
       "int8 resident copy fits the same budget and must replicate")
+    // AUTO takes the int8 replication in the same spot — and returns the
+    // same rows as the forced regime
+    val auto = planOf("auto")
+    assert(!auto.contains("ivf_block_topk") && !auto.contains("block_cross_topk"),
+      "auto regime must replicate quantized when only the int8 copy fits")
   }
 
-  test("conf default is off and a malformed value fails naming the conf") {
-    assert(!graft.GraftConf.annProbeInt8(spark))
+  test("auto regime keeps the float path where the float copy fits") {
+    val index = Similarity.ivfBuild(emb, numCentroids = 4, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 20)
+    val unset = withConf(
+      "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
+      rows(Similarity.ivfSearch(index, queries, k = 5, nprobe = 4, minCosine = None))
+    }
+    val float = withConf("spark.graft.ann.probeInt8" -> "false",
+      "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
+      rows(Similarity.ivfSearch(index, queries, k = 5, nprobe = 4, minCosine = None))
+    }
+    assert(unset == float,
+      "default (auto) drifted from the float path despite the float copy fitting")
+  }
+
+  test("the pure gate covers every branch, including the non-long-id skip") {
+    import Similarity.replicatedDecision
+    val rows = BigInt(1000)
+    val dim = 64
+    val floatW = dim.toLong * 4 + 24
+    def d(budget: Long, mode: String = "auto", pq: Boolean = false,
+          longIds: Boolean = true, eligible: Boolean = true) =
+      replicatedDecision(rows, dim, floatW, pqM = 8, budget = budget,
+        broadcastEligible = eligible, longIds = longIds, int8Mode = mode, pq = pq)
+    val floatBytes = (rows * floatW).toLong
+    val i8Bytes = (rows * (dim + 40)).toLong
+    val pqBytes = (rows * (8 + 40)).toLong
+    // auto ladder: float → int8 → distributed
+    assert(d(floatBytes) == Right(("float",
+      s"est resident $floatBytes B <= replicate budget $floatBytes B")))
+    assert(d(i8Bytes).exists(_._1 == "int8"))
+    assert(d(pqBytes).isLeft, "auto must not replicate below the int8 width")
+    // forced modes
+    assert(d(i8Bytes, mode = "true").exists(_._1 == "int8"))
+    assert(d(floatBytes, mode = "true").exists(_._1 == "int8"),
+      "probeInt8=true quantizes even where float fits (the A/B knob)")
+    assert(d(i8Bytes, mode = "false").isLeft,
+      "probeInt8=false must never replicate quantized")
+    // pq wins over the int8 mode and has the smallest width
+    assert(d(pqBytes, pq = true).exists(_._1 == "pq"))
+    assert(d(pqBytes - 1, pq = true).isLeft)
+    // skip reasons are named (greppable) — the non-long-id gate logs why
+    val skip = d(floatBytes, longIds = false)
+    assert(skip.isLeft && skip.swap.exists(_.contains("non-long id")),
+      s"non-long-id skip must name itself, got $skip")
+    val noBc = d(floatBytes, eligible = false)
+    assert(noBc.isLeft && noBc.swap.exists(_.contains("maxBroadcastQueries")))
+  }
+
+  test("conf default is auto and a malformed value fails naming the conf") {
+    assert(graft.GraftConf.annProbeInt8Mode(spark) == "auto")
     withConf("spark.graft.ann.probeInt8" -> "yes") {
-      val e = intercept[IllegalArgumentException](graft.GraftConf.annProbeInt8(spark))
+      val e = intercept[IllegalArgumentException](graft.GraftConf.annProbeInt8Mode(spark))
       assert(e.getMessage.contains("spark.graft.ann.probeInt8"))
+    }
+    withConf("spark.graft.ann.rerankFactor" -> "0") {
+      val e = intercept[IllegalArgumentException](graft.GraftConf.annRerankFactor(spark))
+      assert(e.getMessage.contains("rerankFactor"))
     }
   }
 }

@@ -114,6 +114,34 @@ class SimdKernelsSpec extends AnyFunSuite {
     assert(simd.dotI8(lo, 0, lo, 0, 257) == 257L * 16384)
   }
 
+  test("int8 overflow guard: worst-case totals straddling the int boundary are exact") {
+    // reduceLanesToLong(ADD) sums the 16 int lanes IN INT before widening,
+    // so the TOTAL must fit an int: all-(-128) inputs make every product
+    // 2^14, and m = 2^17 puts the total at exactly 2^31 — one past
+    // Int.MaxValue. The guard must route that to the long-scalar path;
+    // m = 2^17 - 1 (total 2^31 - 2^14) must stay SIMD-safe.
+    val simd = VecKernels.tryLoadSimd().get
+    val out1 = new Array[Long](3)
+    val out2 = new Array[Long](3)
+    for (m <- Seq((1 << 17) - 17, (1 << 17) - 1, 1 << 17, (1 << 17) + 5)) {
+      val v = Array.fill[Byte](m)(-128)
+      val expect = m.toLong * 16384L
+      assert(simd.dotI8(v, 0, v, 0, m) == expect, s"dotI8 all -128 m=$m")
+      assert(serial.dotI8(v, 0, v, 0, m) == expect, s"serial dotI8 all -128 m=$m")
+      simd.dotNormsI8(v, 0, v, 0, m, out1)
+      serial.dotNormsI8(v, 0, v, 0, m, out2)
+      assert(out1.toSeq == Seq(expect, expect, expect), s"dotNormsI8 simd m=$m")
+      assert(out2.toSeq == Seq(expect, expect, expect), s"dotNormsI8 serial m=$m")
+    }
+    // mixed-sign long vector: random bytes at a guard-exceeding length
+    // agree across kernels (the pre-fix repro shape from ADVICE)
+    val rnd = new java.util.Random(4242L)
+    val n = 200000
+    val a = new Array[Byte](n); rnd.nextBytes(a)
+    val b = new Array[Byte](n); rnd.nextBytes(b)
+    assert(simd.dotI8(a, 0, b, 0, n) == serial.dotI8(a, 0, b, 0, n), "dotI8 n=200000")
+  }
+
   test("quantizeI8 static matches the quantize_i8 expression math on edge shapes") {
     // all-zero → all-zero bytes (maxAbs == 0 branch)
     assert(VecKernels.quantizeI8(Array(0f, 0f, 0f), 0, 3).toSeq == Seq[Byte](0, 0, 0))
@@ -137,5 +165,18 @@ class SimdKernelsSpec extends AnyFunSuite {
     // identical vectors → exactly 1.0-ish regardless of provider
     val v = Array.tabulate(64)(i => (i - 32).toFloat / 7f)
     assert(math.abs(VecKernels.cosineFF(v, v) - 1.0) < 1e-12)
+  }
+
+  test("graft.simd mode string is normalized and validated") {
+    // case/whitespace-insensitive: an 'OFF' typo must not re-enable SIMD
+    assert(VecKernels.resolveMode("OFF") == "off")
+    assert(VecKernels.resolveMode(" Off ") == "off")
+    assert(VecKernels.resolveMode("Scalar") == "scalar")
+    assert(VecKernels.resolveMode("AUTO") == "auto")
+    // values outside {auto, off, scalar} fail fast with the set named
+    val e = intercept[IllegalArgumentException](VecKernels.resolveMode("offf"))
+    assert(e.getMessage.contains("auto|off|scalar"))
+    assert(intercept[IllegalArgumentException](VecKernels.resolveMode(""))
+      .getMessage.contains("auto|off|scalar"))
   }
 }
