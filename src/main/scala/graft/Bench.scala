@@ -57,6 +57,7 @@ object Bench {
     // swallowed BOTH samples of a min-of-2 on a normally sub-second
     // query (PLANS.md round-11 third-session adjudication).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val calBefore = Calibration.measure(3)
     // Optional comma-separated subset (dev tool): bench only these queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -79,7 +80,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // Host-drift denominator (r15 adjudication hinged on same-session
+    // A/Bs because the host drifted 1.2–2.2× across sessions): one
+    // fixed CPU-bound reference kernel, min-of-3 like the queries,
+    // sampled BEFORE and AFTER the query loop so a mid-run host shift
+    // is visible. Readers cite wall/calibration, not wall.
+    val calAfter = Calibration.measure(3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"calibration":$calBefore,"calibration_after":$calAfter,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that captures this output keeps only a bounded tail of
     // stdout; the full per-query line above is larger than that window, so
     // its head (metric/value) gets truncated away. Emit a second, compact
@@ -88,7 +95,7 @@ object Bench {
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"queries_n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"calibration":${r3(calBefore)},"calibration_after":${r3(calAfter)},"queries_n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

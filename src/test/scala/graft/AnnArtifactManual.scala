@@ -50,6 +50,8 @@ object AnnArtifactManual {
     val spark = session()
     graft.functions.NativeTextExpressions.register(spark)
     graft.functions.VectorFunctions.register(spark)
+    // host-drift denominator: cite wall/calibration across sessions
+    println(f"[ann-art] calibration=${graft.Calibration.measure(3)}%.3f s")
     mode match {
       case "exact" =>
         val (sf, art) = (args(1), args(2))
