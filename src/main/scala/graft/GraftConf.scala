@@ -224,6 +224,34 @@ object GraftConf {
   def annProbePq(spark: SparkSession): Boolean =
     bool(spark, "spark.graft.ann.probePq", default = false)
 
+  /** What the quantized/PQ replicated probe EMITS
+    * (`spark.graft.ann.probeRerank` = exact | off, default exact):
+    *
+    *   - `exact`: the approximate scan only selects a shortlist
+    *     (`rerankFactor`·k, floor relaxed by the quantization margin);
+    *     an in-operator float rerank re-scores it, so emitted cosines
+    *     and the `minCosine` filter are exact. Costs one corpus-join
+    *     pass over the shortlist (~rerankFactor·k rows/query).
+    *   - `off`: emit the approximate scores directly (int8: ~1e-2 error;
+    *     ADC: coarser) with `minCosine` applied to the APPROXIMATE
+    *     score — the right mode when the caller reranks exactly
+    *     downstream anyway (the q204 composition), where the in-operator
+    *     rerank would be a redundant second pass.
+    *
+    * Callers that provably rerank downstream pass the decision in code
+    * (`ivfSearch(quantizedRerank = Some(false))`), which wins over this
+    * conf.
+    */
+  def annProbeRerank(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.ann.probeRerank") match {
+      case None => "exact"
+      case Some(raw) => raw.trim.toLowerCase match {
+        case m @ ("exact" | "off") => m
+        case other => throw new IllegalArgumentException(
+          s"conf spark.graft.ann.probeRerank must be exact|off, got '$other'")
+      }
+    }
+
   /** Shortlist overfetch of the quantized/PQ replicated probe: the
     * approximate scan keeps `rerankFactor`·k candidates per query for the
     * exact rerank (the same knob the PQ search routes default to 4).

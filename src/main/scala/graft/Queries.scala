@@ -2450,7 +2450,13 @@ object Queries {
       .ivfSearch(graft.operators.Similarity
           .ivfBuild(emb.repartition(fanout), numCentroids = nLists,
             trainIters = confInt(spark, "spark.graft.ann.trainIters", 1)),
-        emb.repartition(fanout), k = 25, nprobe = nprobe, minCosine = Some(0.6))
+        emb.repartition(fanout), k = 25, nprobe = nprobe, minCosine = Some(0.6),
+        // the sorted_dot ≥0.8 rerank below rescoring TRUE tf-idf vectors
+        // makes any in-operator quantized-shortlist rerank a redundant
+        // second pass — the ivfSearch output is a shortlist heuristic
+        // here, so approximate scores are the honest (and 4× cheaper
+        // at sf20) contract for this composition
+        quantizedRerank = Some(false))
       .select(col("query_id").as("doc_id"), col("neighbor_id").as("nbr_id"))
     val reranked = shortlist
       .join(broadcast(sparse.select(col("id").as("doc_id"), col("ks").as("ka"), col("vs").as("va"))), "doc_id")

@@ -728,7 +728,8 @@ object Similarity extends org.apache.spark.internal.Logging {
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 maxBroadcastQueries: Long = DefaultMaxBroadcastQueries,
                 minCosine: Option[Double] = None,
-                blockRows: Int = DefaultBlockRows): DataFrame = {
+                blockRows: Int = DefaultBlockRows,
+                quantizedRerank: Option[Boolean] = None): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     // Query vectors must match the index dimension, checked HERE — in the
     // probe scan itself, no extra job — so both probe orientations reject
@@ -778,10 +779,15 @@ object Similarity extends org.apache.spark.internal.Logging {
       int8Mode = graft.GraftConf.annProbeInt8Mode(spark),
       pq = graft.GraftConf.annProbePq(spark)) match {
       case Right((scoring, why)) =>
+        val rerank = quantizedRerank.getOrElse(
+          graft.GraftConf.annProbeRerank(spark) == "exact")
         logInfo(s"ivf probe scan: REPLICATED orientation, $scoring scoring ($why; " +
-          "index broadcast whole, zero probe exchange)")
+          "index broadcast whole, zero probe exchange" +
+          (if (scoring == "float") ""
+           else if (rerank) "; exact shortlist rerank"
+           else "; APPROXIMATE scores, rerank off") + ")")
         return ivfSearchReplicated(index, queries, checkedVec, k, nprobe,
-          idCol, vecCol, minCosine, blockRows, scoring)
+          idCol, vecCol, minCosine, blockRows, scoring, rerank)
       case Left(reason) =>
         logInfo(s"ivf probe scan: distributed orientations ($reason)")
     }
@@ -1022,7 +1028,7 @@ object Similarity extends org.apache.spark.internal.Logging {
                                   k: Int, nprobe: Int, idCol: String,
                                   vecCol: String, minCosine: Option[Double],
                                   blockRows: Int,
-                                  scoring: String): DataFrame = {
+                                  scoring: String, rerank: Boolean): DataFrame = {
     import graft.functions.VectorFunctions
     val spark = queries.sparkSession
     def packedDf = index.packed match {
@@ -1084,12 +1090,21 @@ object Similarity extends org.apache.spark.internal.Logging {
         round(col("cosine"), 4).as("cosine"), col("rk"))
     }
 
-    // ---- approximate-scan regimes (int8 / pq): the quantized copy only
-    // SELECTS a shortlist (rerankFactor·k per query, floor relaxed by the
-    // regime's quantization margin); scores and the minCosine filter are
-    // EXACT via an in-operator float rerank — the same recipe as the PQ
-    // search routes, so flipping the regime never changes score
-    // semantics, only shortlist membership (recall spec-gated).
+    // ---- approximate-scan regimes (int8 / pq).
+    //
+    // rerank = true (conf default): the quantized copy only SELECTS a
+    // shortlist (rerankFactor·k per query, floor relaxed by the regime's
+    // quantization margin); scores and the minCosine filter are EXACT via
+    // an in-operator float rerank — the same recipe as the PQ search
+    // routes, so flipping the regime never changes score semantics, only
+    // shortlist membership (recall spec-gated).
+    //
+    // rerank = false (callers that provably rerank exactly downstream,
+    // e.g. the q204 composition): emit the approximate scores directly —
+    // int8 ~1e-2 error, ADC coarser — with minCosine applied to the
+    // approximate score. The in-operator rerank would be a redundant
+    // second pass there (measured sf20: it cost ~4× the probe kernel
+    // before the slim-shortlist/hash-join form below).
     //
     // Driver residency: the float blocks are decoded and re-encoded ONE
     // AT A TIME off a toLocalIterator stream, so the driver never holds
@@ -1098,18 +1113,10 @@ object Similarity extends org.apache.spark.internal.Logging {
     // replicate-budget footprint a whole-collect would pin at exactly
     // the scale these regimes target.
     val rerankFactor = graft.GraftConf.annRerankFactor(spark)
-    val kFetch = math.max(k, k * rerankFactor)
+    val kFetch = if (rerank) math.max(k, k * rerankFactor) else k
     val margin = if (scoring == "pq") PqFloorMargin else Int8FloorMargin
-    val fetchFloor = if (minCosine.isDefined) floor - margin else floor
-    val shortSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("query_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("query_vec",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType, containsNull = false)),
-      org.apache.spark.sql.types.StructField("neighbor_id",
-        org.apache.spark.sql.types.LongType)))
-    val shortlist: DataFrame = scoring match {
+    val fetchFloor = if (rerank && minCosine.isDefined) floor - margin else floor
+    val ranked: DataFrame = scoring match {
       case "int8" =>
         val quantized: Array[(Long, VectorFunctions.QuantBlock)] = {
           val buf = scala.collection.mutable.ArrayBuffer
@@ -1127,20 +1134,19 @@ object Similarity extends org.apache.spark.internal.Logging {
           val byList = groupByList(bcQ.value)
           it.flatMap { r =>
             val qid = r.getLong(0)
-            val qseq = r.getSeq[Float](1)
-            val qf = qseq.toArray
+            val qf = r.getSeq[Float](1).toArray
             val q = graft.functions.VecKernels.quantizeI8(qf, 0, qf.length)
             val lists = r.getSeq[Long](2)
             val blocks = lists.iterator.flatMap { l =>
               val b = byList.get(l)
               if (b == null) Iterator.empty else b.iterator
             }
-            val (ids, _, size) = VectorFunctions.replicatedTopKI8(
+            val (ids, scores, size) = VectorFunctions.replicatedTopKI8(
               qid, q, blocks, kFetch, fetchFloor)
             (0 until size).iterator.map(i =>
-              org.apache.spark.sql.Row(qid, qseq, ids(i)))
+              org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
           }
-        }(org.apache.spark.sql.Encoders.row(shortSchema))
+        }(org.apache.spark.sql.Encoders.row(outSchema))
       case "pq" =>
         val m = graft.GraftConf.annPqM(spark)
         val ksub = graft.GraftConf.annPqKsub(spark)
@@ -1195,8 +1201,7 @@ object Similarity extends org.apache.spark.internal.Logging {
           val nLut = bcNorm.value
           it.flatMap { r =>
             val qid = r.getLong(0)
-            val qseq = r.getSeq[Float](1)
-            val qf = qseq.toArray
+            val qf = r.getSeq[Float](1).toArray
             val lut = VectorFunctions.pqRepLut(qf, cbs)
             val qn = VectorFunctions.pqRepQueryNorm(qf)
             val lists = r.getSeq[Long](2)
@@ -1204,25 +1209,65 @@ object Similarity extends org.apache.spark.internal.Logging {
               val b = byList.get(l)
               if (b == null) Iterator.empty else b.iterator
             }
-            val (ids, _, size) = VectorFunctions.replicatedTopKPq(
+            val (ids, scores, size) = VectorFunctions.replicatedTopKPq(
               qid, lut, nLut, qn, blocks, kFetch, fetchFloor)
             (0 until size).iterator.map(i =>
-              org.apache.spark.sql.Row(qid, qseq, ids(i)))
+              org.apache.spark.sql.Row(qid, ids(i), scores(i), i + 1))
           }
-        }(org.apache.spark.sql.Encoders.row(shortSchema))
+        }(org.apache.spark.sql.Encoders.row(outSchema))
       case other =>
         throw new IllegalArgumentException(s"unknown replicated scoring '$other'")
     }
-    // exact rerank: join the float vectors back for the shortlist rows
-    // only (rerankFactor·k per query — corpus-independent volume), score
-    // with the exact cosine kernel, re-apply the exact floor, rank under
-    // the float path's (cosine desc, neighbor_id asc) total order.
+    if (!rerank)
+      // approximate direct emission (rank BEFORE rounding, like float)
+      return ranked.select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rk"))
+    // Exact rerank of the SLIM shortlist: (query_id, neighbor_id) rows
+    // only — 16 B/row through the first exchange; the 1 KB float vectors
+    // attach via two SHUFFLE_HASH joins so the fat stream is NEVER
+    // SORTED (the first SMJ formulation carried query_vec per shortlist
+    // row into a sort-merge join — sf20 measured the rerank at ~4× the
+    // probe kernel, spilling GBs of sort data). Join order puts the
+    // query_id join LAST so the top-k window reuses its partitioning:
+    // one fat exchange total (corpus_vec per shortlist row), slim window
+    // sort (column pruning drops both vectors before it).
+    val slim = ranked.select(col("query_id"), col("neighbor_id"))
+    // Corpus floats for the rerank: decode them from the PACKED blobs
+    // when the index carries an artifact — `assigned/` is partitioned by
+    // list_id into O(lists × writers) small files (sf20 artifact:
+    // 113,576 parquet files; reading them once cost a large slice of the
+    // first rerank measurement), while the blob table is a handful of
+    // compact files holding the same float bits.
+    val corpusSide: DataFrame = index.packed match {
+      case Some(_) =>
+        val decSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("corpus_vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, containsNull = false))))
+        packedDf.select(col("block"))
+          .mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+            it.flatMap { r =>
+              val blk = VectorFunctions.decodeBlock(r.getAs[Array[Byte]](0))
+              (0 until blk.n).iterator.map { i =>
+                org.apache.spark.sql.Row(blk.ids(i),
+                  java.util.Arrays.copyOfRange(
+                    blk.vecs, i * blk.dim, (i + 1) * blk.dim))
+              }
+            }
+          }(org.apache.spark.sql.Encoders.row(decSchema))
+      case None => index.assigned.select(col("neighbor_id"), col("corpus_vec"))
+    }
+    val querySide = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val rescored = shortlist
-      .join(index.assigned.select(col("neighbor_id"), col("corpus_vec")),
-        "neighbor_id")
+    val rescored = slim
+      .join(corpusSide.hint("SHUFFLE_HASH"), "neighbor_id")
+      .join(querySide.hint("SHUFFLE_HASH"), "query_id")
       .withColumn("cosine", VectorFunctions.cosine("query_vec", "corpus_vec"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val floored = minCosine match {
       case Some(t) => rescored.filter(col("cosine") >= t)
       case None => rescored

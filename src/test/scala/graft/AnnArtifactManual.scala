@@ -92,6 +92,11 @@ object AnnArtifactManual {
         val nVecs = emb.count()
         val (_, nprobe) = graft.operators.Similarity.ivfAutoGeometry(spark, nVecs)
         val sparse = vecs.select(col("id"), col("ks"), col("vs"))
+        // quantizedRerank stays conf-driven here (default exact) so the
+        // in-operator rerank cost is measurable; the q204 DEPLOYMENT
+        // number mirrors annTopkTfidf's in-code Some(false) by pinning
+        // SPARK_GRAFT_CONF="spark.graft.ann.probeRerank=off" — this
+        // harness reranks exactly at 0.8 over true tf-idf vectors below
         val shortlist = graft.operators.Similarity
           .ivfSearch(index, emb, k = 25, nprobe = nprobe, minCosine = Some(0.6))
           .select(col("query_id").as("doc_id"), col("neighbor_id").as("nbr_id"))

@@ -200,6 +200,39 @@ class QuantizedProbeSpec extends SparkSpec {
     assert(noBc.isLeft && noBc.swap.exists(_.contains("maxBroadcastQueries")))
   }
 
+  test("probeRerank=off emits approximate scores deterministically (the q204 contract)") {
+    VectorFunctions.register(spark)
+    val index = Similarity.ivfBuild(emb, numCentroids = 2, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 20)
+    assert(graft.GraftConf.annProbeRerank(spark) == "exact", "default must stay exact")
+    val off = withConf("spark.graft.ann.probeInt8" -> "true",
+      "spark.graft.ann.probeRerank" -> "off",
+      "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
+      val r1 = rows(Similarity.ivfSearch(index, queries, k = 5, nprobe = 2,
+        minCosine = None))
+      val r2 = rows(Similarity.ivfSearch(index, queries, k = 5, nprobe = 2,
+        minCosine = None))
+      assert(r1 == r2, "off-mode probe is not deterministic")
+      r1
+    }
+    // the emitted approximate scores stay within the int8 margin of the
+    // exact cosine (the bound the exact-rerank floor relaxation uses)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qa"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("qb"))
+    import spark.implicits._
+    val offDf = off.toSeq.toDF("query_id", "neighbor_id", "cosine", "rk")
+    val maxErr = offDf.join(q, "query_id").join(c, "neighbor_id")
+      .select(abs(col("cosine") - expr("cosine_sim(qa, qb)")).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(maxErr <= Similarity.Int8FloorMargin,
+      f"off-mode score error $maxErr%.4f exceeds the documented margin")
+    // a malformed value fails naming the conf
+    withConf("spark.graft.ann.probeRerank" -> "none") {
+      val e = intercept[IllegalArgumentException](graft.GraftConf.annProbeRerank(spark))
+      assert(e.getMessage.contains("probeRerank"))
+    }
+  }
+
   test("conf default is auto and a malformed value fails naming the conf") {
     assert(graft.GraftConf.annProbeInt8Mode(spark) == "auto")
     withConf("spark.graft.ann.probeInt8" -> "yes") {

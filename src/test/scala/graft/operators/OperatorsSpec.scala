@@ -194,9 +194,16 @@ class OperatorsSpec extends SparkSpec {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val got = runSet(Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        numHashes = 16, bands = 8))
+      // pin the DECISION LOG too: the cap fallback must say why it
+      // skipped the grid (the greppability rule), not just do it
+      val (got, logs) = graft.LogCapture("graft.operators.Dedup") {
+        runSet(Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8))
+      }
       assert(got == broadcastAll, "cap fallback diverged")
+      assert(logs.exists(m => m.contains("JOIN-form regime") &&
+        m.contains("> cap")),
+        s"cap-fallback decision did not log; captured: ${logs.mkString(" | ")}")
     } finally {
       spark.conf.unset("spark.graft.broadcastBytes")
       spark.conf.unset("spark.graft.bandJoin.broadcastRows")
