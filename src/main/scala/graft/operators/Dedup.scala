@@ -742,6 +742,58 @@ object Dedup extends org.apache.spark.internal.Logging {
     * is bounded (per-bucket, per-domain) and the answer must be exact, and
     * the MinHash path when it is not.
     */
+  /** Width of the inverted-index gram self-join (and of the pair
+    * aggregation downstream of it). The join stage holds the PARTIAL
+    * pair-count hash map, whose key cardinality is per-task pairs =
+    * per-task grams × df (df constant on a real corpus ⇒ linear in the
+    * task's gram share) — at the default fixed width the map grows with
+    * the corpus until it crosses the memory-subsystem cliff: q80 at the
+    * 1M-doc tier spent its whole join stage inside
+    * BytesToBytesMap.append/growAndRehash (~8M keys/task × 32 concurrent
+    * ≈ the execution pool), 6.5× the wall of the 500k tier on 2× rows;
+    * re-run at 4× the width it came back to ~linear. Width therefore
+    * scales with the corpus bytes estimate (jobless, Catalyst stats) at
+    * `spark.graft.ngram.joinPartitionBytes` per task, never below the
+    * session default (small scales keep their exact plans — the widen
+    * only fires past ~32 MiB of compressed docs at the 32-partition
+    * default), capped like the other width pins. Logged when it widens.
+    */
+  private[operators] def gramJoinWidth(docs: DataFrame): Int = {
+    val spark = docs.sparkSession
+    val default = spark.sessionState.conf.numShufflePartitions
+    val budget = graft.GraftConf.long(spark,
+      "spark.graft.ngram.joinPartitionBytes", 1L << 20)
+    val est: BigInt = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val w = (est / BigInt(budget.max(1L)) + 1)
+      .max(BigInt(default)).min(BigInt(65536)).toInt
+    if (w != default)
+      logInfo(s"ngram inverted-index join: gram exchange widened to $w " +
+        s"(est corpus $est B, budget $budget B/task, default $default)")
+    w
+  }
+
+  /** Repartition `grams` for the self-join when the width pin fires;
+    * below it the plan is byte-identical to the unpinned form. */
+  private def widenedGrams(docs: DataFrame, grams: DataFrame): DataFrame = {
+    val w = gramJoinWidth(docs)
+    if (w > docs.sparkSession.sessionState.conf.numShufflePartitions)
+      grams.repartition(w, col("gh"))
+    else grams
+  }
+
+  /** Pair-aggregation partitioning: same width as the gram join so the
+    * FINAL pair-count map scales with the corpus too (the groupBy's own
+    * exchange is elided — the explicit partitioning satisfies its
+    * clustering requirement, so the exchange count is unchanged). */
+  private def widenedPairs(docs: DataFrame, joined: DataFrame,
+                           aCol: org.apache.spark.sql.Column,
+                           bCol: org.apache.spark.sql.Column): DataFrame = {
+    val w = gramJoinWidth(docs)
+    if (w > docs.sparkSession.sessionState.conf.numShufflePartitions)
+      joined.repartition(w, aCol, bCol)
+    else joined
+  }
+
   def ngramJaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
     NativeTextExpressions.register(docs.sparkSession)
@@ -757,11 +809,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     // which evaluates the expensive native expression TWICE per row;
     // the outer variant needs no pre-filter (a null text row surfaces as
     // one null-gram row and is dropped by the join's null rejection).
-    val grams = docs
+    val grams = widenedGrams(docs, docs
       .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
-      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh"))
-    grams.as("a")
+      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh")))
+    val joined = grams.as("a")
       .join(grams.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+    widenedPairs(docs, joined, col("a.id"), col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"),
         first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
@@ -783,11 +836,12 @@ object Dedup extends org.apache.spark.internal.Logging {
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, threshold: Double = 0.9): DataFrame = {
     NativeTextExpressions.register(docs.sparkSession)
-    val grams = docs
+    val grams = widenedGrams(docs, docs
       .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
-      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh"))
-    grams.as("a")
+      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh")))
+    val joined = grams.as("a")
       .join(grams.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+    widenedPairs(docs, joined, col("a.id"), col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"),
         first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
@@ -926,11 +980,12 @@ object Dedup extends org.apache.spark.internal.Logging {
                     idCol: String, textCol: String,
                     n: Int = 3, threshold: Double = 0.5): DataFrame = {
     NativeTextExpressions.register(left.sparkSession)
-    def grams(df: DataFrame) = df
+    def grams(side: DataFrame) = widenedGrams(left, side
       .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
-      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh"))
-    grams(left).as("a")
+      .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh")))
+    val joined = grams(left).as("a")
       .join(grams(right).as("b"), col("a.gh") === col("b.gh"))
+    widenedPairs(left, joined, col("a.id"), col("b.id"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .agg(count(lit(1)).as("common"),
         first(col("a.sz")).as("__szl"), first(col("b.sz")).as("__szr"))

@@ -288,6 +288,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out((0L, 3L)) < 0.1)
   }
 
+  test("gram-join width pin is invisible in results and logs its decision") {
+    // the widened plan replaces the join-stage partial agg with a single
+    // complete aggregation above an explicit exchange — results must be
+    // identical (count and first-over-a-per-id-constant are partitioning-
+    // independent), and the pin must say so in the log
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val real = graft.Tables(spark, sf0001, "documents")
+    val default = rows(Dedup.ngramJaccardAllPairs(real, "doc_id", "text"))
+    // a budget that widens a few-x past the 4-partition test default
+    // (budget 1 would request the 65536 cap — a scheduling stall, not a test)
+    val est = real.queryExecution.optimizedPlan.stats.sizeInBytes
+    spark.conf.set("spark.graft.ngram.joinPartitionBytes", (est / 16).max(1).toString)
+    try {
+      val (widened, logs) = graft.LogCapture("graft.operators.Dedup") {
+        rows(Dedup.ngramJaccardAllPairs(real, "doc_id", "text"))
+      }
+      assert(widened == default, "width pin changed the pair set")
+      assert(logs.exists(_.contains("gram exchange widened")),
+        s"width decision did not log; captured: ${logs.take(3).mkString(" | ")}")
+    } finally spark.conf.unset("spark.graft.ngram.joinPartitionBytes")
+    // containment: same invariance
+    val cd = Dedup.ngramContainmentPairs(real, "doc_id", "text").count()
+    spark.conf.set("spark.graft.ngram.joinPartitionBytes", (est / 16).max(1).toString)
+    try assert(Dedup.ngramContainmentPairs(real, "doc_id", "text").count() == cd)
+    finally spark.conf.unset("spark.graft.ngram.joinPartitionBytes")
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),
