@@ -262,6 +262,28 @@ object GraftConf {
     v
   }
 
+  /** Floor relaxation of the PQ/ADC shortlist scan
+    * (`spark.graft.ann.pqFloorMargin`, default 0.10): a candidate whose
+    * TRUE cosine clears `minCosine` may score up to this much lower under
+    * ADC reconstruction, so the quantized scan keeps everything above
+    * `floor − margin` and the exact rerank re-applies the exact floor.
+    * Unlike the int8 margin (a measured global bound — scalar-quantizer
+    * error stays well under 0.02 on unit-ish vectors), ADC error is
+    * DATASET-dependent: codebook quality sets it, and sparse/hashed
+    * vectors reconstruct far worse than dense ones (the measured PQ
+    * rejection on the tf-idf corpus). The default is pinned against the
+    * observed max ADC error on the dense test fixture (QuantizedProbeSpec
+    * measures it the way the int8 off-mode test pins Int8FloorMargin);
+    * a corpus with coarser reconstruction must widen it from its own
+    * off-mode measurement before trusting a PQ shortlist under a floor.
+    */
+  def annPqFloorMargin(spark: SparkSession): Double = {
+    val v = double(spark, "spark.graft.ann.pqFloorMargin",
+      graft.operators.Similarity.PqFloorMargin)
+    require(v >= 0, s"spark.graft.ann.pqFloorMargin must be >= 0, got $v")
+    v
+  }
+
   /** Subquantizer count for the replicated PQ probe copy (dim must
     * divide by it). 8 at dim 64 → 8-float subspaces, 8 bytes/vector.
     */

@@ -205,23 +205,39 @@ object Bpe {
     * would have chosen, so k merges cost ~k/batch jobs with a
     * bit-identical merge table (spec-pinned against the local trainer).
     *
-    * Why a prefix can be exact: merging (l, r) changes only the counts
-    * of pairs ADJACENT to its occurrences — pairs touching l or r
-    * decrease, and the only pairs that can INCREASE are the newly
-    * created (x, lr) / (lr, y), each bounded by both the merged pair's
-    * own count and the snapshot count of the neighbor pair it descends
-    * from ((x, lr) ≤ count(x, l) ≤ max over pairs ending in l). So a
-    * candidate is accepted while (a) its symbols are disjoint from every
-    * earlier accepted merge — its own count is then still its snapshot
-    * count — and (b) its count STRICTLY exceeds the accumulated creation
-    * bound — no pair created by the earlier accepted merges can have
-    * overtaken it (strict, so the lexicographic tie-break can never be
-    * contested by an unseen created pair). The first rejected candidate
-    * ends the round: from there the sequential argmax may differ from
-    * snapshot order. The first candidate is always accepted, so progress
-    * is guaranteed and the worst case (top pairs sharing symbols — early
-    * rounds of natural text: " t h ", " h e ") degenerates to the old
-    * one-merge-per-round behavior plus two tiny aggregations.
+    * Why a prefix can be exact: merging m = (l, r) changes only the
+    * counts of pairs sharing an OCCURRENCE with it — a pair p decreases
+    * iff p.right = l (the " x l r " context destroys (x, l)) or
+    * p.left = r (" l r y " destroys (r, y)); every other existing pair's
+    * count is untouched, INCLUDING pairs that merely share a symbol on
+    * the same side (merging (t, h) leaves (t, o) and (s, h) exact —
+    * those occurrences never overlap an " t h " site). The r16 rule
+    * required full symbol-DISJOINTNESS and so rejected exactly these
+    * safe same-side candidates; that over-strictness was the measured
+    * 2.7-accepts/round ceiling (the r17 count-gap item). The only pairs
+    * that can INCREASE are the created (x, lr) / (lr, y), each bounded
+    * by both the merged pair's own count and the snapshot count of the
+    * neighbor pair it descends from ((x, lr) ≤ count(x, l) ≤ max over
+    * pairs ending in l) — and, when the spelling `lr` collides with an
+    * EXISTING symbol, a snapshot pair adjacent to that symbol can be
+    * boosted by the same created mass, so the bound for that merge adds
+    * the colliding symbol's largest adjacent snapshot count (previously
+    * an unguarded hole, never observed on [a-z] corpora, now closed).
+    *
+    * A candidate is therefore accepted while (a) no earlier accepted
+    * merge is ADJACENT to it (candidate.right ∉ accepted lefts,
+    * candidate.left ∉ accepted rights) and neither of its symbols
+    * collides with a created spelling — its own count is then provably
+    * still its snapshot count, so the recorded pairCount matches the
+    * sequential trainer bit-for-bit — and (b) its count STRICTLY
+    * exceeds the accumulated creation bound — no pair created or
+    * boosted by the earlier accepted merges can have overtaken it
+    * (strict, so the lexicographic tie-break can never be contested by
+    * an unseen created pair). The first rejected candidate ends the
+    * round: from there the sequential argmax may differ from snapshot
+    * order. The first candidate is always accepted, so progress is
+    * guaranteed and the worst case degenerates to one merge per round
+    * plus two tiny aggregations.
     */
   def trainMergesDistributed(profile: DataFrame, numMerges: Int,
                              batchCandidates: Int = 1024): Seq[BpeMerge] = {
@@ -256,18 +272,35 @@ object Bpe {
             .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
           val maxStartingWith = cand.groupBy(col("l")).agg(max(col("cnt")).as("m"))
             .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-          val used = scala.collection.mutable.Set.empty[String]
+          val leftSyms = scala.collection.mutable.Set.empty[String]
+          val rightSyms = scala.collection.mutable.Set.empty[String]
+          val createdSpellings = scala.collection.mutable.Set.empty[String]
           var createdBound = Long.MinValue
           var i = 0
           var stop = false
           val before = merges.size
           while (i < top.length && !stop && merges.size < numMerges) {
             val (l, r, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
-            if (merges.size == before || (!used(l) && !used(r) && c > createdBound)) {
+            // exact-count safety (see the proof above): no earlier accepted
+            // merge adjacent to this candidate, no created-spelling boost,
+            // and the snapshot count strictly above everything creation
+            // could have produced
+            val adjacencySafe = !leftSyms(r) && !rightSyms(l)
+            val boostSafe = !createdSpellings(l) && !createdSpellings(r)
+            if (merges.size == before ||
+                (adjacencySafe && boostSafe && c > createdBound)) {
               merges += BpeMerge(merges.size + 1, l, r, c)
-              used += l; used += r
-              createdBound = math.max(createdBound, math.min(c,
-                math.max(maxEndingIn.getOrElse(l, 0L), maxStartingWith.getOrElse(r, 0L))))
+              leftSyms += l; rightSyms += r
+              val spelling = l + r
+              val sigma = math.min(c,
+                math.max(maxEndingIn.getOrElse(l, 0L), maxStartingWith.getOrElse(r, 0L)))
+              // spelling collision: created mass can land ON TOP of an
+              // existing pair adjacent to the `lr` symbol — add its
+              // largest snapshot count to the bound for this merge
+              val boostBase = math.max(maxEndingIn.getOrElse(spelling, 0L),
+                maxStartingWith.getOrElse(spelling, 0L))
+              createdBound = math.max(createdBound, sigma + boostBase)
+              createdSpellings += spelling
               i += 1
             } else stop = true
           }

@@ -758,12 +758,22 @@ object Dedup extends org.apache.spark.internal.Logging {
     * only fires past ~32 MiB of compressed docs at the 32-partition
     * default), capped like the other width pins. Logged when it widens.
     */
-  private[operators] def gramJoinWidth(docs: DataFrame): Int = {
-    val spark = docs.sparkSession
+  private[operators] def gramJoinWidth(docs: DataFrame): Int =
+    gramJoinWidthOf(docs.sparkSession,
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+
+  /** Width from an explicit corpus-bytes estimate — the two-sided join
+    * ([[textFuzzyJoin]]) sizes its exchange from max(left, right): a
+    * small left joined against a large right still carries the large
+    * side's grams through the pair-count map, so the LEFT-only estimate
+    * the first cut used never widened exactly where the cliff lives.
+    * Computed ONCE per operator invocation and threaded to both the gram
+    * and pair helpers (the width is deterministic for fixed stats, but a
+    * single computation keeps the log line per call honest). */
+  private[operators] def gramJoinWidthOf(spark: SparkSession, est: BigInt): Int = {
     val default = spark.sessionState.conf.numShufflePartitions
     val budget = graft.GraftConf.long(spark,
       "spark.graft.ngram.joinPartitionBytes", 1L << 20)
-    val est: BigInt = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val w = (est / BigInt(budget.max(1L)) + 1)
       .max(BigInt(default)).min(BigInt(65536)).toInt
     if (w != default)
@@ -774,25 +784,21 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   /** Repartition `grams` for the self-join when the width pin fires;
     * below it the plan is byte-identical to the unpinned form. */
-  private def widenedGrams(docs: DataFrame, grams: DataFrame): DataFrame = {
-    val w = gramJoinWidth(docs)
-    if (w > docs.sparkSession.sessionState.conf.numShufflePartitions)
+  private def widenedGrams(w: Int, grams: DataFrame): DataFrame =
+    if (w > grams.sparkSession.sessionState.conf.numShufflePartitions)
       grams.repartition(w, col("gh"))
     else grams
-  }
 
   /** Pair-aggregation partitioning: same width as the gram join so the
     * FINAL pair-count map scales with the corpus too (the groupBy's own
     * exchange is elided — the explicit partitioning satisfies its
     * clustering requirement, so the exchange count is unchanged). */
-  private def widenedPairs(docs: DataFrame, joined: DataFrame,
+  private def widenedPairs(w: Int, joined: DataFrame,
                            aCol: org.apache.spark.sql.Column,
-                           bCol: org.apache.spark.sql.Column): DataFrame = {
-    val w = gramJoinWidth(docs)
-    if (w > docs.sparkSession.sessionState.conf.numShufflePartitions)
+                           bCol: org.apache.spark.sql.Column): DataFrame =
+    if (w > joined.sparkSession.sessionState.conf.numShufflePartitions)
       joined.repartition(w, aCol, bCol)
     else joined
-  }
 
   def ngramJaccardAllPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -809,12 +815,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     // which evaluates the expensive native expression TWICE per row;
     // the outer variant needs no pre-filter (a null text row surfaces as
     // one null-gram row and is dropped by the join's null rejection).
-    val grams = widenedGrams(docs, docs
+    val w = gramJoinWidth(docs)
+    val grams = widenedGrams(w, docs
       .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
       .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh")))
     val joined = grams.as("a")
       .join(grams.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
-    widenedPairs(docs, joined, col("a.id"), col("b.id"))
+    widenedPairs(w, joined, col("a.id"), col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"),
         first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
@@ -836,12 +843,13 @@ object Dedup extends org.apache.spark.internal.Logging {
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, threshold: Double = 0.9): DataFrame = {
     NativeTextExpressions.register(docs.sparkSession)
-    val grams = widenedGrams(docs, docs
+    val w = gramJoinWidth(docs)
+    val grams = widenedGrams(w, docs
       .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
       .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh")))
     val joined = grams.as("a")
       .join(grams.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
-    widenedPairs(docs, joined, col("a.id"), col("b.id"))
+    widenedPairs(w, joined, col("a.id"), col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"),
         first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
@@ -980,12 +988,17 @@ object Dedup extends org.apache.spark.internal.Logging {
                     idCol: String, textCol: String,
                     n: Int = 3, threshold: Double = 0.5): DataFrame = {
     NativeTextExpressions.register(left.sparkSession)
-    def grams(side: DataFrame) = widenedGrams(left, side
+    // width from max(left, right): the pair-count map carries the LARGE
+    // side's grams regardless of which side is small
+    val w = gramJoinWidthOf(left.sparkSession,
+      left.queryExecution.optimizedPlan.stats.sizeInBytes
+        .max(right.queryExecution.optimizedPlan.stats.sizeInBytes))
+    def grams(side: DataFrame) = widenedGrams(w, side
       .select(col(idCol).as("id"), expr(s"word_ngram_hashes($textCol, $n)").as("__gs"))
       .select(col("id"), size(col("__gs")).as("sz"), explode_outer(col("__gs")).as("gh")))
     val joined = grams(left).as("a")
       .join(grams(right).as("b"), col("a.gh") === col("b.gh"))
-    widenedPairs(left, joined, col("a.id"), col("b.id"))
+    widenedPairs(w, joined, col("a.id"), col("b.id"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .agg(count(lit(1)).as("common"),
         first(col("a.sz")).as("__szl"), first(col("b.sz")).as("__szr"))

@@ -597,7 +597,15 @@ object Similarity extends org.apache.spark.internal.Logging {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
-    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+    // the sample sort key only fixes seed ORDER (determinism), so any
+    // deterministic i64 works: numeric ids cast; generic ids (string
+    // UUIDs, composite keys rendered to text) take the same xxhash64
+    // surrogate the id-generic build uses
+    val sampleKey = corpus.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol).cast("long")
+      case _ => surrogateId(col(idCol))
+    }
+    val sample = corpus.select(sampleKey, col(vecCol))
       .limit(math.max(numCentroids, 1024)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -668,17 +676,49 @@ object Similarity extends org.apache.spark.internal.Logging {
       centroids: Seq[(Long, Array[Float])], assigned: DataFrame,
       packed: Option[DataFrame] = None)
 
+  /** Deterministic i64 surrogate for a non-long id column — the id-generic
+    * ramp onto the long-id core: every kernel (pack_vec_block's blobs, the
+    * int8/PQ resident copies, the SIMD dots) carries ids as i64, so a
+    * string/UUID/composite-key corpus maps ids once at BUILD time
+    * (xxhash64 over the canonical string form — order-free, replay-stable)
+    * and the original ids ride `assigned` as an `orig_id` column the
+    * search decodes in its final projection. Collision budget: two ids
+    * colliding would merge two vectors' identities, so the generic search
+    * path AUDITS the mapping (countDistinct(surrogate) must equal
+    * countDistinct(orig)) and fails loud — same 2⁻⁶⁴ budget as the gram
+    * hashes, but checked, not assumed, because here a collision changes
+    * an answer rather than one similarity score.
+    */
+  private[operators] def surrogateId(c: org.apache.spark.sql.Column) =
+    xxhash64(c.cast("string"))
+
+  /** (neighbor_id, corpus_vec, list_id[, orig_id]) for a corpus/batch:
+    * long ids pass through; generic ids take the surrogate and keep the
+    * original alongside for decode.
+    */
+  private def assignCols(df: DataFrame, cents: Seq[(Long, Array[Float])],
+                         idCol: String, vecCol: String): DataFrame =
+    if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+      df.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
+        nearestCentroid(col(vecCol), cents).as("list_id"))
+    else
+      df.select(surrogateId(col(idCol)).as("neighbor_id"),
+        col(vecCol).as("corpus_vec"),
+        nearestCentroid(col(vecCol), cents).as("list_id"),
+        col(idCol).as("orig_id"))
+
   /** Train the codebook and assign every corpus vector to its inverted
     * list — one scan-local pass after training (no join, no shuffle).
+    * Non-long id columns are supported: ids map to an i64 surrogate at
+    * build ([[surrogateId]]) and the original rides `assigned.orig_id`,
+    * decoded transparently by [[ivfSearch]].
     */
   def ivfBuild(corpus: DataFrame,
                numCentroids: Int = 16, trainIters: Int = 3,
                idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     VectorFunctions.register(corpus.sparkSession)
     val cents = trainCentroidsLocal(corpus, numCentroids, trainIters, idCol, vecCol)
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
-      nearestCentroid(col(vecCol), cents).as("list_id"))
-    IvfIndex(cents, assigned)
+    IvfIndex(cents, assignCols(corpus, cents, idCol, vecCol))
   }
 
   /** Search a prebuilt index: each query scans only its `nprobe` nearest
@@ -731,6 +771,14 @@ object Similarity extends org.apache.spark.internal.Logging {
                 blockRows: Int = DefaultBlockRows,
                 quantizedRerank: Option[Boolean] = None): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
+    // Non-long query ids: encode onto the i64 surrogate core and decode
+    // in the final projection — EVERY orientation (replicated float/int8/
+    // PQ, per-query, cross-block) is then available to a string-id corpus
+    // (previously those corpora could not search at all: the packed-blob
+    // kernel carries i64 ids by analysis-time contract).
+    if (queries.schema(idCol).dataType != org.apache.spark.sql.types.LongType)
+      return ivfSearchGenericIds(index, queries, k, nprobe, idCol, vecCol,
+        maxBroadcastQueries, minCosine, blockRows, quantizedRerank)
     // Query vectors must match the index dimension, checked HERE — in the
     // probe scan itself, no extra job — so both probe orientations reject
     // a ragged query batch identically. Before this check the accepted
@@ -751,18 +799,14 @@ object Similarity extends org.apache.spark.internal.Logging {
     // top-k is computed where its row sits, by the same total order).
     // Stats-estimated corpus bytes, BigInt like the copy gate: an
     // unknown-stats plan reads as huge and lands on the distributed
-    // path — the safe direction. Long ids only (the packed blobs carry
-    // i64 ids); non-long id corpora keep the generic join path, which
-    // rejects them with the kernel's own analysis error as before.
+    // path — the safe direction. Ids are i64 HERE by construction: the
+    // generic-id branch above mapped any other id type onto the xxhash64
+    // surrogate, so the former non-long-id skip is retired — every
+    // orientation is id-type-agnostic from the caller's seat.
     val spark = queries.sparkSession
     val vecWidth = index.centroids.head._2.length.toLong * 4L + 24L
-    def estRows(df: DataFrame): BigInt = {
-      val st = df.queryExecution.optimizedPlan.stats
-      st.rowCount.getOrElse(st.sizeInBytes / vecWidth + 1)
-    }
+    def estRows(df: DataFrame): BigInt = estRowsHonest(df, vecWidth)._1
     val replicateBytes = graft.GraftConf.annReplicateIndexBytes(spark)
-    val longIds = queries.schema(idCol).dataType ==
-      org.apache.spark.sql.types.LongType
     // the budget gates what RESIDES on every executor: the float arrays
     // (dim·4B + id + norm per vector), the int8 copy (dim·1B + id + long
     // norm — a corpus up to ~4× over the float budget still replicates
@@ -772,10 +816,12 @@ object Similarity extends org.apache.spark.internal.Logging {
     // ([[replicatedDecision]]) so every branch — including the skips —
     // is unit-testable, and EVERY outcome logs (the greppability rule:
     // a silent regime flip cost a diagnosis session at sf20).
+    val (corpusRowsEst, corpusRowsSrc) = estRowsHonest(index.assigned, vecWidth)
+    logInfo(s"ivf probe scan: corpus rows ~ $corpusRowsEst via $corpusRowsSrc")
     replicatedDecision(
-      estRows = estRows(index.assigned), dim = indexDim, floatWidth = vecWidth,
+      estRows = corpusRowsEst, dim = indexDim, floatWidth = vecWidth,
       pqM = graft.GraftConf.annPqM(spark), budget = replicateBytes,
-      broadcastEligible = maxBroadcastQueries > 0L, longIds = longIds,
+      broadcastEligible = maxBroadcastQueries > 0L,
       int8Mode = graft.GraftConf.annProbeInt8Mode(spark),
       pq = graft.GraftConf.annProbePq(spark)) match {
       case Right((scoring, why)) =>
@@ -875,7 +921,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     // overhead, vs TBs of memcpy the other way).
     val estQueryRows = estRows(queries)
     val nLists = math.max(1, index.centroids.size)
-    val estListRows = (estRows(index.assigned) / nLists + 1).min(BigInt(blockRows.toLong))
+    val estListRows = (corpusRowsEst / nLists + 1).min(BigInt(blockRows.toLong))
     val estProbeRows = estQueryRows * nprobe
     val estCopyBytes = estProbeRows * estListRows * vecWidth
     val copyGate = graft.GraftConf.long(spark,
@@ -944,6 +990,52 @@ object Similarity extends org.apache.spark.internal.Logging {
         col("rk").cast("int").as("rk"))
   }
 
+  /** [[ivfSearch]] for a non-long id column: encode query ids onto the
+    * same i64 surrogate the generic [[ivfBuild]] stamped into `assigned`,
+    * run the long-id core (every orientation available — replicated
+    * float/int8/PQ included, which the old non-long-id skip forbade), and
+    * decode both id columns in the final projection. The decode joins are
+    * SLIM: the query dictionary is the query batch's (orig, surrogate)
+    * pairs (search-small — Spark broadcasts it under its own threshold),
+    * and the corpus dictionary is two columns of `assigned` hash-joined on
+    * i64 against k·|queries| result rows. Rank ties (equal cosines) break
+    * on the surrogate, not the original id's collation — deterministic,
+    * replay-stable, but not lexicographic (documented contract).
+    *
+    * The surrogate mapping is AUDITED per search (one combinable
+    * two-column agg): countDistinct(surrogate) must equal
+    * countDistinct(orig) on both sides, else fail loud — a collision
+    * would merge two vectors' identities. Build-once-search-many callers
+    * who want to shave that scan should pre-encode i64 ids themselves.
+    */
+  private def ivfSearchGenericIds(index: IvfIndex, queries: DataFrame,
+                                  k: Int, nprobe: Int, idCol: String,
+                                  vecCol: String, maxBroadcastQueries: Long,
+                                  minCosine: Option[Double], blockRows: Int,
+                                  quantizedRerank: Option[Boolean]): DataFrame = {
+    require(index.assigned.columns.contains("orig_id"),
+      s"ivfSearch: queries carry a non-long id column '$idCol' but the index " +
+        "was built from a long-id corpus — build the index with ivfBuild over " +
+        "the same id type (generic builds keep orig_id alongside the surrogate)")
+    val encQueries = queries.select(surrogateId(col(idCol)).as(idCol), col(vecCol))
+    val qDict = queries.select(col(idCol).as("__q_orig"),
+      surrogateId(col(idCol)).as("query_id"))
+    val nDict = index.assigned.select(col("neighbor_id"),
+      col("orig_id").as("__n_orig"))
+    val audit = nDict.agg(
+      countDistinct(col("neighbor_id")).as("s"),
+      countDistinct(col("__n_orig")).as("o")).head()
+    require(audit.getLong(0) == audit.getLong(1),
+      s"ivfSearch: xxhash64 surrogate collision among corpus ids " +
+        s"(${audit.getLong(1)} distinct ids -> ${audit.getLong(0)} surrogates); " +
+        "re-key the corpus with explicit i64 ids")
+    val res = ivfSearch(index, encQueries, k, nprobe, idCol, vecCol,
+      maxBroadcastQueries, minCosine, blockRows, quantizedRerank)
+    res.join(qDict, "query_id").join(nDict, "neighbor_id")
+      .select(col("__q_orig").as("query_id"), col("__n_orig").as("neighbor_id"),
+        col("cosine"), col("rk"))
+  }
+
   /** The REPLICATED probe orientation: the whole packed index, decoded
     * ONCE driver-side into primitive arrays, rides a torrent broadcast;
     * each query row probes its nprobe lists against the broadcast map in
@@ -968,7 +1060,100 @@ object Similarity extends org.apache.spark.internal.Logging {
     * PQ/ADC reconstruction error is coarser.
     */
   private[graft] val Int8FloorMargin = 0.02
-  private[graft] val PqFloorMargin = 0.10
+  /** DEFAULT of `spark.graft.ann.pqFloorMargin` (the operator reads the
+    * conf — ADC error is dataset-dependent, so the margin must be
+    * overridable per corpus; see [[graft.GraftConf.annPqFloorMargin]]).
+    * Pinned against observed max ADC error on the dense gaussian fixture
+    * in QuantizedProbeSpec: measured 0.102 at dim 64 / m=8 / ksub=256,
+    * so 0.15 carries real headroom where the first-cut 0.10 was an
+    * asserted-not-measured bound that the fixture itself breached.
+    */
+  private[graft] val PqFloorMargin = 0.15
+
+  /** Honest row-count estimate for the replicate-budget / copy-volume
+    * gates, tried in cost order:
+    *
+    *   1. Catalyst `rowCount` when CBO stats carry one (free);
+    *   2. parquet FOOTER record counts summed over the plan's file
+    *     relations — jobless metadata, and the fix for the budget breach
+    *     measured at sf80: `stats.sizeInBytes` is COMPRESSED parquet
+    *     bytes, and dividing it by the DECODED vector width under-read
+    *     rows ~3.5×, so the gate admitted a 1.18 GB true int8 resident
+    *     copy under its 1 GiB budget;
+    *   3. the compressed-bytes fallback `sizeInBytes / decodedRowWidth`,
+    *     kept only for plans with no parquet relation underneath
+    *     (in-memory/computed inputs, whose sizeInBytes is already a
+    *     decoded-width estimate, so the division is honest there).
+    *
+    * Footer counts are trusted only when every node between scan and root
+    * preserves cardinality (project / repartition / sort); a filter, join
+    * or aggregate changes row counts and falls through to (3) — the
+    * conservative direction (over-reads rows ⇒ the gate declines and the
+    * job takes the distributed path, never an OOM). Returns (rows, source)
+    * so gate decisions can log which estimate they acted on.
+    */
+  private[graft] def estRowsHonest(df: DataFrame, decodedRowWidth: Long): (BigInt, String) = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount match {
+      case Some(rc) => (rc, "plan rowCount stats")
+      case None => footerRowCount(df) match {
+        case Some(n) => (BigInt(n), "parquet footer record counts")
+        case None => (st.sizeInBytes / decodedRowWidth + 1,
+          "sizeInBytes / decoded row width (no file stats; compressed bytes under-read rows)")
+      }
+    }
+  }
+
+  /** Sum of parquet footer record counts under `df`'s plan, or None when
+    * the plan is not a row-preserving tree over parquet file relations.
+    * Footers are driver-side metadata reads (no Spark job); past
+    * `spark.graft.ann.maxFooterFiles` a deterministic stride sample of
+    * footers is read and extrapolated by the FileIndex's total bytes —
+    * bounded driver time at any file count.
+    */
+  private[graft] def footerRowCount(df: DataFrame): Option[Long] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort, RepartitionOperation}
+    import org.apache.spark.sql.execution.datasources.{LogicalRelation, HadoopFsRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val plan = df.queryExecution.optimizedPlan
+    def rowPreserving(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case _: Project | _: Sort | _: RepartitionOperation => p.children.forall(rowPreserving)
+      case _ => false
+    }
+    if (!rowPreserving(plan)) return None
+    val rels = plan.collect { case lr: LogicalRelation => lr.relation }
+    val fsRels = rels.collect {
+      case h: HadoopFsRelation if h.fileFormat.isInstanceOf[ParquetFileFormat] => h
+    }
+    if (fsRels.isEmpty || fsRels.size != rels.size) return None
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    def footerRows(path: String): (Long, Long) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (r.getRecordCount, in.getLength) finally r.close()
+    }
+    val cap = graft.GraftConf.long(df.sparkSession,
+      "spark.graft.ann.maxFooterFiles", 1L << 15).max(1L).toInt
+    val total = fsRels.map { rel =>
+      val files = rel.location.inputFiles
+      if (files.length <= cap) files.iterator.map(footerRows(_)._1).sum
+      else {
+        // stride-sample footers (deterministic: sorted paths) and scale
+        // the sampled row count by the relation's total-bytes share
+        val stride = (files.length + cap - 1) / cap
+        val sampled = files.sorted.iterator.zipWithIndex
+          .collect { case (p, i) if i % stride == 0 => footerRows(p) }.toSeq
+        val (sRows, sBytes) = sampled.foldLeft((0L, 0L)) {
+          case ((r, b), (fr, fb)) => (r + fr, b + fb)
+        }
+        (BigInt(sRows) * BigInt(rel.location.sizeInBytes) /
+          BigInt(math.max(1L, sBytes))).toLong
+      }
+    }.sum
+    Some(total)
+  }.toOption.flatten
 
   /** The replicated-orientation decision, pure so every branch is
     * unit-testable (SimilarityGateSpec) — Right((scoring, why)) picks the
@@ -984,7 +1169,7 @@ object Similarity extends org.apache.spark.internal.Logging {
                                         floatWidth: Long, pqM: Int,
                                         budget: Long,
                                         broadcastEligible: Boolean,
-                                        longIds: Boolean, int8Mode: String,
+                                        int8Mode: String,
                                         pq: Boolean):
       Either[String, (String, String)] = {
     val floatBytes = estRows * floatWidth
@@ -993,9 +1178,6 @@ object Similarity extends org.apache.spark.internal.Logging {
     val b = BigInt(budget)
     if (!broadcastEligible)
       Left("maxBroadcastQueries <= 0 pins the no-broadcast shuffle plan")
-    else if (!longIds)
-      Left("non-long id column — the packed blobs carry i64 ids, so this " +
-        "corpus keeps the distributed path (generalizing ids is the open lift)")
     else if (pq) {
       if (pqBytes <= b)
         Right(("pq", s"forced by spark.graft.ann.probePq; est resident " +
@@ -1031,10 +1213,22 @@ object Similarity extends org.apache.spark.internal.Logging {
                                   scoring: String, rerank: Boolean): DataFrame = {
     import graft.functions.VectorFunctions
     val spark = queries.sparkSession
-    def packedDf = index.packed match {
-      case Some(pre) => pre.select(col("list_id"), col("block"))
-      case None => packLists(index.assigned, blockRows)
-        .select(col("list_id"), col("block"))
+    // The PQ regime with no packed artifact walks the pack job's output
+    // TWICE driver-side (training-sample pass, then the encode pass) —
+    // persist the blobs around those passes so the window + collect_list
+    // pack runs once, not per pass (unpersisted right after encoding).
+    // Every other consumer reads packedDf once (float collect, int8
+    // quantize stream) or scans a persisted artifact (cheap re-read).
+    val cachePacked = scoring == "pq" && index.packed.isEmpty
+    val packedDf = {
+      val base = index.packed match {
+        case Some(pre) => pre.select(col("list_id"), col("block"))
+        case None => packLists(index.assigned, blockRows)
+          .select(col("list_id"), col("block"))
+      }
+      if (cachePacked)
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
     }
     val floor = minCosine.getOrElse(Double.NegativeInfinity)
     val qrows = queries.select(col(idCol).as("query_id"),
@@ -1114,7 +1308,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     // the scale these regimes target.
     val rerankFactor = graft.GraftConf.annRerankFactor(spark)
     val kFetch = if (rerank) math.max(k, k * rerankFactor) else k
-    val margin = if (scoring == "pq") PqFloorMargin else Int8FloorMargin
+    val margin = if (scoring == "pq") graft.GraftConf.annPqFloorMargin(spark)
+                 else Int8FloorMargin
     val fetchFloor = if (rerank && minCosine.isDefined) floor - margin else floor
     val ranked: DataFrame = scoring match {
       case "int8" =>
@@ -1156,9 +1351,8 @@ object Similarity extends org.apache.spark.internal.Logging {
         // pass 1: a bounded, deterministic training sample off the block
         // stream (hash-stride on vector id — no RNG, order-independent).
         // estRows sets the stride so ~PqTrainSample vectors survive.
-        val st = index.assigned.queryExecution.optimizedPlan.stats
-        val estRows = st.rowCount.getOrElse(
-          st.sizeInBytes / (indexDimOf(index).toLong * 4L + 24L) + 1)
+        val estRows = estRowsHonest(index.assigned,
+          indexDimOf(index).toLong * 4L + 24L)._1
         val stride = ((estRows / PqTrainSample) + 1).min(BigInt(Long.MaxValue)).toLong
         val sample = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
         locally {
@@ -1191,6 +1385,7 @@ object Similarity extends org.apache.spark.internal.Logging {
           }
           buf.toArray
         }
+        if (cachePacked) packedDf.unpersist(blocking = false)
         val bcP = spark.sparkContext.broadcast(encoded)
         val bcCb = spark.sparkContext.broadcast(codebooks)
         val normLut = VectorFunctions.pqRepCodeNorms(codebooks)
@@ -1744,11 +1939,23 @@ object Similarity extends org.apache.spark.internal.Logging {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
 
+  /** Align a DataFrame's task partitioning with a downstream
+    * `partitionBy(partCol)` write: without it, EVERY writer task emits a
+    * file per partition value it holds — O(values × writers) tiny files
+    * (measured: 113,576 files for a 1000-list `assigned/` at the 1M-doc
+    * tier, and the first rerank measurement paid ~200 s just opening
+    * them). One hash shuffle on the partition column lands each value
+    * wholly in one task ⇒ exactly one file per value. Content is
+    * write-order-invariant (round-trip + append specs pin it).
+    */
+  private def alignedForWrite(df: DataFrame, partCol: String): DataFrame =
+    df.repartition(col(partCol))
+
   def ivfSave(index: IvfIndex, dir: String): Unit = {
     centroidsToDf(index.assigned.sparkSession, index.centroids)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    index.assigned.write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$dir/assigned")
+    alignedForWrite(index.assigned, "list_id").write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$dir/assigned")
   }
 
   /** Pack each inverted list into ≤`blockRows` chunk blobs — the corpus
@@ -1782,7 +1989,7 @@ object Similarity extends org.apache.spark.internal.Logging {
   def ivfSavePacked(index: IvfIndex, dir: String,
                     blockRows: Int = DefaultBlockRows): Unit = {
     ivfSave(index, dir)
-    packLists(index.assigned, blockRows)
+    alignedForWrite(packLists(index.assigned, blockRows), "list_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/packed")
   }
 
@@ -1811,13 +2018,17 @@ object Similarity extends org.apache.spark.internal.Logging {
   def ivfAppend(index: IvfIndex, batch: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     VectorFunctions.register(batch.sparkSession)
-    val appended = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("corpus_vec"),
-      nearestCentroid(col(vecCol), index.centroids).as("list_id"))
+    val appended = assignCols(batch, index.centroids, idCol, vecCol)
+    val standingGeneric = index.assigned.columns.contains("orig_id")
+    require(standingGeneric == appended.columns.contains("orig_id"),
+      "ivfAppend: batch id type (long vs generic-surrogate) must match the " +
+        "standing index — a mixed corpus cannot decode consistently")
+    val standingCols = (Seq("neighbor_id", "corpus_vec", "list_id") ++
+      (if (standingGeneric) Seq("orig_id") else Nil)).map(col)
     // the in-memory union invalidates any packed artifact (it reflects
     // the pre-append corpus); drop it so searches re-pack correctly
     IvfIndex(index.centroids,
-      index.assigned.select(col("neighbor_id"), col("corpus_vec"), col("list_id"))
-        .unionByName(appended))
+      index.assigned.select(standingCols: _*).unionByName(appended))
   }
 
   /** [[ivfAppend]] against a persisted index: assign the batch against the
@@ -1829,9 +2040,14 @@ object Similarity extends org.apache.spark.internal.Logging {
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     VectorFunctions.register(spark)
     val cents = centroidsFromDf(spark.read.parquet(s"$dir/centroids"))
-    val assignedBatch = batch.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("corpus_vec"), nearestCentroid(col(vecCol), cents).as("list_id"))
-    assignedBatch.write.mode("append").partitionBy("list_id").parquet(s"$dir/assigned")
+    val assignedBatch = assignCols(batch, cents, idCol, vecCol)
+    val savedGeneric = spark.read.parquet(s"$dir/assigned")
+      .columns.contains("orig_id")
+    require(savedGeneric == assignedBatch.columns.contains("orig_id"),
+      "ivfAppendToSaved: batch id type (long vs generic-surrogate) must match " +
+        "the saved index — a mixed corpus cannot decode consistently")
+    alignedForWrite(assignedBatch, "list_id").write.mode("append")
+      .partitionBy("list_id").parquet(s"$dir/assigned")
     // keep a packed artifact coherent: the batch packs into NEW blobs per
     // list (existing blobs are never rewritten — write cost stays batch-
     // sized). Chunk ids can repeat across appends; chunk is layout
@@ -1841,7 +2057,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     val packedPath = new org.apache.hadoop.fs.Path(s"$dir/packed")
     val fs = packedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(packedPath))
-      packLists(assignedBatch, DefaultBlockRows)
+      alignedForWrite(packLists(assignedBatch, DefaultBlockRows), "list_id")
         .write.mode("append").partitionBy("list_id").parquet(s"$dir/packed")
   }
 
@@ -1869,8 +2085,8 @@ object Similarity extends org.apache.spark.internal.Logging {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     codebooksToDf(spark, index.codebooks)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    index.assigned.write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$dir/assigned")
+    alignedForWrite(index.assigned, "list_id").write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$dir/assigned")
   }
 
   def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {

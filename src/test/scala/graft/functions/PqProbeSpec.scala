@@ -104,8 +104,9 @@ class PqProbeSpec extends SparkSpec {
     val vecWidth = dim.toLong * 4 + 24
     val i8Width = dim.toLong + 40
     val pqWidth = 8L + 40
-    val st = index.assigned.queryExecution.optimizedPlan.stats
-    val rows0 = st.rowCount.getOrElse(BigInt(st.sizeInBytes.toLong) / vecWidth + 1)
+    // the same honest estimate the gate itself acts on (r17: footer row
+    // counts, not compressed sizeInBytes / decoded width)
+    val rows0 = Similarity.estRowsHonest(index.assigned, vecWidth)._1
     // a budget BETWEEN the pq and int8 resident estimates
     val budget = ((rows0 * pqWidth + rows0 * i8Width) / 2).toString
     def planOf(confs: (String, String)*): String = withConf(

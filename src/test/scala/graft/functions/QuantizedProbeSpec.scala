@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *   - Quantization error is bounded IN EFFECT: nprobe=all int8 top-k
   *     recalls ≥ 0.8 of the float top-k per query on the real fixture.
   *   - The pure gate function ([[Similarity.replicatedDecision]])
-  *     covers every branch, including the non-long-id skip.
+  *     covers every branch (the former non-long-id skip is retired: generic ids surrogate-encode before the gate).
   */
 class QuantizedProbeSpec extends SparkSpec {
 
@@ -125,8 +125,9 @@ class QuantizedProbeSpec extends SparkSpec {
     val dim = 64
     val vecWidth = dim.toLong * 4 + 24
     val i8Width = dim.toLong + 40
-    val st = index.assigned.queryExecution.optimizedPlan.stats
-    val rows = st.rowCount.getOrElse(BigInt(st.sizeInBytes.toLong) / vecWidth + 1)
+    // the same honest estimate the gate itself acts on (r17: footer row
+    // counts, not compressed sizeInBytes / decoded width)
+    val rows = Similarity.estRowsHonest(index.assigned, vecWidth)._1
     // a budget BETWEEN the int8 and float resident estimates
     val budget = ((rows * i8Width + rows * vecWidth) / 2).toString
     def planOf(mode: String): String = {
@@ -166,15 +167,15 @@ class QuantizedProbeSpec extends SparkSpec {
       "default (auto) drifted from the float path despite the float copy fitting")
   }
 
-  test("the pure gate covers every branch, including the non-long-id skip") {
+  test("the pure gate covers every branch; the non-long-id skip is retired") {
     import Similarity.replicatedDecision
     val rows = BigInt(1000)
     val dim = 64
     val floatW = dim.toLong * 4 + 24
     def d(budget: Long, mode: String = "auto", pq: Boolean = false,
-          longIds: Boolean = true, eligible: Boolean = true) =
+          eligible: Boolean = true) =
       replicatedDecision(rows, dim, floatW, pqM = 8, budget = budget,
-        broadcastEligible = eligible, longIds = longIds, int8Mode = mode, pq = pq)
+        broadcastEligible = eligible, int8Mode = mode, pq = pq)
     val floatBytes = (rows * floatW).toLong
     val i8Bytes = (rows * (dim + 40)).toLong
     val pqBytes = (rows * (8 + 40)).toLong
@@ -192,10 +193,9 @@ class QuantizedProbeSpec extends SparkSpec {
     // pq wins over the int8 mode and has the smallest width
     assert(d(pqBytes, pq = true).exists(_._1 == "pq"))
     assert(d(pqBytes - 1, pq = true).isLeft)
-    // skip reasons are named (greppable) — the non-long-id gate logs why
-    val skip = d(floatBytes, longIds = false)
-    assert(skip.isLeft && skip.swap.exists(_.contains("non-long id")),
-      s"non-long-id skip must name itself, got $skip")
+    // skip reasons are named (greppable); the former non-long-id skip is
+    // RETIRED — generic ids map onto the i64 surrogate before the gate,
+    // so the decision no longer depends on the caller's id type
     val noBc = d(floatBytes, eligible = false)
     assert(noBc.isLeft && noBc.swap.exists(_.contains("maxBroadcastQueries")))
   }
@@ -230,6 +230,44 @@ class QuantizedProbeSpec extends SparkSpec {
     withConf("spark.graft.ann.probeRerank" -> "none") {
       val e = intercept[IllegalArgumentException](graft.GraftConf.annProbeRerank(spark))
       assert(e.getMessage.contains("probeRerank"))
+    }
+  }
+
+  test("pqFloorMargin bounds observed ADC score error on the dense fixture (off-mode)") {
+    // the PQ twin of the int8 off-mode margin pin: the floor relaxation
+    // asserts |approx − exact| ≤ margin for shortlist survivors, so the
+    // margin must dominate the ADC error actually observed — on THIS
+    // dense fixture (ADC error is dataset-dependent; the conf exists so a
+    // coarser corpus can widen it from its own off-mode measurement)
+    VectorFunctions.register(spark)
+    val index = Similarity.ivfBuild(emb, numCentroids = 2, trainIters = 1)
+    val queries = emb.filter(col("vec_id") < 20)
+    val off = withConf("spark.graft.ann.probePq" -> "true",
+      "spark.graft.ann.probeRerank" -> "off",
+      "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
+      rows(Similarity.ivfSearch(index, queries, k = 5, nprobe = 2,
+        minCosine = None))
+    }
+    assert(off.nonEmpty)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qa"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("qb"))
+    import spark.implicits._
+    val offDf = off.toSeq.toDF("query_id", "neighbor_id", "cosine", "rk")
+    val maxErr = offDf.join(q, "query_id").join(c, "neighbor_id")
+      .select(abs(col("cosine") - expr("cosine_sim(qa, qb)")).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(maxErr <= graft.GraftConf.annPqFloorMargin(spark),
+      f"observed ADC error $maxErr%.4f exceeds pqFloorMargin " +
+        f"${graft.GraftConf.annPqFloorMargin(spark)}%.2f — widen the default " +
+        "or fix the codebooks; the floor relaxation is unsound otherwise")
+    // the margin is a conf (dataset-dependent), validated on read
+    withConf("spark.graft.ann.pqFloorMargin" -> "-0.1") {
+      val e = intercept[IllegalArgumentException](
+        graft.GraftConf.annPqFloorMargin(spark))
+      assert(e.getMessage.contains("pqFloorMargin"))
+    }
+    withConf("spark.graft.ann.pqFloorMargin" -> "0.25") {
+      assert(graft.GraftConf.annPqFloorMargin(spark) == 0.25)
     }
   }
 

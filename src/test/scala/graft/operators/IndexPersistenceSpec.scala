@@ -29,9 +29,18 @@ class IndexPersistenceSpec extends SparkSpec {
     // the on-disk layout is one directory per inverted list — the probe
     // join can physically skip unprobed lists
     val dirs = new java.io.File(s"$dir/assigned").listFiles()
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list_id="))
+      .filter(_.isDirectory).filter(_.getName.startsWith("list_id="))
     assert(dirs.length == built.centroids.length,
-      s"expected one partition dir per list, got ${dirs.toSeq}")
+      s"expected one partition dir per list, got ${dirs.map(_.getName).toSeq}")
+    // and ONE file per list: the write repartitions on list_id first, so
+    // a list never fans out across writer tasks — without it each of W
+    // tasks emits a file per list it holds, O(lists × W) tiny files
+    // (113,576 measured at the 1M-doc tier before the fix)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName}: expected exactly 1 part file, got ${parts.length}")
+    }
   }
 
   test("ivfAppendToSaved appends new rows without rewriting existing list files") {
@@ -84,10 +93,16 @@ class IndexPersistenceSpec extends SparkSpec {
     Similarity.ivfSavePacked(built, dirTiny, blockRows = 3)
     assert(rows(Similarity.ivfLoad(spark, dirTiny)) == fresh,
       "search results must be invariant under the artifact's chunk geometry")
-    // the packed layout is also one directory per list — probes prune it
+    // the packed layout is also one directory per list — probes prune it —
+    // with one blob file per list (write aligned on list_id)
     val dirs = new java.io.File(s"$dir/packed").listFiles()
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list_id="))
+      .filter(_.isDirectory).filter(_.getName.startsWith("list_id="))
     assert(dirs.length == built.centroids.length)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"packed ${d.getName}: expected 1 part file, got ${parts.length}")
+    }
   }
 
   test("ivfAppendToSaved keeps the packed artifact coherent (batch-sized writes)") {
