@@ -243,6 +243,16 @@ object Dedup extends org.apache.spark.internal.Logging {
       // spark.sql.shuffle.partitions, and the oversized per-task hash
       // maps fall back to sorts that spill the whole stream (measured
       // fatal on the prefix join at the 250k-doc shape).
+      // NOTE (r17, measured negative): applying the q80 recipe here —
+      // repartitioning raw collisions on the pair key at a bytes-budgeted
+      // width before the dedup — was tried and REVERTED: at the q36 sf20
+      // shape (631M raw collisions) the widened raw-pair exchange cost
+      // MORE than the dedup map churn it removed (455.4 → 567.7 s,
+      // min-of-2 solo JVMs). The map-side duplicate collapse on the
+      // id-partitioned stream is worth more than partial-agg-free
+      // streaming at this shape; q36's decade superlinearity is the
+      // verify-broadcast → grid REGIME boundary plus the grid's
+      // documented 2P·bytes replication, not this dedup (PLANS.md r17).
       val candidates =
         (if (bandBroadcast) collisions
          else collisions.repartition(fanout, col("id_a"), col("id_b")))

@@ -244,11 +244,19 @@ object PrefixJoin {
     * cosine is undefined.
     */
   def weightedCosinePrefixJoin(docs: DataFrame, idCol: String, textCol: String,
-                               threshold: Double): DataFrame = {
+                               threshold: Double,
+                               idfDocsOverride: Option[Double] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     NativeTextExpressions.register(docs.sparkSession)
     val nDocs = docs.count().toDouble
+    // idfDocsOverride: weight terms as if the corpus had this many docs —
+    // the per-partition-block exact decomposition (disjoint-vocabulary
+    // shards: per-term df is shard-local already, only the idf numerator
+    // is global) passes the FULL corpus size so every block scores with
+    // the exact global tf-idf weights. The brute-vs-index physical gate
+    // below still keys on the ACTUAL input size.
+    val idfN = idfDocsOverride.getOrElse(nDocs)
     // Physical-strategy choice, same shape as Spark's broadcast-join
     // decision: below `spark.graft.prefixJoin.bruteMaxDocs` (default
     // 20 000) the unit-vector table broadcasts and the all-pairs
@@ -262,7 +270,7 @@ object PrefixJoin {
     // ≤ all-pairs, nothing broadcasts, and pruning pays off exactly on
     // the sparse corpora where exact pair joins are runnable at all.
     val bruteMax = bruteMaxDocs(docs)
-    val unit = unitTfidfTerms(docs, idCol, textCol, nDocs)
+    val unit = unitTfidfTerms(docs, idCol, textCol, idfN)
     if (nDocs <= bruteMax) {
       // Dense/small regime: stage the sorted sparse vectors once, then
       // an inner broadcast nested-loop join over id_a < id_b with the

@@ -11,6 +11,21 @@ import org.apache.spark.sql.expressions.Window
   *
   *   exact <sfDir> <artDir>  — q203's exact pair set → <artDir>/exact
   *                             (untimed; the recall denominator)
+  *   exact-blocks <sfDir> <artDir> [stride] [blocksPerJob]
+  *                           — the SAME exact set computed per replica
+  *                             block and unioned: the ScaleUp shape is
+  *                             disjoint-vocabulary shards (cross-block
+  *                             tf-idf cosine is exactly 0, so no
+  *                             cross-block pair can reach the 0.8 floor
+  *                             and each doc's global top-5 is its block
+  *                             top-5), and per-term df is block-local
+  *                             already — only the idf numerator is
+  *                             global, passed via idfDocsOverride. This
+  *                             is the bounded-disk route for tiers where
+  *                             the one-shot exact join exhausts scratch
+  *                             (the sf80 denominator, r16 verdict #7);
+  *                             validate it at a tier where `exact`
+  *                             succeeds by comparing the two outputs.
   *   build <sfDir> <artDir>  — tf-idf vector table → <artDir>/vecs,
   *                             IVF index + packed chunk blobs →
   *                             <artDir>/ivf (timed, amortized cost)
@@ -59,6 +74,41 @@ object AnnArtifactManual {
           .write.mode("overwrite").parquet(s"$art/exact")
         println(s"[ann-art] exact pairs written: " +
           s"${spark.read.parquet(s"$art/exact").count()}")
+
+      case "exact-blocks" =>
+        val (sf, art) = (args(1), args(2))
+        val stride = if (args.length > 3) args(3).toLong else ScaleUp.IdStride
+        val perJob = if (args.length > 4) args(4).toInt else 20
+        val docs = Tables(spark, sf, "documents")
+        val nDocs = docs.count()
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val nBlocks = (maxId / stride + 1).toInt
+        val groups = (0 until nBlocks).grouped(perJob).toSeq
+        val t0 = System.nanoTime()
+        groups.zipWithIndex.foreach { case (g, gi) =>
+          val lo = g.head.toLong * stride
+          val hi = (g.last.toLong + 1L) * stride
+          val slice = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          val pairs = graft.operators.PrefixJoin.weightedCosinePrefixJoin(
+            slice, "doc_id", "text", 0.8,
+            idfDocsOverride = Some(nDocs.toDouble))
+          val sym = pairs
+            .select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"), col("cosine"))
+            .unionAll(pairs
+              .select(col("id_b").as("doc_id"), col("id_a").as("nbr_id"), col("cosine")))
+          val w = Window.partitionBy(col("doc_id"))
+            .orderBy(col("cosine").desc, col("nbr_id"))
+          sym.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 5)
+            .select(col("doc_id"), col("nbr_id"))
+            .write.mode(if (gi == 0) "overwrite" else "append")
+            .parquet(s"$art/exact")
+          println(f"[ann-art] exact-blocks: group ${gi + 1}/${groups.size} " +
+            f"(ids [$lo, $hi)) done at ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[ann-art] exact-blocks: ${groups.size} jobs, wall=$sec%.1f s, " +
+          s"pairs=${spark.read.parquet(s"$art/exact").count()}")
 
       case "build" =>
         val (sf, art) = (args(1), args(2))
