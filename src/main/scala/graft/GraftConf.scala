@@ -224,6 +224,19 @@ object GraftConf {
   def annProbePq(spark: SparkSession): Boolean =
     bool(spark, "spark.graft.ann.probePq", default = false)
 
+  /** Per-search generic-id corpus audit
+    * (`spark.graft.ann.auditGenericIdsPerSearch`, default false): the
+    * corpus-side surrogate-collision audit (countDistinct(surrogate) ==
+    * countDistinct(orig) over the whole corpus) normally runs ONCE per
+    * index lifetime — memoized on the index instance, stamped into saved
+    * artifacts, re-armed by appends. `true` restores the every-search
+    * full-corpus scan (paranoia mode for corpora mutated outside the
+    * graft API, where the memo could go stale). The query-side audit is
+    * batch-sized and always runs.
+    */
+  def annAuditGenericIdsPerSearch(spark: SparkSession): Boolean =
+    bool(spark, "spark.graft.ann.auditGenericIdsPerSearch", default = false)
+
   /** What the quantized/PQ replicated probe EMITS
     * (`spark.graft.ann.probeRerank` = exact | off, default exact):
     *

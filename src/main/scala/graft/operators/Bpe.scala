@@ -243,20 +243,27 @@ object Bpe {
                              batchCandidates: Int = 1024): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")
     require(batchCandidates > 0, "batchCandidates must be positive")
-    // Exactly one words-checkpoint is live at a time — same storage
-    // discipline as Dedup.connectedComponents (peak = one repr table,
-    // released on return). The per-round candidate table is also
-    // checkpointed (three consumers: top-N, the two neighbor maxima)
-    // and released inside the round.
+    // Storage discipline (same as Dedup.connectedComponents): exactly one
+    // words-checkpoint AND one counts-checkpoint are live at a time, both
+    // released on return. The counts table is maintained INCREMENTALLY
+    // (see the delta recount at the bottom of the loop) — it is
+    // pair-vocabulary-sized (≤ (26+k)² in principle, tens of thousands in
+    // practice), so its per-round checkpoint is driver-cheap while the
+    // full recount it replaces exploded the whole ~|vocab|·avgLen pair
+    // stream every round (the r17 measured residual: the recount, not
+    // the merge count, dominated the 1207.5 s k=2000 wall).
     var lastCk = profile
       .select(initialRepr(col("word")).as("repr"), col("n").cast("long").as("n"))
       .localCheckpoint()
     var words = lastCk
+    // initial counts: the ONE full-corpus pair recount of the whole run
+    var lastCountsCk = pairCounts(words).localCheckpoint()
+    var counts = lastCountsCk
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var dry = false
     while (merges.size < numMerges && !dry) {
-      val cand = pairCounts(words).localCheckpoint()
-      try {
+      val cand = counts
+      locally {
         val top = excludeChosen(cand, merges.toSeq.map(m => (m.left, m.right)))
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(batchCandidates).collect()
@@ -304,17 +311,49 @@ object Bpe {
               i += 1
             } else stop = true
           }
+          // DELTA RECOUNT: merging (l, r) rewrites exactly the words whose
+          // repr contains " l r " (applyMerge's replace is a no-op on every
+          // other row), and the batch acceptance rule above guarantees the
+          // accepted merges act on DISJOINT occurrence sites (no accepted
+          // pair is created or destroyed by another accepted merge — that
+          // is what adjacencySafe + boostSafe prove), so the PRE-batch
+          // contains() test finds the exact touched set for the whole
+          // batch. The pair-count delta is then one explode+agg over the
+          // touched rows only — old pairs at weight −n, rewritten pairs at
+          // weight +n — folded into the maintained counts table; pairs
+          // netting to zero drop so the table matches a from-scratch
+          // recount ROW-FOR-ROW (dry detection and the ≥5-run residual-
+          // count edge included). Zipfian rounds touch a large share early
+          // (hot symbols) and a vanishing share late; the recount cost now
+          // scales with what the merges touched, not with the vocabulary.
+          val batch = merges.drop(before).toSeq
+          val touchedPred = batch
+            .map(m => col("repr").contains(s" ${m.left} ${m.right} "))
+            .reduce(_ || _)
+          val touched = words.filter(touchedPred)
+          val rewrittenTouched = batch.foldLeft(touched)((w, m) =>
+            applyMerge(w, m.left, m.right))
+          val delta = pairCounts(
+            touched.withColumn("n", negate(col("n"))).unionAll(rewrittenTouched))
+          val newCounts = counts.unionAll(delta)
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") =!= 0L)
+            .localCheckpoint()
+          Checkpoints.release(lastCountsCk)
+          lastCountsCk = newCounts
+          counts = newCounts
           // apply the whole batch in rank order as ONE projection (2
           // replaces per merge, nested), then checkpoint the round
-          words = merges.drop(before).foldLeft(words)((w, m) =>
+          words = batch.foldLeft(words)((w, m) =>
             applyMerge(w, m.left, m.right))
           val ck = words.localCheckpoint()
           Checkpoints.release(lastCk)
           lastCk = ck
           words = ck
         }
-      } finally Checkpoints.release(cand)
+      }
     }
+    Checkpoints.release(lastCountsCk)
     Checkpoints.release(lastCk)
     merges.toSeq
   }

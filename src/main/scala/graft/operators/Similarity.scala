@@ -674,7 +674,19 @@ object Similarity extends org.apache.spark.internal.Logging {
     */
   final case class IvfIndex private[operators] (
       centroids: Seq[(Long, Array[Float])], assigned: DataFrame,
-      packed: Option[DataFrame] = None)
+      packed: Option[DataFrame] = None) {
+    /** Memo for the corpus-side surrogate-collision audit (generic-id
+      * builds only): flips true after the one full-corpus
+      * countDistinct(surrogate)==countDistinct(orig) scan passes, so
+      * build-once-search-many callers pay it once per index LIFETIME,
+      * not per search. Instance-scoped on purpose — [[ivfAppend]]
+      * returns a fresh instance (new ids could collide), which re-arms
+      * the audit automatically. [[ivfSave]] stamps a passed audit into
+      * the artifact; [[ivfLoad]] pre-seeds from the stamp.
+      */
+    @transient private[operators] lazy val genericAuditPassed =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+  }
 
   /** Deterministic i64 surrogate for a non-long id column — the id-generic
     * ramp onto the long-id core: every kernel (pack_vec_block's blobs, the
@@ -779,6 +791,33 @@ object Similarity extends org.apache.spark.internal.Logging {
     if (queries.schema(idCol).dataType != org.apache.spark.sql.types.LongType)
       return ivfSearchGenericIds(index, queries, k, nprobe, idCol, vecCol,
         maxBroadcastQueries, minCosine, blockRows, quantizedRerank)
+    // Mixed-id guard, fail-loud (the [[ivfAppend]] convention for exactly
+    // this mismatch class): a generic-built index carries xxhash64
+    // SURROGATES as `neighbor_id` (the originals ride `orig_id`), so a
+    // long-id query batch falling through to the long-id core would emit
+    // raw surrogates that LOOK like caller data. Long-id callers of a
+    // string-id index almost certainly mis-keyed one side; tell them,
+    // don't hand them hashes.
+    require(!index.assigned.columns.contains("orig_id"),
+      s"ivfSearch: queries carry a long id column '$idCol' but the index was " +
+        "built from a non-long-id corpus (assigned keeps orig_id beside the " +
+        "xxhash64 surrogate) — query with the index's original id type, or " +
+        "rebuild the index from a corpus keyed by explicit i64 ids")
+    ivfSearchLongCore(index, queries, k, nprobe, idCol, vecCol,
+      maxBroadcastQueries, minCosine, blockRows, quantizedRerank)
+  }
+
+  /** The long-id core every orientation runs on. Ids are i64 HERE by
+    * contract: [[ivfSearch]] routes non-long query ids through the
+    * surrogate encode/decode wrapper ([[ivfSearchGenericIds]]) and
+    * fail-louds the mixed-id direction, and that wrapper re-enters here
+    * directly (already-encoded queries must not re-trip the guard).
+    */
+  private def ivfSearchLongCore(index: IvfIndex, queries: DataFrame, k: Int,
+                                nprobe: Int, idCol: String, vecCol: String,
+                                maxBroadcastQueries: Long,
+                                minCosine: Option[Double], blockRows: Int,
+                                quantizedRerank: Option[Boolean]): DataFrame = {
     // Query vectors must match the index dimension, checked HERE — in the
     // probe scan itself, no extra job — so both probe orientations reject
     // a ragged query batch identically. Before this check the accepted
@@ -1002,11 +1041,17 @@ object Similarity extends org.apache.spark.internal.Logging {
     * on the surrogate, not the original id's collation — deterministic,
     * replay-stable, but not lexicographic (documented contract).
     *
-    * The surrogate mapping is AUDITED per search (one combinable
-    * two-column agg): countDistinct(surrogate) must equal
-    * countDistinct(orig) on both sides, else fail loud — a collision
-    * would merge two vectors' identities. Build-once-search-many callers
-    * who want to shave that scan should pre-encode i64 ids themselves.
+    * The surrogate mapping is AUDITED on both sides (one combinable
+    * two-column agg per side): countDistinct(surrogate) must equal
+    * countDistinct(orig), else fail loud — a collision would merge two
+    * vectors' (or two queries') identities. The query-side audit is
+    * query-batch-sized (cheap, every search); the corpus-side audit is a
+    * full corpus scan, so it runs ONCE per index lifetime: the result is
+    * memoized on the [[IvfIndex]] instance, stamped into the saved
+    * artifact by [[ivfSave]], and pre-seeded by [[ivfLoad]] — appends
+    * produce a fresh instance / clear the stamp, which re-arms it.
+    * `spark.graft.ann.auditGenericIdsPerSearch=true` restores the
+    * every-search paranoia scan.
     */
   private def ivfSearchGenericIds(index: IvfIndex, queries: DataFrame,
                                   k: Int, nprobe: Int, idCol: String,
@@ -1017,19 +1062,37 @@ object Similarity extends org.apache.spark.internal.Logging {
       s"ivfSearch: queries carry a non-long id column '$idCol' but the index " +
         "was built from a long-id corpus — build the index with ivfBuild over " +
         "the same id type (generic builds keep orig_id alongside the surrogate)")
+    val spark = queries.sparkSession
     val encQueries = queries.select(surrogateId(col(idCol)).as(idCol), col(vecCol))
     val qDict = queries.select(col(idCol).as("__q_orig"),
       surrogateId(col(idCol)).as("query_id"))
+    val qAudit = qDict.agg(
+      countDistinct(col("query_id")).as("s"),
+      countDistinct(col("__q_orig")).as("o")).head()
+    require(qAudit.getLong(0) == qAudit.getLong(1),
+      s"ivfSearch: xxhash64 surrogate collision among query ids " +
+        s"(${qAudit.getLong(1)} distinct ids -> ${qAudit.getLong(0)} surrogates); " +
+        "re-key the query batch with explicit i64 ids")
     val nDict = index.assigned.select(col("neighbor_id"),
       col("orig_id").as("__n_orig"))
-    val audit = nDict.agg(
-      countDistinct(col("neighbor_id")).as("s"),
-      countDistinct(col("__n_orig")).as("o")).head()
-    require(audit.getLong(0) == audit.getLong(1),
-      s"ivfSearch: xxhash64 surrogate collision among corpus ids " +
-        s"(${audit.getLong(1)} distinct ids -> ${audit.getLong(0)} surrogates); " +
-        "re-key the corpus with explicit i64 ids")
-    val res = ivfSearch(index, encQueries, k, nprobe, idCol, vecCol,
+    val perSearch = graft.GraftConf.annAuditGenericIdsPerSearch(spark)
+    if (perSearch || !index.genericAuditPassed.get()) {
+      val audit = nDict.agg(
+        countDistinct(col("neighbor_id")).as("s"),
+        countDistinct(col("__n_orig")).as("o")).head()
+      require(audit.getLong(0) == audit.getLong(1),
+        s"ivfSearch: xxhash64 surrogate collision among corpus ids " +
+          s"(${audit.getLong(1)} distinct ids -> ${audit.getLong(0)} surrogates); " +
+          "re-key the corpus with explicit i64 ids")
+      index.genericAuditPassed.set(true)
+      logInfo(s"ivf generic ids: corpus surrogate audit PASSED " +
+        s"(${audit.getLong(1)} distinct ids" +
+        (if (perSearch) ", per-search mode)" else "; memoized for this index)"))
+    } else
+      logInfo("ivf generic ids: corpus surrogate audit memoized (already " +
+        "passed for this index; set spark.graft.ann.auditGenericIdsPerSearch" +
+        "=true to rescan per search)")
+    val res = ivfSearchLongCore(index, encQueries, k, nprobe, idCol, vecCol,
       maxBroadcastQueries, minCosine, blockRows, quantizedRerank)
     res.join(qDict, "query_id").join(nDict, "neighbor_id")
       .select(col("__q_orig").as("query_id"), col("__n_orig").as("neighbor_id"),
@@ -1354,38 +1417,43 @@ object Similarity extends org.apache.spark.internal.Logging {
         val estRows = estRowsHonest(index.assigned,
           indexDimOf(index).toLong * 4L + 24L)._1
         val stride = ((estRows / PqTrainSample) + 1).min(BigInt(Long.MaxValue)).toLong
-        val sample = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-        locally {
-          val it = packedDf.toLocalIterator()
-          while (it.hasNext && sample.size < 4 * PqTrainSample) {
-            val blk = VectorFunctions.decodeBlock(
-              it.next().getAs[Array[Byte]](1))
-            var r = 0
-            while (r < blk.n && sample.size < 4 * PqTrainSample) {
-              if (math.floorMod(scala.util.hashing.byteswap64(blk.ids(r)), stride) == 0L)
-                sample += java.util.Arrays.copyOfRange(
-                  blk.vecs, r * blk.dim, (r + 1) * blk.dim)
-              r += 1
+        // both driver-side passes under try/finally: a throw mid-sample or
+        // mid-encode must not leak the MEMORY_AND_DISK packed blocks for
+        // the rest of the session (success-path timing unchanged — the
+        // cache drops right after the encode pass, before the broadcast)
+        val (codebooks, encoded) = try {
+          val sample = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          locally {
+            val it = packedDf.toLocalIterator()
+            while (it.hasNext && sample.size < 4 * PqTrainSample) {
+              val blk = VectorFunctions.decodeBlock(
+                it.next().getAs[Array[Byte]](1))
+              var r = 0
+              while (r < blk.n && sample.size < 4 * PqTrainSample) {
+                if (math.floorMod(scala.util.hashing.byteswap64(blk.ids(r)), stride) == 0L)
+                  sample += java.util.Arrays.copyOfRange(
+                    blk.vecs, r * blk.dim, (r + 1) * blk.dim)
+                r += 1
+              }
             }
           }
-        }
-        require(sample.nonEmpty, "ivfSearch pq scoring: empty training sample")
-        val codebooks = pqTrainLocal(sample.toArray, m, ksub, iters = 3)
-        logInfo(s"ivf probe scan: PQ scoring trained m=$m ksub=$ksub codebooks " +
-          s"on ${sample.size} sampled vectors (stride $stride)")
-        // pass 2: encode each block streaming; floats are dropped per block
-        val encoded: Array[(Long, VectorFunctions.PqRepBlock)] = {
+          require(sample.nonEmpty, "ivfSearch pq scoring: empty training sample")
+          val cbs = pqTrainLocal(sample.toArray, m, ksub, iters = 3)
+          logInfo(s"ivf probe scan: PQ scoring trained m=$m ksub=$ksub codebooks " +
+            s"on ${sample.size} sampled vectors (stride $stride)")
+          // pass 2: encode each block streaming; floats are dropped per block
           val buf = scala.collection.mutable.ArrayBuffer
             .empty[(Long, VectorFunctions.PqRepBlock)]
           val it = packedDf.toLocalIterator()
           while (it.hasNext) {
             val r = it.next()
             buf += ((r.getLong(0), VectorFunctions.encodePqRepBlock(
-              VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)), codebooks)))
+              VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)), codebooks = cbs)))
           }
-          buf.toArray
+          (cbs, buf.toArray)
+        } finally {
+          if (cachePacked) packedDf.unpersist(blocking = false)
         }
-        if (cachePacked) packedDf.unpersist(blocking = false)
         val bcP = spark.sparkContext.broadcast(encoded)
         val bcCb = spark.sparkContext.broadcast(codebooks)
         val normLut = VectorFunctions.pqRepCodeNorms(codebooks)
@@ -1951,11 +2019,45 @@ object Similarity extends org.apache.spark.internal.Logging {
   private def alignedForWrite(df: DataFrame, partCol: String): DataFrame =
     df.repartition(col(partCol))
 
+  /** Marker file stamping a PASSED corpus-side surrogate audit into a
+    * saved generic-id index: [[ivfLoad]] pre-seeds the in-memory memo
+    * from it, so loaded artifacts never re-pay the full-corpus audit
+    * scan. [[ivfAppendToSaved]] DELETES it (appended ids are unaudited),
+    * re-arming the audit on the next generic search of the loaded index.
+    */
+  private val GenericAuditMarker = "_generic_ids_audited"
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   def ivfSave(index: IvfIndex, dir: String): Unit = {
-    centroidsToDf(index.assigned.sparkSession, index.centroids)
+    val spark = index.assigned.sparkSession
+    centroidsToDf(spark, index.centroids)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     alignedForWrite(index.assigned, "list_id").write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$dir/assigned")
+    // Generic-id builds: run the corpus surrogate audit HERE if it has
+    // not already passed (save time is the natural once-per-lifetime
+    // point — the corpus was just rewritten anyway) and stamp the result,
+    // so every future load+search skips the full-corpus agg.
+    if (index.assigned.columns.contains("orig_id")) {
+      if (!index.genericAuditPassed.get()) {
+        val audit = index.assigned.agg(
+          countDistinct(col("neighbor_id")).as("s"),
+          countDistinct(col("orig_id")).as("o")).head()
+        require(audit.getLong(0) == audit.getLong(1),
+          s"ivfSave: xxhash64 surrogate collision among corpus ids " +
+            s"(${audit.getLong(1)} distinct ids -> ${audit.getLong(0)} " +
+            "surrogates); re-key the corpus with explicit i64 ids")
+        index.genericAuditPassed.set(true)
+        logInfo(s"ivfSave: corpus surrogate audit PASSED " +
+          s"(${audit.getLong(1)} distinct ids); stamping artifact")
+      }
+      val (fs, marker) = fsFor(spark, s"$dir/$GenericAuditMarker")
+      fs.create(marker, true).close()
+    }
   }
 
   /** Pack each inverted list into ≤`blockRows` chunk blobs — the corpus
@@ -2003,7 +2105,17 @@ object Similarity extends org.apache.spark.internal.Logging {
         Some(spark.read.parquet(s"$dir/packed")
           .withColumn("list_id", col("list_id").cast("long")))
       else None
-    IvfIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")), assigned, packed)
+    val idx = IvfIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")),
+      assigned, packed)
+    // pre-seed the generic-id audit memo from the artifact stamp: a
+    // loaded index whose save-time audit passed never re-pays the
+    // full-corpus scan (ivfAppendToSaved deletes the stamp, re-arming it)
+    val (mfs, marker) = fsFor(spark, s"$dir/$GenericAuditMarker")
+    if (idx.assigned.columns.contains("orig_id") && mfs.exists(marker)) {
+      idx.genericAuditPassed.set(true)
+      logInfo(s"ivfLoad: corpus surrogate audit pre-seeded from artifact stamp ($dir)")
+    }
+    idx
   }
 
   /** Assign-only append of a new vector batch to an existing index — the
@@ -2048,6 +2160,17 @@ object Similarity extends org.apache.spark.internal.Logging {
         "the saved index — a mixed corpus cannot decode consistently")
     alignedForWrite(assignedBatch, "list_id").write.mode("append")
       .partitionBy("list_id").parquet(s"$dir/assigned")
+    // appended ids are UNAUDITED — drop the save-time audit stamp so the
+    // next generic search of the loaded index re-runs the collision audit
+    // over the widened corpus (a fresh id could collide with a standing one)
+    if (savedGeneric) {
+      val (mfs, marker) = fsFor(spark, s"$dir/$GenericAuditMarker")
+      if (mfs.exists(marker)) {
+        mfs.delete(marker, false)
+        logInfo("ivfAppendToSaved: generic-id audit stamp cleared (appended " +
+          "ids are unaudited; next search re-runs the collision audit)")
+      }
+    }
     // keep a packed artifact coherent: the batch packs into NEW blobs per
     // list (existing blobs are never rewritten — write cost stays batch-
     // sized). Chunk ids can repeat across appends; chunk is layout

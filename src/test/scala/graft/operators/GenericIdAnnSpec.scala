@@ -113,4 +113,102 @@ class GenericIdAnnSpec extends SparkSpec {
     assert(e.getMessage.contains("orig_id") || e.getMessage.contains("id type"),
       s"mismatch must explain the fix, got: ${e.getMessage}")
   }
+
+  test("a long-id query batch against a generic-built index fails loud (never emits surrogates)") {
+    // the r17 hole: this direction used to fall through to the long-id
+    // fast path and return raw xxhash64 surrogates as neighbor_id —
+    // hashed ids that look like data. Both mixed-id directions now take
+    // the ivfAppend fail-loud convention.
+    val index = Similarity.ivfBuild(corpus, numCentroids = 2, trainIters = 1)
+    val longQueries = graft.Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 20)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfSearch(index, longQueries, k = 3, nprobe = 2))
+    assert(e.getMessage.contains("original id type"),
+      s"mismatch must explain the fix, got: ${e.getMessage}")
+  }
+
+  test("the query-side audit never false-positives on honest batches (incl. duplicate rows)") {
+    // A REAL xxhash64 collision is not constructible in a spec (2^-64);
+    // what IS testable is the audit's no-false-positive direction on the
+    // shapes that could trip a naive check: duplicate query ROWS (same id
+    // twice — countDistinct sees 1 on both sides, must pass) and
+    // near-miss ids ('a' vs 'a ' — distinct strings, distinct hashes,
+    // must pass). The fail direction shares the exact require with the
+    // corpus-side audit whose mechanism the memoization test exercises.
+    import org.apache.spark.sql.types._
+    val index = Similarity.ivfBuild(corpus, numCentroids = 2, trainIters = 1)
+    val dim = corpus.head().getSeq[Float](1).length
+    val vec = Array.fill(dim)(0.1f).toSeq
+    val batch = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("a", vec),
+      org.apache.spark.sql.Row("a", vec),
+      org.apache.spark.sql.Row("a ", vec)), StructType(Seq(
+      StructField("vec_id", StringType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val res = Similarity.ivfSearch(index, batch, k = 2, nprobe = 2)
+    assert(res.select("query_id").distinct().count() == 2,
+      "both distinct honest query ids must survive the audit and search")
+  }
+
+  test("the corpus surrogate audit runs once per index lifetime (memoized; per-search under conf)") {
+    val index = Similarity.ivfBuild(corpus, numCentroids = 2, trainIters = 1)
+    val (_, logs1) = graft.LogCapture("graft.operators.Similarity") {
+      Similarity.ivfSearch(index, queries, k = 3, nprobe = 2).count()
+    }
+    assert(logs1.exists(_.contains("corpus surrogate audit PASSED")),
+      s"first search must run + log the audit, got: ${logs1.filter(_.contains("audit"))}")
+    val (_, logs2) = graft.LogCapture("graft.operators.Similarity") {
+      Similarity.ivfSearch(index, queries, k = 3, nprobe = 2).count()
+    }
+    assert(logs2.exists(_.contains("corpus surrogate audit memoized")),
+      "second search must skip the full-corpus audit scan")
+    assert(!logs2.exists(_.contains("audit PASSED")),
+      "second search must not re-run the audit")
+    // paranoia mode restores the per-search scan
+    val (_, logs3) = withConf("spark.graft.ann.auditGenericIdsPerSearch" -> "true") {
+      graft.LogCapture("graft.operators.Similarity") {
+        Similarity.ivfSearch(index, queries, k = 3, nprobe = 2).count()
+      }
+    }
+    assert(logs3.exists(l => l.contains("audit PASSED") && l.contains("per-search")),
+      s"conf must restore the per-search audit, got: ${logs3.filter(_.contains("audit"))}")
+    // an append re-arms the audit (fresh instance, new ids could collide)
+    val appended = Similarity.ivfAppend(index,
+      corpus.filter(col("vec_id") < "doc-0002")
+        .select(concat(lit("x-"), col("vec_id")).as("vec_id"), col("embedding")))
+    val (_, logs4) = graft.LogCapture("graft.operators.Similarity") {
+      Similarity.ivfSearch(appended, queries, k = 3, nprobe = 2).count()
+    }
+    assert(logs4.exists(_.contains("corpus surrogate audit PASSED")),
+      "append must re-arm the audit")
+  }
+
+  test("ivfSave stamps the audit; ivfLoad pre-seeds it; appendToSaved re-arms it") {
+    val index = Similarity.ivfBuild(corpus, numCentroids = 2, trainIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-genid-stamp").toString
+    Similarity.ivfSave(index, dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_generic_ids_audited")),
+      "save of a generic index must stamp a passed audit")
+    val loaded = Similarity.ivfLoad(spark, dir)
+    val (_, logs) = graft.LogCapture("graft.operators.Similarity") {
+      Similarity.ivfSearch(loaded, queries, k = 3, nprobe = 2).count()
+    }
+    assert(logs.exists(_.contains("corpus surrogate audit memoized")),
+      s"loaded index must not re-pay the audit, got: ${logs.filter(_.contains("audit"))}")
+    // an append to the artifact clears the stamp → next load re-audits
+    Similarity.ivfAppendToSaved(spark, dir,
+      corpus.filter(col("vec_id") < "doc-0002")
+        .select(concat(lit("y-"), col("vec_id")).as("vec_id"), col("embedding")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_generic_ids_audited")),
+      "appendToSaved must clear the audit stamp")
+    val reloaded = Similarity.ivfLoad(spark, dir)
+    val (_, logs5) = graft.LogCapture("graft.operators.Similarity") {
+      Similarity.ivfSearch(reloaded, queries, k = 3, nprobe = 2).count()
+    }
+    assert(logs5.exists(_.contains("corpus surrogate audit PASSED")),
+      "a reloaded appended index must re-run the audit")
+  }
 }
