@@ -237,6 +237,30 @@ object GraftConf {
   def annAuditGenericIdsPerSearch(spark: SparkSession): Boolean =
     bool(spark, "spark.graft.ann.auditGenericIdsPerSearch", default = false)
 
+  /** Disk-lazy in-kernel exact rerank of the int8 replicated probe
+    * (`spark.graft.ann.rerankDiskLazy`, default true): when the loaded
+    * artifact carries a blob sidecar, the probe kernel rescores its own
+    * shortlist by positioned-reading the winners' packed float blobs
+    * through a per-executor LRU — no shortlist exchange at all, vs the
+    * join-form rerank's corpus_vec-per-shortlist-row shuffle (~28 GB at
+    * the 1M-queries-=-corpus sf20 shape). `false` forces the join-form
+    * (the A/B knob). In-memory indexes and PQ scoring keep the
+    * join-form either way.
+    */
+  def annRerankDiskLazy(spark: SparkSession): Boolean =
+    bool(spark, "spark.graft.ann.rerankDiskLazy", default = true)
+
+  /** Per-executor decoded-blob LRU budget of the disk-lazy rerank
+    * (`spark.graft.ann.blobCacheBytes`, default 256 MiB): bounds the
+    * float blocks resident for rescoring; blobs past the budget are
+    * re-read (page cache makes the re-read cheap on a warm host).
+    */
+  def annBlobCacheBytes(spark: SparkSession): Long = {
+    val v = long(spark, "spark.graft.ann.blobCacheBytes", 268435456L)
+    require(v > 0, s"spark.graft.ann.blobCacheBytes must be > 0, got $v")
+    v
+  }
+
   /** What the quantized/PQ replicated probe EMITS
     * (`spark.graft.ann.probeRerank` = exact | off, default exact):
     *

@@ -823,6 +823,63 @@ object VectorFunctions {
     (topIds, topScores, size)
   }
 
+  /** [[replicatedTopKI8]] that also RECORDS each winner's source blob —
+    * (list_id, chunk) ride two parallel primitive arrays through the
+    * same insertion shifts — so the disk-lazy exact rerank can fetch
+    * exactly the blobs that hold shortlist members instead of joining
+    * the whole corpus's float vectors onto the shortlist (the 28 GB
+    * exchange at the 1M-queries-=-corpus shape). Selection semantics,
+    * arithmetic, and the (cosine desc, id asc) insertion order are
+    * IDENTICAL to the unkeyed kernel; only the bookkeeping differs.
+    */
+  private[graft] def replicatedTopKI8Keyed(qid: Long, q: Array[Byte],
+                                           blocks: Iterator[(Long, Int, QuantBlock)],
+                                           k: Int, floor: Double):
+      (Array[Long], Array[Double], Array[Long], Array[Int], Int) = {
+    val nxFull = VecKernels.normSqI8(q, 0, q.length)
+    val topIds = new Array[Long](k)
+    val topScores = new Array[Double](k)
+    val topList = new Array[Long](k)
+    val topChunk = new Array[Int](k)
+    var size = 0
+    while (blocks.hasNext) {
+      val (listId, chunk, blk) = blocks.next()
+      val dim = blk.dim
+      val qvecs = blk.qvecs
+      val m = math.min(q.length, dim)
+      var r = 0
+      while (r < blk.n) {
+        val id = blk.ids(r)
+        if (id != qid) {
+          val dot = VecKernels.dotI8(q, 0, qvecs, r * dim, m)
+          val nx = if (m == q.length) nxFull else VecKernels.normSqI8(q, 0, m)
+          val ny =
+            if (m == dim) blk.normSq(r)
+            else VecKernels.normSqI8(qvecs, r * dim, m)
+          val sc =
+            if (nx == 0L || ny == 0L) 0.0
+            else dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
+          val last = size - 1
+          if (sc >= floor && (size < k || sc > topScores(last) ||
+              (sc == topScores(last) && id < topIds(last)))) {
+            var p = if (size < k) size else k - 1
+            while (p > 0 && (topScores(p - 1) < sc ||
+                (topScores(p - 1) == sc && topIds(p - 1) > id))) {
+              topIds(p) = topIds(p - 1); topScores(p) = topScores(p - 1)
+              topList(p) = topList(p - 1); topChunk(p) = topChunk(p - 1)
+              p -= 1
+            }
+            topIds(p) = id; topScores(p) = sc
+            topList(p) = listId; topChunk(p) = chunk
+            if (size < k) size += 1
+          }
+        }
+        r += 1
+      }
+    }
+    (topIds, topScores, topList, topChunk, size)
+  }
+
   /** A [[DecodedBlock]] PQ-encoded for the REPLICATED orientation's ADC
     * scoring regime (spark.graft.ann.probePq): `codes` holds m bytes per
     * vector (row-major), the codebooks are shared across blocks (driver-

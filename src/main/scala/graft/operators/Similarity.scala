@@ -674,7 +674,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     */
   final case class IvfIndex private[operators] (
       centroids: Seq[(Long, Array[Float])], assigned: DataFrame,
-      packed: Option[DataFrame] = None) {
+      packed: Option[DataFrame] = None,
+      blobs: Option[DataFrame] = None) {
     /** Memo for the corpus-side surrogate-collision audit (generic-id
       * builds only): flips true after the one full-corpus
       * countDistinct(surrogate)==countDistinct(orig) scan passes, so
@@ -1374,6 +1375,16 @@ object Similarity extends org.apache.spark.internal.Logging {
     val margin = if (scoring == "pq") graft.GraftConf.annPqFloorMargin(spark)
                  else Int8FloorMargin
     val fetchFloor = if (rerank && minCosine.isDefined) floor - margin else floor
+    // DISK-LAZY in-kernel exact rerank (int8 + artifact-with-sidecar
+    // only): the kernel rescores its own shortlist from the winners'
+    // packed float blobs via positioned reads through a per-executor
+    // LRU — zero shortlist exchange, vs the join-form's
+    // corpus_vec-per-shortlist-row shuffle below. Selection semantics
+    // identical (spec-pinned bit-equal to the join-form).
+    if (scoring == "int8" && rerank && index.blobs.nonEmpty &&
+        graft.GraftConf.annRerankDiskLazy(spark))
+      return ivfSearchReplicatedInt8DiskLazy(index, qrows, k, kFetch,
+        floor, fetchFloor, outSchema)
     val ranked: DataFrame = scoring match {
       case "int8" =>
         val quantized: Array[(Long, VectorFunctions.QuantBlock)] = {
@@ -1540,6 +1551,111 @@ object Similarity extends org.apache.spark.internal.Logging {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rk").cast("int").as("rk"))
+  }
+
+  /** The int8 replicated probe with the DISK-LAZY in-kernel exact rerank
+    * (the r17 design, PLANS.md "The rerank-residual item"): the join-form
+    * rerank moves one corpus float vector PER SHORTLIST ROW through a
+    * shuffle (~28 GB at the adversarial 1M-queries-=-corpus sf20 shape);
+    * here the kernel rescores its own shortlist in place by fetching the
+    * WINNERS' packed float blobs — positioned reads against the
+    * artifact's raw-byte sidecar ([[BlobStore]]), through a per-executor
+    * byte-bounded LRU of decoded blocks — so the only bytes that move
+    * are the ≤ shortlist-blob set, re-read through the OS page cache on
+    * a warm host. The quantized broadcast copy is built from the SAME
+    * sidecar (driver positioned reads replace the toLocalIterator jobs),
+    * and each broadcast block carries its ordinal into the sidecar's ref
+    * array — the kernel tracks each winner's source ordinal through the
+    * top-k insertions ([[graft.functions.VectorFunctions
+    * .replicatedTopKI8Keyed]]), which is what makes the fetch exact
+    * under append-duplicated chunk ids ((list, chunk) is NOT a key
+    * across appends; the ordinal is).
+    *
+    * Scoring parity: the exact rescore reuses the replicated float
+    * kernel's arithmetic (double dot over min-length, precomputed norm
+    * accumulators in blob element order, 0.0 on zero norms), the exact
+    * floor re-applies AFTER rescoring, ordering is (cosine desc, id
+    * asc), and rounding is the half-up scale-4 Spark `round` — the
+    * DiskLazyRerankSpec pins bit-equality against the join-form.
+    */
+  private def ivfSearchReplicatedInt8DiskLazy(
+      index: IvfIndex, qrows: DataFrame, k: Int, kFetch: Int,
+      floor: Double, fetchFloor: Double,
+      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import graft.functions.{VecKernels, VectorFunctions}
+    val spark = qrows.sparkSession
+    val refs = BlobStore.collectIndexRows(index.blobs.get)
+    require(refs.nonEmpty, "disk-lazy rerank: empty blob sidecar index")
+    val quantized = new Array[(Long, Int, VectorFunctions.QuantBlock)](refs.length)
+    var qi = 0
+    while (qi < refs.length) {
+      val (list, path, off, len) = refs(qi)
+      quantized(qi) = (list, qi,
+        VectorFunctions.quantizeBlock(BlobStore.readBlob(path, off, len)))
+      qi += 1
+    }
+    val bcQ = spark.sparkContext.broadcast(quantized)
+    val bcRef = spark.sparkContext.broadcast(refs)
+    val cacheBudget = graft.GraftConf.annBlobCacheBytes(spark)
+    logInfo(s"ivf probe scan: int8 scoring + DISK-LAZY exact rerank " +
+      s"(${refs.length} sidecar blobs; per-executor decoded-block LRU " +
+      s"budget $cacheBudget B; zero shortlist exchange)")
+    qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      val byList = new java.util.HashMap[Long, scala.collection.mutable
+        .ArrayBuffer[(Long, Int, VectorFunctions.QuantBlock)]]()
+      bcQ.value.foreach { t =>
+        var b = byList.get(t._1)
+        if (b == null) {
+          b = scala.collection.mutable.ArrayBuffer.empty
+          byList.put(t._1, b)
+        }
+        b += t
+      }
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val qf = r.getSeq[Float](1).toArray
+        val q = VecKernels.quantizeI8(qf, 0, qf.length)
+        val lists = r.getSeq[Long](2)
+        val blocks = lists.iterator.flatMap { l =>
+          val b = byList.get(l)
+          if (b == null) Iterator.empty else b.iterator
+        }
+        val (ids, _, _, ords, size) = VectorFunctions
+          .replicatedTopKI8Keyed(qid, q, blocks, kFetch, fetchFloor)
+        val nxFull = VecKernels.normSq(qf, 0, qf.length)
+        val exIds = new Array[Long](size)
+        val exScores = new Array[Double](size)
+        var nOut = 0
+        var j = 0
+        while (j < size) {
+          val (_, path, off, len) = bcRef.value(ords(j))
+          val blk = BlobStore.BlobCache.get(path, off, len, cacheBudget)
+          val row = java.util.Arrays.binarySearch(blk.ids, ids(j))
+          require(row >= 0,
+            s"disk-lazy rerank: id ${ids(j)} missing from its source blob")
+          val dim = blk.dim
+          val m = math.min(qf.length, dim)
+          val dot = VecKernels.dot(qf, 0, blk.vecs, row * dim, m)
+          val nx = if (m == qf.length) nxFull else VecKernels.normSq(qf, 0, m)
+          val ny = if (m == dim) blk.normSq(row)
+                   else VecKernels.normSq(blk.vecs, row * dim, m)
+          val s = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+          if (s >= floor) {
+            exIds(nOut) = ids(j); exScores(nOut) = s; nOut += 1
+          }
+          j += 1
+        }
+        val order = Array.range(0, nOut)
+          .sortBy(x => (-exScores(x), exIds(x)))
+        (0 until math.min(k, nOut)).iterator.map { rk =>
+          val x = order(rk)
+          org.apache.spark.sql.Row(qid, exIds(x),
+            java.math.BigDecimal.valueOf(exScores(x))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue(),
+            rk + 1)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Bounded driver-side PQ training-sample target (vectors). */
@@ -2091,8 +2207,12 @@ object Similarity extends org.apache.spark.internal.Logging {
   def ivfSavePacked(index: IvfIndex, dir: String,
                     blockRows: Int = DefaultBlockRows): Unit = {
     ivfSave(index, dir)
-    alignedForWrite(packLists(index.assigned, blockRows), "list_id")
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/packed")
+    val aligned = alignedForWrite(packLists(index.assigned, blockRows), "list_id")
+    aligned.write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/packed")
+    // raw-byte blob sidecar + offset index: the disk-lazy exact rerank
+    // fetches winner blobs by positioned read instead of joining the
+    // whole corpus's floats onto the shortlist (see BlobStore)
+    BlobStore.write(aligned, s"$dir/blobstore")
   }
 
   def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
@@ -2106,7 +2226,7 @@ object Similarity extends org.apache.spark.internal.Logging {
           .withColumn("list_id", col("list_id").cast("long")))
       else None
     val idx = IvfIndex(centroidsFromDf(spark.read.parquet(s"$dir/centroids")),
-      assigned, packed)
+      assigned, packed, BlobStore.loadIndex(spark, s"$dir/blobstore"))
     // pre-seed the generic-id audit memo from the artifact stamp: a
     // loaded index whose save-time audit passed never re-pays the
     // full-corpus scan (ivfAppendToSaved deletes the stamp, re-arming it)
@@ -2179,9 +2299,16 @@ object Similarity extends org.apache.spark.internal.Logging {
     // the probe reads proportionally more (small) rows, never wrong rows.
     val packedPath = new org.apache.hadoop.fs.Path(s"$dir/packed")
     val fs = packedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(packedPath))
-      alignedForWrite(packLists(assignedBatch, DefaultBlockRows), "list_id")
-        .write.mode("append").partitionBy("list_id").parquet(s"$dir/packed")
+    if (fs.exists(packedPath)) {
+      val alignedBatch = alignedForWrite(
+        packLists(assignedBatch, DefaultBlockRows), "list_id")
+      alignedBatch.write.mode("append").partitionBy("list_id")
+        .parquet(s"$dir/packed")
+      // keep the blob sidecar coherent with the appended blobs, or the
+      // disk-lazy rerank would miss winners from the new chunks
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/blobstore/index")))
+        BlobStore.append(alignedBatch, s"$dir/blobstore")
+    }
   }
 
   /** Inverted-list occupancy after builds/appends — |lists| rows (bounded
