@@ -238,17 +238,25 @@ object GraftConf {
     bool(spark, "spark.graft.ann.auditGenericIdsPerSearch", default = false)
 
   /** Disk-lazy in-kernel exact rerank of the int8 replicated probe
-    * (`spark.graft.ann.rerankDiskLazy`, default true): when the loaded
-    * artifact carries a blob sidecar, the probe kernel rescores its own
-    * shortlist by positioned-reading the winners' packed float blobs
-    * through a per-executor LRU — no shortlist exchange at all, vs the
-    * join-form rerank's corpus_vec-per-shortlist-row shuffle (~28 GB at
-    * the 1M-queries-=-corpus sf20 shape). `false` forces the join-form
-    * (the A/B knob). In-memory indexes and PQ scoring keep the
-    * join-form either way.
+    * (`spark.graft.ann.rerankDiskLazy`, default FALSE — measured
+    * negative): when the loaded artifact carries a blob sidecar, the
+    * probe kernel rescores its own shortlist by positioned-reading the
+    * winners' packed float blobs through a per-executor LRU — no
+    * shortlist exchange at all, vs the join-form rerank's
+    * corpus_vec-per-shortlist-row shuffle. Measured at the adversarial
+    * sf20 1M-queries-=-corpus shape it LOST ≥10× to the join-form
+    * (kernel-stage tasks 676–1050 s, projected stage ≈ 3500 s vs the
+    * join-form's 330.9 s total): per-winner LRU round-trips through one
+    * global lock, with unsorted queries collapsing the hit rate against
+    * a corpus 4× the cache budget (PLANS.md round-18). Results are
+    * bit-equal either way (spec-pinned); opt in only for bounded query
+    * batches against big corpora, where the fetched blob set is small.
+    * Named next levers before the default can flip: query-locality sort
+    * (repartition queries by primary probe list) + per-query ordinal
+    * batching + striped locks.
     */
   def annRerankDiskLazy(spark: SparkSession): Boolean =
-    bool(spark, "spark.graft.ann.rerankDiskLazy", default = true)
+    bool(spark, "spark.graft.ann.rerankDiskLazy", default = false)
 
   /** Per-executor decoded-blob LRU budget of the disk-lazy rerank
     * (`spark.graft.ann.blobCacheBytes`, default 256 MiB): bounds the

@@ -80,6 +80,7 @@ class DiskLazyRerankSpec extends SparkSpec {
     val (loaded, _) = savedIndex()
     val base = Seq(
       "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString,
+      "spark.graft.ann.rerankDiskLazy" -> "true",
       "spark.graft.ann.rerankFactor" -> "1000")
     val lazyRes = withConf(base :+
         ("spark.graft.ann.probeInt8" -> "true"): _*) {
@@ -100,6 +101,7 @@ class DiskLazyRerankSpec extends SparkSpec {
     val (loaded, _) = savedIndex()
     def search() = withConf(
       "spark.graft.ann.probeInt8" -> "true",
+      "spark.graft.ann.rerankDiskLazy" -> "true",
       "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
       rows(Similarity.ivfSearch(loaded, queries, k = 5, nprobe = 3))
     }
@@ -114,6 +116,7 @@ class DiskLazyRerankSpec extends SparkSpec {
     // a budget smaller than any blob: everything re-reads, results identical
     val starved = withConf(
       "spark.graft.ann.probeInt8" -> "true",
+      "spark.graft.ann.rerankDiskLazy" -> "true",
       "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString,
       "spark.graft.ann.blobCacheBytes" -> "1") {
       rows(Similarity.ivfSearch(loaded, queries, k = 5, nprobe = 3))
@@ -129,6 +132,7 @@ class DiskLazyRerankSpec extends SparkSpec {
     val reloaded = Similarity.ivfLoad(spark, dir)
     val res = withConf(
       "spark.graft.ann.probeInt8" -> "true",
+      "spark.graft.ann.rerankDiskLazy" -> "true",
       "spark.graft.ann.replicateIndexBytes" -> Long.MaxValue.toString) {
       val (r, logs) = graft.LogCapture("graft.operators.Similarity") {
         rows(Similarity.ivfSearch(reloaded, queries, k = 5, nprobe = 4))
