@@ -1779,23 +1779,62 @@ object Queries {
 
   /** Equi-depth histogram WITHOUT a global sort — the ANALYZE histogram
     * shape. The textbook `ntile(k) OVER (ORDER BY x)` forces every row
-    * through ONE partition (the q84 scale-killer); this runs as three
-    * combinable aggregations: count, then the k−1 bucket bounds as ONE
-    * exact `percentile` at integer-rank probabilities (p = r/(n−1), so no
-    * interpolation — each bound IS a data value), then a scan-local
-    * bucket assignment + count. Bounds are rounded to 4 dp on BOTH
-    * engines before comparing, so a ≤1-ulp interpolation wobble cannot
-    * flip a boundary row's bucket. Driver data = k−1 doubles.
+    * through ONE partition (the q84 scale-killer). Bounds are the EXACT
+    * 0-based order statistics at ranks rᵢ = ⌊i·(n−1)/k⌋ — each bound IS
+    * a data value, the contract the oracle replays via row_number().
+    *
+    * Physical form (r18, guide §1.2 step 2): the k−1 bounds previously
+    * came from ONE exact `percentile` call — an interpreted
+    * TypedImperativeAggregate that builds a per-task value→count
+    * OpenHashMap row-at-a-time outside codegen and sorts the merged map
+    * on the driver; measured 3.6 s of q123's 3.6 s at sf0.1. Replaced
+    * by rank arithmetic over a value-count table: one codegen'd
+    * groupBy(x) count (combinable — duplicates collapse map-side), a
+    * two-level prefix sum of the counts in value order (the
+    * [[graft.operators.Packing]] decomposition: value-range buckets →
+    * exclusive bucket offsets via a window over |buckets| rows → intra-
+    * bucket cumulative, parallel across buckets), then one broadcast
+    * range join picks the k−1 values whose cumulative-count window
+    * spans each target rank. Identical bounds by construction (the
+    * order statistic at rank r is the unique value v with
+    * cum(<v) ≤ r < cum(≤v)); A/B'd bit-equal at sf0.01/sf0.1 and the
+    * oracle hash is unchanged. Measured: 3.6 s (solo warm, percentile
+    * form) → 1.49 s (solo min-of-3) at sf0.1/local[32]. Driver data =
+    * k−1 doubles, as before; no stage holds more than a value-range
+    * bucket of the distinct-value table at once.
     */
   def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val k = 8
     val n = li.count()
-    val ps = (1 until k).map(i => (i * (n - 1) / k).toDouble / (n - 1))
-    val bounds = li
-      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))"))
-      .first().getSeq[Double](0)
-      .map(b => math.rint(b * 10000) / 10000)
+    val ranks = (1 until k).map(i => i * (n - 1) / k)
+    // distinct-value counts: |V| rows, combinable. Bucket by the value's
+    // integer range so bucket order == value order (prices are positive;
+    // 256-wide ranges keep |buckets| in the thousands at any SF — it
+    // affects only parallelism, never values).
+    val vc = li.groupBy(col("l_extendedprice").as("x"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__b", expr("cast(x as long) div 256L"))
+    val bucketOffsets = vc
+      .groupBy(col("__b")).agg(sum(col("c")).as("__bsum"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bsum")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__boff"))
+    val intra = Window.partitionBy(col("__b")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.join(broadcast(bucketOffsets), "__b")
+      .withColumn("cum", col("__boff") + sum(col("c")).over(intra))
+    // rank r (0-based) lands on value v iff cum(<v) = cum − c ≤ r < cum
+    val rankDf = spark.createDataFrame(
+      ranks.zipWithIndex.map { case (r, i) => (i, r) })
+      .toDF("__i", "__r")
+    val bounds = cum.join(broadcast(rankDf),
+        col("cum") - col("c") <= col("__r") && col("__r") < col("cum"))
+      .select(col("__i"), col("x"))
+      .collect().sortBy(_.getInt(0)).toSeq
+      .map(r => math.rint(r.getDouble(1) * 10000) / 10000)
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("l_extendedprice") > lit(b), 1).otherwise(0)
     }
@@ -2263,17 +2302,44 @@ object Queries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
-  /** Sparse TF-IDF cosine pairs — lexical similarity via the inverted
-    * index (dot products accumulate over shared TERMS, the sparse
-    * counterpart of the dense-embedding cosine family q38/q55/q61):
-    * w = tf·ln(N/df), so corpus-wide terms carry weight 0 and never
-    * contribute. EXACT-BASELINE STANCE (the q61 precedent): capped to
-    * doc_id < 1000 because the term self-join is Σ df² — at scale you
-    * run q136's prefix filter or q55's banded SRP first and use this as
-    * their recall oracle on a slice. Thresholding on the ROUNDED cosine
-    * keeps the boundary decision identical across engines.
+  /** Sparse TF-IDF cosine pairs — lexical similarity with dot products
+    * over shared TERMS (the sparse counterpart of the dense-embedding
+    * cosine family q38/q55/q61): w = tf·ln(N/df), so corpus-wide terms
+    * carry weight 0 and never contribute. EXACT-BASELINE STANCE (the
+    * q61 precedent): capped to doc_id < 1000 — at scale you run q136's
+    * prefix filter or q55's banded SRP first and use this as their
+    * recall oracle on a slice. Thresholding on the ROUNDED cosine keeps
+    * the boundary decision identical across engines.
+    *
+    * Physical form (r18, guide §1.2/§3): the query rides the
+    * [[graft.operators.PrefixJoin.weightedCosinePrefixJoin]] kernel,
+    * whose small-corpus regime stages the sorted sparse vectors once
+    * and runs the n²/2 codegen'd merge-dots through ONE broadcast
+    * nested-loop join — zero pair-keyed exchange. The original
+    * inverted-index formulation ([[tfidfCosinePairsTermJoin]]) shuffles
+    * Σ df² joined term rows into a (id_a, id_b) hash aggregation and
+    * then joins norms twice; on the capped slice the nested loop was
+    * measured 2.3× faster (solo A/B, plans/r18/q145_*.txt) with the
+    * identical verified pair set. Equivalence is spec-pinned BOTH ways:
+    * PrefixJoinSpec proves kernel == term-join form on the slice
+    * (1e-9 on rounded cosines), PipelineOpsSpec proves the query
+    * against an implementation-independent local recount, and the
+    * DuckDB oracle hash (which replays the inverted-index definition)
+    * stays green — the oracle contract is unchanged.
     */
-  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixJoin.weightedCosinePrefixJoin(
+        t(spark, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The original q145 physical form — inverted-index term self-join
+    * (Σ df² candidate rows through the pair aggregation), kept as the
+    * reference implementation PrefixJoinSpec pins the kernel against.
+    * Not in the bench path; [[tfidfCosinePairs]] rides the prefix-join
+    * kernel with the spec-pinned identical answer.
+    */
+  private[graft] def tfidfCosinePairsTermJoin(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
     val terms = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)).as("term"))
@@ -2962,24 +3028,51 @@ object Queries {
       .limit(50)
   }
 
+  /** One row per (order, a, b) unordered pair of DISTINCT parts sharing
+    * that order — the co-purchase pair stream q163 and q168 both grow
+    * their graphs from.
+    *
+    * Physical form (r18, guide §2.4 "remove shuffles outright"): the
+    * original shape — distinct (orderkey, partkey), equi-self-join on
+    * orderkey with partkey< , then a pair distinct/aggregate — paid
+    * three pair-table exchanges (the distinct, the join, the pair
+    * dedup; measured 2.3 s of q163's 3.4 s at sf0.1). Here ONE
+    * aggregation builds each order's sorted distinct-part basket
+    * (collect_set collapses duplicates map-side — combinable, unlike
+    * the join), and the a<b pair grid is generated SCAN-LOCALLY by two
+    * chained generators over the sorted array (posexplode anchors `a`,
+    * slice keeps only later = strictly-greater elements for `b`) — the
+    * identical row set with one exchange instead of three. Skew posture
+    * unchanged: a pathological giant order concentrates its basket² in
+    * one task in BOTH forms (the self-join keyed on orderkey put the
+    * hot key in one task too); baskets are order-line-bounded (~7) at
+    * every SF. Measured solo min-of-3 at sf0.1: q163 3.44→2.79 s,
+    * q168 2.77→2.59 s (the pair stream is only part of each query —
+    * triangleStats / the k-core peel dominate what remains).
+    */
+  private def copurchasePairRows(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+    baskets
+      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("pks"), col("i") + lit(2),
+          size(col("pks")) - col("i") - lit(1))).as("b"))
+  }
+
   /** Triangle count over the part co-purchase graph (parts sharing an
     * order are adjacent) — the clustering-coefficient numerator, the
     * graph-level sibling of q132's PageRank. The operator
     * ([[graft.operators.Graph.triangleStats]]) orients every edge
     * low→high (degree, id) so wedge fan-out is bounded by oriented
     * out-degree ≤ O(√m) — the hub-proof enumeration; the naive oracle
-    * replays a<b<c closure, same count.
+    * replays a<b<c closure, same count. Edges come from the one-shuffle
+    * basket pair stream ([[copurchasePairRows]], r18).
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val op = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = op.as("x").join(op.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
-    graft.operators.Graph.triangleStats(edges)
-  }
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleStats(
+      copurchasePairRows(spark, dir).distinct())
 
   /** Pairwise Jensen-Shannon divergence between per-language unigram
     * distributions — the corpus-drift / domain-shift measure a mixture
@@ -3066,17 +3159,12 @@ object Queries {
     * graph into its repeated-signal core).
     */
   private def copurchaseEdges(spark: SparkSession, dir: String,
-                              minSupport: Long): DataFrame = {
-    val op = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    op.as("x").join(op.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+                              minSupport: Long): DataFrame =
+    copurchasePairRows(spark, dir)
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= minSupport)
       .select(col("a"), col("b"))
-  }
 
   /** 2-core of the support-≥2 co-purchase graph
     * ([[graft.operators.Graph.kCore]]): iterative peel to the maximal

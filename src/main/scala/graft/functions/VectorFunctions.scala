@@ -371,6 +371,64 @@ case class PackVecBlock(child: Expression)
     copy(child = newChild)
 }
 
+/** ALL of one inverted list's [[PackVecBlock]] chunk blobs from one
+  * collected entry array — sort by id once, slice every `blockRows`
+  * rows, pack each slice (r18, guide §2.4). Replaces the
+  * row_number-window + per-(list, chunk) groupBy pack: the window form
+  * paid a full sort pass of the corpus between the list exchange and
+  * the pack aggregation; here ONE groupBy(list_id) feeds this
+  * expression and posexplode emits (chunk, block) scan-locally. Blob
+  * BYTES are identical to the window form's by construction (ids
+  * ascend within a list either way; chunk i = rows [i·blockRows,
+  * (i+1)·blockRows) of that order), so every downstream consumer —
+  * probe kernels, packed artifacts, the blobstore sidecar — sees the
+  * exact same (list_id, chunk, block) rows. Memory posture unchanged:
+  * the window form's pack task also held all of a list's chunks in its
+  * aggregation map at once.
+  */
+case class PackVecBlocks(child: Expression, blockRows: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(blockRows >= 1, s"pack_vec_blocks: blockRows must be >= 1, got $blockRows")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = false)
+  override def prettyName: String = "pack_vec_blocks"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+      if s.length == 2 && s(0).dataType == org.apache.spark.sql.types.LongType &&
+        (s(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pack_vec_blocks expects array<struct<id:long,vec:array<float>>>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val entries = input.asInstanceOf[ArrayData]
+    val n = entries.numElements()
+    val rows = Array.tabulate(n) { i =>
+      val e = entries.getStruct(i, 2)
+      (e.getLong(0), e.getArray(1).toFloatArray())
+    }.sortBy(_._1)
+    val dim = if (n == 0) 0 else rows.head._2.length
+    require(rows.forall(_._2.length == dim),
+      s"pack_vec_blocks: ragged vectors in one list (expected dim $dim)")
+    val blobs = rows.grouped(blockRows).map { chunk =>
+      val m = chunk.length
+      val buf = java.nio.ByteBuffer.allocate(8 + m * (8 + dim * 4))
+      buf.putInt(m).putInt(dim)
+      chunk.foreach { case (id, _) => buf.putLong(id) }
+      chunk.foreach { case (_, v) => v.foreach(buf.putFloat) }
+      buf.array()
+    }.toArray[Any]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(blobs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The top-`k` (cosine desc, id asc) neighbors of one query vector within
   * one packed list chunk ([[PackVecBlock]] blob), self-match excluded and
   * an optional score floor applied INSIDE the scan — returns
@@ -562,6 +620,7 @@ object VectorFunctions {
     "cosine_sim_i8" -> (c => QuantizedCosine(c.head, c(1))),
     "sparse_to_dense" -> (c => SparseToDense(c.head, litNum(c(1), "dim").toInt)),
     "pack_vec_block" -> (c => PackVecBlock(c.head)),
+    "pack_vec_blocks" -> (c => PackVecBlocks(c.head, litNum(c(1), "blockRows").toInt)),
     "ivf_block_topk" -> (c => IvfBlockTopK(c.head, c(1), c(2),
       litNum(c(3), "k").toInt, litDouble(c(4), "floor"))),
     "block_cross_topk" -> (c => BlockCrossTopK(c.head, c(1),

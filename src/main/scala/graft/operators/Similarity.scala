@@ -2184,16 +2184,22 @@ object Similarity extends org.apache.spark.internal.Logging {
     * at the 1M-doc tier that pack was re-streaming corpus-scale bytes
     * through an aggregation exchange on every query batch.
     */
-  private[operators] def packLists(assigned: DataFrame, blockRows: Int): DataFrame = {
-    val byList = Window.partitionBy(col("list_id")).orderBy(col("neighbor_id"))
+  private[graft] def packLists(assigned: DataFrame, blockRows: Int): DataFrame =
+    // r18 (guide §2.4): one groupBy(list_id) + the in-kernel
+    // sort-and-slice pack ([[graft.functions.PackVecBlocks]]) replaces
+    // the row_number window + per-(list, chunk) groupBy — the window
+    // form paid a full sort pass of the corpus between the list
+    // exchange and the pack aggregation. Blob bytes and (list_id,
+    // chunk) keys are IDENTICAL by construction (ids ascend within a
+    // list either way; chunk i = rows [i·blockRows, (i+1)·blockRows) of
+    // that order) — IvfBlockTopKSpec pins the bit-equality. Peak task
+    // memory is unchanged: the window form's pack task also held every
+    // chunk of its lists in one aggregation map.
     assigned
-      .withColumn("chunk",
-        ((row_number().over(byList) - lit(1)) / lit(blockRows)).cast("int"))
-      .groupBy(col("list_id"), col("chunk"))
-      .agg(expr("pack_vec_block(collect_list(struct(neighbor_id, corpus_vec)))")
-        .as("block"))
-      .select(col("list_id"), col("chunk"), col("block"))
-  }
+      .groupBy(col("list_id"))
+      .agg(expr(s"pack_vec_blocks(collect_list(struct(neighbor_id, corpus_vec)), $blockRows)")
+        .as("__blocks"))
+      .select(col("list_id"), posexplode(col("__blocks")).as(Seq("chunk", "block")))
 
   /** [[ivfSave]] plus the packed chunk artifact: searches against the
     * loaded index scan the persisted blobs directly instead of re-packing

@@ -86,6 +86,29 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q123 rank-arithmetic bounds equal a local sorted recount (r18 percentile swap)") {
+    // r18 replaced the exact `percentile` aggregate with value-count rank
+    // arithmetic (two-level prefix sum). The contract is unchanged: each
+    // bound is the EXACT 0-based order statistic at rank i·(n−1)/8 — the
+    // definition the oracle replays with row_number(). Recount locally.
+    import org.apache.spark.sql.functions._
+    val xs = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = xs.length.toLong
+    val bounds = (1 until 8).map(i => xs((i * (n - 1) / 8).toInt))
+      .map(b => math.rint(b * 10000) / 10000)
+    val h = Queries.equidepthHistogram(spark, sf0001).collect()
+      .sortBy(_.getInt(0))
+    // recount buckets with the recomputed bounds: identical n_rows per bucket
+    val expected = xs.groupBy(x => bounds.count(b => x > b)).map {
+      case (bkt, vs) => bkt -> vs.length.toLong
+    }
+    h.foreach { r =>
+      assert(expected(r.getInt(0)) == r.getLong(1),
+        s"bucket ${r.getInt(0)}: got ${r.getLong(1)}, recount ${expected(r.getInt(0))}")
+    }
+  }
+
   test("q155 correlations are valid Pearson values and match a direct computation") {
     import org.apache.spark.sql.functions._
     val rows = Queries.correlationMatrix(spark, sf0001).collect()

@@ -132,6 +132,36 @@ class IvfBlockTopKSpec extends SparkSpec {
     }
   }
 
+  test("packLists (pack_vec_blocks form) is bit-identical to the window+groupBy form") {
+    // r18 swapped the row_number-window + per-(list, chunk) groupBy pack
+    // for one groupBy(list_id) + the in-kernel sort-and-slice expression.
+    // Every (list_id, chunk, block) row — blob BYTES included — must be
+    // identical: probe kernels, packed artifacts, and the blobstore
+    // sidecar all consume this layout.
+    VectorFunctions.register(spark)
+    val index = Similarity.ivfBuild(emb, numCentroids = 4, trainIters = 1)
+    for (blockRows <- Seq(3, 7, 1 << 20)) {
+      val oldForm = index.assigned
+        .withColumn("chunk",
+          ((row_number().over(Window.partitionBy(col("list_id"))
+            .orderBy(col("neighbor_id"))) - lit(1)) / lit(blockRows)).cast("int"))
+        .groupBy(col("list_id"), col("chunk"))
+        .agg(call_function("pack_vec_block",
+          collect_list(struct(col("neighbor_id"), col("corpus_vec")))).as("block"))
+        .select(col("list_id"), col("chunk"), col("block"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2)).toMap
+      val newForm = Similarity.packLists(index.assigned, blockRows)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2)).toMap
+      assert(newForm.keySet == oldForm.keySet,
+        s"blockRows=$blockRows: chunk keys diverged")
+      newForm.foreach { case (k, blob) =>
+        assert(java.util.Arrays.equals(blob, oldForm(k)),
+          s"blockRows=$blockRows: blob bytes diverged at $k")
+      }
+      assert(newForm.nonEmpty)
+    }
+  }
+
   test("pack_vec_block is order-insensitive and ids ascend in the blob") {
     val a = Seq((5L, Array(1f, 0f)), (1L, Array(0f, 1f)), (3L, Array(1f, 1f)))
     val fwd = a.toDF("id", "vec")

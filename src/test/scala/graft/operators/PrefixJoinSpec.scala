@@ -150,14 +150,18 @@ class PrefixJoinSpec extends SparkSpec {
 
   test("weighted prefix join restricted to the q145 slice reproduces q145 exactly") {
     // q148 IS q145 with the cap removed: on the capped slice the verified
-    // pair sets and rounded cosines must be identical
+    // pair sets and rounded cosines must be identical. The reference side
+    // is the ORIGINAL q145 physical form (inverted-index term self-join,
+    // kept as tfidfCosinePairsTermJoin) — since r18 the declared q145
+    // rides this kernel, so this test is the equivalence proof that made
+    // that swap safe, not a tautology.
     val sliced = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 1000)
     val viaPrefix = forcingPrefixPath {
       PrefixJoin.weightedCosinePrefixJoin(sliced, "doc_id", "text", 0.6)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     }
-    val viaBrute = graft.Queries.tfidfCosinePairs(spark, "/root/testdata/sf0.001")
+    val viaBrute = graft.Queries.tfidfCosinePairsTermJoin(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(viaPrefix.keySet == viaBrute.keySet,
       s"missing ${viaBrute.keySet -- viaPrefix.keySet}, extra ${viaPrefix.keySet -- viaBrute.keySet}")
