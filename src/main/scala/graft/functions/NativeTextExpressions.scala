@@ -45,21 +45,48 @@ object NativeTextExpressions {
       else TypeCheckResult.TypeCheckFailure(s"shingle_hashes expects string, got ${child.dataType.simpleString}")
 
     override def nullSafeEval(input: Any): Any = {
+      // r18 (guide §1.2 step 2): the original loop called
+      // `s.substring(i, i+k)` per character position — UTF8String
+      // re-walks from byte 0 to find the i-th char boundary on EVERY
+      // call, making the pass O(n²) in document length (measured 1.7 s
+      // of q36's 3.5 s at sf0.1 over ~5 KB docs; 100 KB documents would
+      // pay 400× more per byte) — and boxed every hash into a HashSet.
+      // Now: ONE linear pass records each character's byte offset, each
+      // shingle hashes its byte slice in place (same bytes, same seed —
+      // hash values bit-identical, spec-pinned vs the substring form),
+      // and dedup is sort + squeeze on a primitive array.
       val s = input.asInstanceOf[UTF8String]
-      val n = s.numChars()
-      val last = math.max(n - k, 0)
-      val set = new java.util.HashSet[java.lang.Long](math.max(last * 2, 16))
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val nBytes = s.numBytes
+      val nChars = s.numChars()
+      val offs = new Array[Int](nChars + 1)
+      var ci = 0
+      var b = 0
+      while (b < nBytes) {
+        offs(ci) = b
+        b += UTF8String.numBytesForFirstByte(
+          org.apache.spark.unsafe.Platform.getByte(base, off + b))
+        ci += 1
+      }
+      offs(nChars) = nBytes
+      val last = math.max(nChars - k, 0)
+      val hs = new Array[Long](last + 1)
       var i = 0
       while (i <= last) {
-        val sub = s.substring(i, math.min(i + k, n))
-        set.add(XXH64.hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42L))
+        val from = offs(i)
+        val until = offs(math.min(i + k, nChars))
+        hs(i) = XXH64.hashUnsafeBytes(base, off + from, until - from, 42L)
         i += 1
       }
-      val arr = new Array[Long](set.size)
-      val it = set.iterator()
-      var j = 0
-      while (it.hasNext) { arr(j) = it.next(); j += 1 }
-      java.util.Arrays.sort(arr)
+      java.util.Arrays.sort(hs)
+      var w = 0
+      var r = 1
+      while (r < hs.length) {
+        if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
+        r += 1
+      }
+      val arr = java.util.Arrays.copyOf(hs, w + 1)
       new GenericArrayData(arr)
     }
 
@@ -432,6 +459,75 @@ object NativeTextExpressions {
   @inline private def isJavaSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Per-document term frequencies in ONE scan-local pass (r18, guide
+    * §2.3 "aggregate before you shuffle"): lowercases like `lower()`
+    * (the same UTF8String.toLowerCase), tokenizes on the exact regex-\s
+    * class `split(…, "\\s+")` uses, XXH64-hashes each token's byte
+    * slice in place (seed 42 = Catalyst's `xxhash64`), and run-length
+    * encodes the sorted hashes into `array<struct<tok:long, tf:long>>`.
+    * Term frequency is a PER-DOCUMENT quantity, so the
+    * explode → groupBy(id, term) formulation paid a full exchange of
+    * every term occurrence to compute it; exploding this array instead
+    * yields the identical (id, tok, tf) rows with zero shuffle —
+    * hashes, tokens, and counts bit-identical to the relational form
+    * (spec-pinned on random unicode). Separators are ASCII bytes, so
+    * the byte walk needs no char-offset pass (UTF-8 continuation bytes
+    * have the high bit set and cannot collide with them).
+    */
+  case class WordTfEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("tok", LongType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "word_tf_entries"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"word_tf_entries expects string, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val n = s.numBytes
+      var hs = new Array[Long](16)
+      var cnt = 0
+      var start = 0
+      var i = 0
+      while (i <= n) {
+        val isSep = i == n || {
+          val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+          b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+            b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+        }
+        if (isSep) {
+          if (i > start) {
+            if (cnt == hs.length) hs = java.util.Arrays.copyOf(hs, cnt * 2)
+            hs(cnt) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+            cnt += 1
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      if (cnt == 0) return new GenericArrayData(Array.empty[Any])
+      java.util.Arrays.sort(hs, 0, cnt)
+      val out = new java.util.ArrayList[Any](cnt)
+      var r = 0
+      while (r < cnt) {
+        var e = r + 1
+        while (e < cnt && hs(e) == hs(r)) e += 1
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](hs(r), (e - r).toLong)))
+        r = e
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Count of non-empty whitespace-separated tokens — one pass, no token
     * array materialized. Same result as
     * `size(filter(split(lower(text), "\\s+"), t => length(t) > 0))`
@@ -779,6 +875,7 @@ object NativeTextExpressions {
     */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "shingle_hashes" -> (c => ShingleHashes(c.head, litInt(c(1), "k"))),
+    "word_tf_entries" -> (c => WordTfEntries(c.head)),
     "minhash_sig" -> (c => MinHashSig(c.head, litInt(c(1), "numHashes"))),
     "jaccard_sorted" -> (c => SortedLongJaccard(c.head, c(1))),
     "simhash64_native" -> (c => SimHash(c.head)),

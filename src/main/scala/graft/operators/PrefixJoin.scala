@@ -424,11 +424,20 @@ object PrefixJoin {
     */
   private[graft] def unitTfidfTerms(docs: DataFrame, idCol: String,
                                         textCol: String, nDocs: Double): DataFrame = {
-    val terms = docs
+    // r18 (guide §2.3 "aggregate before you shuffle"): term frequency is
+    // a PER-DOCUMENT quantity, but the explode → groupBy(id, term) form
+    // shuffled one row per term OCCURRENCE to compute it. The native
+    // `word_tf_entries` builds each document's (tok, tf) pairs in the
+    // scan (same lower(), same regex-\s tokenization, same xxhash64 seed
+    // — bit-identical rows, spec-pinned), so the tf exchange disappears
+    // and only the df aggregate, the df join, and the norm aggregate
+    // shuffle — each over (doc, term)-distinct rows, never occurrences.
+    NativeTextExpressions.register(docs.sparkSession)
+    val tf = docs
       .select(col(idCol).as("id"),
-        explode(filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)).as("term"))
-      .select(col("id"), xxhash64(col("term")).as("tok"))
-    val tf = terms.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+        explode_outer(expr(s"word_tf_entries($textCol)")).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("id"), col("e.tok").as("tok"), col("e.tf").as("tf"))
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = tf.join(dfT, "tok")
       .select(col("id"), col("tok"), col("df"),
