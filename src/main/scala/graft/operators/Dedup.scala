@@ -676,8 +676,15 @@ object Dedup extends org.apache.spark.internal.Logging {
     // reusing one attribute lineage across rounds trips Catalyst's Union
     // constraint rewrite (`key not found: id#N`) on some input shapes.
     def freshWrap(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
-    var labelsCk = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // init = min(id, min neighbor) rather than id: the node-set distinct
+    // was already a groupBy(src) over the same rows, so folding the first
+    // propagation into it is free (r18) — one fewer loop round for the
+    // same fixpoint (labels monotonically decrease to the component min
+    // from any upper-bound start).
+    var labelsCk = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
+      .localCheckpoint(true)
     var labels = freshWrap(labelsCk)
     var changed = 1L
     var rounds = 0

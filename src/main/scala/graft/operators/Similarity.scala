@@ -1385,19 +1385,46 @@ object Similarity extends org.apache.spark.internal.Logging {
         graft.GraftConf.annRerankDiskLazy(spark))
       return ivfSearchReplicatedInt8DiskLazy(index, qrows, k, kFetch,
         floor, fetchFloor, outSchema)
+    // r18 (guide §5 — the driver should do almost no data work): the
+    // int8 quantize and the PQ block encode used to run ON THE DRIVER,
+    // single-threaded, off a toLocalIterator stream of FLOAT blobs (one
+    // sequential job per partition, float-width bytes crossing to the
+    // driver). Both kernels are pure per-block functions, so they now
+    // run on the executors (`rdd.map`): when the estimated QUANTIZED
+    // volume fits comfortably under spark.driver.maxResultSize the
+    // blocks come back in ONE parallel collect; past that gate the
+    // stream form remains, but carrying quantized (≤¼-width) bytes with
+    // the decode+quantize work already done executor-side. Outputs are
+    // bit-identical either way (same per-block kernel; block order is
+    // irrelevant — the probe groups blocks by list); the replicated
+    // int8/PQ equality specs pin the results.
+    def quantizedSideBytes(perRowBytes: Long): BigInt =
+      estRowsHonest(index.assigned, indexDimOf(index).toLong * 4L + 24L)._1 *
+        perRowBytes
+    def maxResultBytes: Long = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.driver.maxResultSize", "1g"))
+    def gatherBlocks[B: scala.reflect.ClassTag](
+        what: String, perRowBytes: Long,
+        f: org.apache.spark.sql.Row => (Long, B)): Array[(Long, B)] = {
+      val rdd = packedDf.select(col("list_id"), col("block")).rdd.map(f)
+      val est = quantizedSideBytes(perRowBytes)
+      val gate = maxResultBytes / 2
+      if (est <= gate) {
+        logInfo(s"ivf probe scan: $what on executors, single parallel collect " +
+          s"(est $est B <= ${gate} B = maxResultSize/2)")
+        rdd.collect()
+      } else {
+        logInfo(s"ivf probe scan: $what on executors, streamed per-partition " +
+          s"(est $est B > ${gate} B = maxResultSize/2)")
+        rdd.toLocalIterator.toArray
+      }
+    }
     val ranked: DataFrame = scoring match {
       case "int8" =>
-        val quantized: Array[(Long, VectorFunctions.QuantBlock)] = {
-          val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, VectorFunctions.QuantBlock)]
-          val it = packedDf.toLocalIterator()
-          while (it.hasNext) {
-            val r = it.next()
-            buf += ((r.getLong(0), VectorFunctions.quantizeBlock(
+        val quantized: Array[(Long, VectorFunctions.QuantBlock)] =
+          gatherBlocks("int8 quantize", indexDimOf(index).toLong + 48L, r =>
+            (r.getLong(0), VectorFunctions.quantizeBlock(
               VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)))))
-          }
-          buf.toArray
-        }
         val bcQ = spark.sparkContext.broadcast(quantized)
         qrows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
           val byList = groupByList(bcQ.value)
@@ -1452,16 +1479,17 @@ object Similarity extends org.apache.spark.internal.Logging {
           val cbs = pqTrainLocal(sample.toArray, m, ksub, iters = 3)
           logInfo(s"ivf probe scan: PQ scoring trained m=$m ksub=$ksub codebooks " +
             s"on ${sample.size} sampled vectors (stride $stride)")
-          // pass 2: encode each block streaming; floats are dropped per block
-          val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, VectorFunctions.PqRepBlock)]
-          val it = packedDf.toLocalIterator()
-          while (it.hasNext) {
-            val r = it.next()
-            buf += ((r.getLong(0), VectorFunctions.encodePqRepBlock(
-              VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)), codebooks = cbs)))
-          }
-          (cbs, buf.toArray)
+          // pass 2 (r18, guide §5): the per-block PQ encode runs on the
+          // executors through [[gatherBlocks]] (parallel collect under
+          // the quantized-volume gate, streamed past it) — the driver no
+          // longer decodes and encodes the whole corpus serially. The
+          // training-sample walk above stays a driver stream on purpose:
+          // it EARLY-EXITS after ≤4·PqTrainSample vectors, so it is
+          // bounded regardless of corpus size, and its sample must be
+          // the deterministic partition-order prefix.
+          (cbs, gatherBlocks("pq encode", m.toLong + 32L, r =>
+            (r.getLong(0), VectorFunctions.encodePqRepBlock(
+              VectorFunctions.decodeBlock(r.getAs[Array[Byte]](1)), codebooks = cbs))))
         } finally {
           if (cachePacked) packedDf.unpersist(blocking = false)
         }
