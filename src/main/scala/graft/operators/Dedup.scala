@@ -686,9 +686,14 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
     var labels = freshWrap(labelsCk)
-    var changed = 1L
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxIter) {
+    // +1 round of internal slack: the prev-checkpoint pointer jump lags
+    // the same-round jump by ~one round, so a caller-provided maxIter
+    // tuned to the pre-r18 form keeps its old effective depth margin
+    // (r18 ADVICE; the default already carries 20 → 24 headroom).
+    val iterCap = maxIter + 1
+    while (changed && rounds < iterCap) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
       // __prev (the vertex's incoming label) rides through the
@@ -728,15 +733,22 @@ object Dedup extends org.apache.spark.internal.Logging {
           least(col("a.label"), col("__l2")).as("label"),
           col("a.__prev").as("__prev"))
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("__prev")).count()
+      // convergence needs only EXISTENCE of a changed row, never the
+      // count: isEmpty is take(1), which early-exits at the first changed
+      // row — every non-converged round stops after a partition or two
+      // instead of scanning the whole cached label table (at corpus scale
+      // the old count() re-read ALL labels once per round just to compare
+      // against zero; only the final, converged round still pays the full
+      // proof-of-emptiness scan, which is irreducible).
+      changed = !next.filter(col("label") =!= col("__prev")).isEmpty
       logDebug(s"connectedComponents round=$rounds changed=$changed")
       Checkpoints.release(labelsCk)
       labelsCk = next
       labels = freshWrap(next).select(col("id"), col("label"))
       rounds += 1
     }
-    if (changed > 0)
-      logWarning(s"connectedComponents: not converged after $maxIter rounds; " +
+    if (changed)
+      logWarning(s"connectedComponents: not converged after $iterCap rounds; " +
         "labels are an upper approximation (raise maxIter for deep chains)")
     val out = stage(labels.withColumnRenamed("label", "cluster_id"), "cc-labels")
     Checkpoints.release(labelsCk)

@@ -230,9 +230,15 @@ object Graph {
       lazyDepth += 1
       if (lazyDepth >= 8) {
         visited = visited.localCheckpoint()
-        live.foreach(Checkpoints.release)
+        // release everything EXCEPT `next`: the frontier just
+        // checkpointed this hop is read again below (count) and by the
+        // next hop's join — releasing it truncates a lineage-free cached
+        // RDD and the read dies with "Checkpoint block not found"
+        // (r18 ADVICE, reproduced in spec at maxHops > 8)
+        live.filter(_ ne next).foreach(Checkpoints.release)
         live.clear()
         live += visited
+        live += next
         lazyDepth = 0
       }
       frontierSize = next.count()

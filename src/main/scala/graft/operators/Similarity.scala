@@ -914,7 +914,8 @@ object Similarity extends org.apache.spark.internal.Logging {
         // shuffles on list_id and the pack groupBy reuses that
         // partitioning (clustering on a superset of the partition keys
         // adds no exchange).
-        packLists(pruneToProbed(index.assigned), blockRows)
+        packLists(pruneToProbed(index.assigned), blockRows,
+            index.centroids.length, indexDimOf(index).toLong * 4L + 24L)
           .select(col("list_id"), col("block"))
     }
 
@@ -1287,7 +1288,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     val packedDf = {
       val base = index.packed match {
         case Some(pre) => pre.select(col("list_id"), col("block"))
-        case None => packLists(index.assigned, blockRows)
+        case None => packLists(index.assigned, blockRows,
+            index.centroids.length, indexDimOf(index).toLong * 4L + 24L)
           .select(col("list_id"), col("block"))
       }
       if (cachePacked)
@@ -1398,24 +1400,44 @@ object Similarity extends org.apache.spark.internal.Logging {
     // bit-identical either way (same per-block kernel; block order is
     // irrelevant — the probe groups blocks by list); the replicated
     // int8/PQ equality specs pin the results.
-    def quantizedSideBytes(perRowBytes: Long): BigInt =
-      estRowsHonest(index.assigned, indexDimOf(index).toLong * 4L + 24L)._1 *
-        perRowBytes
+    def quantizedSideBytes(perRowBytes: Long): (BigInt, Boolean) = {
+      val (rows, src) = estRowsHonest(index.assigned,
+        indexDimOf(index).toLong * 4L + 24L)
+      // the last-resort sizeInBytes branch UNDER-reads rows on compressed
+      // data (its own message says so) — an undercount here would select
+      // the single collect and abort on spark.driver.maxResultSize, where
+      // the stream branch always completes (r18 ADVICE). Only the two
+      // exact sources may choose the collect.
+      (rows * perRowBytes, src.startsWith("sizeInBytes"))
+    }
     def maxResultBytes: Long = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf.get("spark.driver.maxResultSize", "1g"))
     def gatherBlocks[B: scala.reflect.ClassTag](
         what: String, perRowBytes: Long,
         f: org.apache.spark.sql.Row => (Long, B)): Array[(Long, B)] = {
       val rdd = packedDf.select(col("list_id"), col("block")).rdd.map(f)
-      val est = quantizedSideBytes(perRowBytes)
+      val (est, heuristic) = quantizedSideBytes(perRowBytes)
       val gate = maxResultBytes / 2
-      if (est <= gate) {
+      if (est <= gate && !heuristic) {
         logInfo(s"ivf probe scan: $what on executors, single parallel collect " +
           s"(est $est B <= ${gate} B = maxResultSize/2)")
-        rdd.collect()
+        try rdd.collect()
+        catch {
+          // belt over the gate: if the exact-source estimate still missed
+          // (e.g. stride-sampled footers on irregular files), fall back to
+          // the streamed form rather than failing the search — block order
+          // is irrelevant downstream (the probe groups blocks by list)
+          case e: org.apache.spark.SparkException
+              if String.valueOf(e.getMessage).contains("maxResultSize") =>
+            logWarning(s"ivf probe scan: $what single collect exceeded " +
+              s"maxResultSize (est $est B); retrying streamed", e)
+            rdd.toLocalIterator.toArray
+        }
       } else {
         logInfo(s"ivf probe scan: $what on executors, streamed per-partition " +
-          s"(est $est B > ${gate} B = maxResultSize/2)")
+          s"(est $est B > ${gate} B = maxResultSize/2" +
+          (if (heuristic) "; estimate source is the compressed-bytes " +
+            "heuristic, which under-reads rows — collect not trusted" else "") + ")")
         rdd.toLocalIterator.toArray
       }
     }
@@ -2212,7 +2234,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     * at the 1M-doc tier that pack was re-streaming corpus-scale bytes
     * through an aggregation exchange on every query batch.
     */
-  private[graft] def packLists(assigned: DataFrame, blockRows: Int): DataFrame =
+  private[graft] def packLists(assigned: DataFrame, blockRows: Int,
+                               nLists: Int, rowBytes: Long): DataFrame = {
     // r18 (guide §2.4): one groupBy(list_id) + the in-kernel
     // sort-and-slice pack ([[graft.functions.PackVecBlocks]]) replaces
     // the row_number window + per-(list, chunk) groupBy — the window
@@ -2220,14 +2243,39 @@ object Similarity extends org.apache.spark.internal.Logging {
     // exchange and the pack aggregation. Blob bytes and (list_id,
     // chunk) keys are IDENTICAL by construction (ids ascend within a
     // list either way; chunk i = rows [i·blockRows, (i+1)·blockRows) of
-    // that order) — IvfBlockTopKSpec pins the bit-equality. Peak task
-    // memory is unchanged: the window form's pack task also held every
-    // chunk of its lists in one aggregation map.
-    assigned
-      .groupBy(col("list_id"))
-      .agg(expr(s"pack_vec_blocks(collect_list(struct(neighbor_id, corpus_vec)), $blockRows)")
-        .as("__blocks"))
-      .select(col("list_id"), posexplode(col("__blocks")).as(Seq("chunk", "block")))
+    // that order) — IvfBlockTopKSpec pins the bit-equality.
+    // r19 (ADVICE): the single-group form buffers an ENTIRE list in one
+    // collect_list aggregation group, which cannot spill — bounded only
+    // by corpus/nLists × skew. Past a per-list byte estimate (avg list
+    // bytes × an 8× skew margin vs `spark.graft.ann.packGroupMaxBytes`)
+    // fall back to the window + per-(list, chunk) form, whose groups are
+    // blockRows-bounded and whose sort spills; blobs are bit-identical
+    // either way (same order, same slicing — spec-pinned), the fallback
+    // just re-pays the corpus sort pass where memory demands it.
+    val spark = assigned.sparkSession
+    val avgListBytes = estRowsHonest(assigned, rowBytes)._1 * rowBytes /
+      BigInt(nLists.max(1))
+    val budget = graft.GraftConf.long(spark,
+      "spark.graft.ann.packGroupMaxBytes", 256L << 20)
+    if (avgListBytes * 8 > BigInt(budget)) {
+      logInfo(s"packLists: window + per-chunk form (est avg list " +
+        s"$avgListBytes B x 8 skew margin > $budget B budget; " +
+        "single-group buffer cannot spill)")
+      val byList = Window.partitionBy(col("list_id")).orderBy(col("neighbor_id"))
+      assigned
+        .withColumn("chunk",
+          ((row_number().over(byList) - lit(1)) / lit(blockRows)).cast("int"))
+        .groupBy(col("list_id"), col("chunk"))
+        .agg(expr("pack_vec_block(collect_list(struct(neighbor_id, corpus_vec)))")
+          .as("block"))
+        .select(col("list_id"), col("chunk"), col("block"))
+    } else
+      assigned
+        .groupBy(col("list_id"))
+        .agg(expr(s"pack_vec_blocks(collect_list(struct(neighbor_id, corpus_vec)), $blockRows)")
+          .as("__blocks"))
+        .select(col("list_id"), posexplode(col("__blocks")).as(Seq("chunk", "block")))
+  }
 
   /** [[ivfSave]] plus the packed chunk artifact: searches against the
     * loaded index scan the persisted blobs directly instead of re-packing
@@ -2241,7 +2289,8 @@ object Similarity extends org.apache.spark.internal.Logging {
   def ivfSavePacked(index: IvfIndex, dir: String,
                     blockRows: Int = DefaultBlockRows): Unit = {
     ivfSave(index, dir)
-    val aligned = alignedForWrite(packLists(index.assigned, blockRows), "list_id")
+    val aligned = alignedForWrite(packLists(index.assigned, blockRows,
+      index.centroids.length, indexDimOf(index).toLong * 4L + 24L), "list_id")
     aligned.write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/packed")
     // raw-byte blob sidecar + offset index: the disk-lazy exact rerank
     // fetches winner blobs by positioned read instead of joining the
@@ -2335,7 +2384,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     val fs = packedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(packedPath)) {
       val alignedBatch = alignedForWrite(
-        packLists(assignedBatch, DefaultBlockRows), "list_id")
+        packLists(assignedBatch, DefaultBlockRows, cents.length,
+          cents.head._2.length.toLong * 4L + 24L), "list_id")
       alignedBatch.write.mode("append").partitionBy("list_id")
         .parquet(s"$dir/packed")
       // keep the blob sidecar coherent with the appended blobs, or the

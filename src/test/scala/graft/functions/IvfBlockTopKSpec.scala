@@ -150,7 +150,8 @@ class IvfBlockTopKSpec extends SparkSpec {
           collect_list(struct(col("neighbor_id"), col("corpus_vec")))).as("block"))
         .select(col("list_id"), col("chunk"), col("block"))
         .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2)).toMap
-      val newForm = Similarity.packLists(index.assigned, blockRows)
+      val newForm = Similarity.packLists(index.assigned, blockRows,
+          nLists = 4, rowBytes = 8L * 4L + 24L)
         .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2)).toMap
       assert(newForm.keySet == oldForm.keySet,
         s"blockRows=$blockRows: chunk keys diverged")
@@ -159,6 +160,22 @@ class IvfBlockTopKSpec extends SparkSpec {
           s"blockRows=$blockRows: blob bytes diverged at $k")
       }
       assert(newForm.nonEmpty)
+      // r19 (ADVICE): past the per-list byte budget packLists falls back
+      // to the window + per-chunk form (bounded, spillable groups) — the
+      // fallback must emit the identical layout. Force it with a 1-byte
+      // budget and compare against the single-group result.
+      spark.conf.set("spark.graft.ann.packGroupMaxBytes", "1")
+      try {
+        val bounded = Similarity.packLists(index.assigned, blockRows,
+            nLists = 4, rowBytes = 8L * 4L + 24L)
+          .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2)).toMap
+        assert(bounded.keySet == newForm.keySet,
+          s"blockRows=$blockRows: bounded-fallback chunk keys diverged")
+        bounded.foreach { case (k, blob) =>
+          assert(java.util.Arrays.equals(blob, newForm(k)),
+            s"blockRows=$blockRows: bounded-fallback blob bytes diverged at $k")
+        }
+      } finally spark.conf.unset("spark.graft.ann.packGroupMaxBytes")
     }
   }
 

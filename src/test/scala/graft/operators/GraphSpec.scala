@@ -128,6 +128,18 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 99L -> 0L), s"got $got")
   }
 
+  test("bfsHops: deep walk across the 8-hop checkpoint compaction") {
+    // r19 regression (r18 ADVICE, high): the hop-8 compaction used to
+    // release ALL live checkpoints including the frontier checkpointed
+    // that same hop — the next count()/join then read an unpersisted
+    // lineage-truncated RDD ("Checkpoint block not found"). A 20-node
+    // chain forces two compactions (hops 8 and 16) and the early-exit
+    // frontier drain past them.
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val got = hopsOf(chain, Seq(1L), 25)
+    assert(got == (1L to 20L).map(i => i -> (i - 1)).toMap, s"got $got")
+  }
+
   test("kCore: chain peels to nothing, cycle survives whole") {
     // path 1-2-3-4-5: endpoints have degree 1 → 2-core empty (multi-round peel)
     assert(core((1L until 5L).map(i => (i, i + 1)), 2).isEmpty)
