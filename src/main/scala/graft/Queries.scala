@@ -2098,25 +2098,23 @@ object Queries {
 
   /** Pairwise co-occurrence mining (frequent 2-itemsets): parts ordered
     * together, ranked by basket count — the association shape behind
-    * "customers also bought" and feature co-occurrence stats. The basket
-    * self-join is keyed on the order, and TPC-H baskets are bounded
-    * (≤7 items), so per-key fan-out is O(items²) with a small constant;
-    * the pair count is combinable (map-side partial) and the top-20 is a
-    * TakeOrdered, never a global sort. At 100 TB the same plan holds as
-    * long as basket size stays bounded — the degenerate giant-basket case
-    * is exactly what q126's skew report detects.
+    * "customers also bought" and feature co-occurrence stats. r19: the
+    * pair stream is the one-shuffle basket build ([[copurchasePairRows]],
+    * the r18 q163/q168 recipe) instead of the distinct + orderkey
+    * self-join — the same (order, a<b part pair) multiset with one
+    * exchange before the pair count, not three. TPC-H baskets are
+    * bounded (≤7 items), so per-basket fan-out is O(items²) with a small
+    * constant; the pair count is combinable (map-side partial) and the
+    * top-20 is a TakeOrdered, never a global sort. At 100 TB the same
+    * plan holds as long as basket size stays bounded — the degenerate
+    * giant-basket case is exactly what q126's skew report detects.
     */
-  def coOccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+  def coOccurrence(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairRows(spark, dir)
+      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
-  }
 
   /** Sequence-pattern matching over per-user event journeys — the
     * MATCH_RECOGNIZE-lite shape: each user's events collapse to an
@@ -3615,20 +3613,29 @@ object Queries {
     * is a TakeOrdered with a full tie-break, never a global sort.
     */
   def associationRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-    // items feeds four consumers (basket count, item counts, both pair
-    // sides); DataFrame references get no CSE, so stage the distinct
-    // once instead of re-running its shuffle per consumer
-    val itemsPath = scratch(spark, "assoc-items")
-    items.write.mode("overwrite").parquet(itemsPath)
-    val staged = spark.read.parquet(itemsPath)
-    val nBaskets = staged.select(col("basket")).distinct().count().toDouble
-    val itemCnt = staged.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val pairs = staged.as("x").join(staged.as("y"), Seq("basket"))
-      .filter(col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+    // r19: ONE groupBy(basket) builds each basket's sorted distinct-item
+    // set (the r18 q163/q168 basket recipe) and every consumer derives
+    // from the staged baskets — basket count is parquet metadata, item
+    // counts explode the sets (each basket contributes an item once, so
+    // the count is "baskets containing item", exactly the old distinct
+    // row count), and the a<b pair grid generates SCAN-LOCALLY via the
+    // chained generators instead of the basket self-join. Identical
+    // (basket, pair) multiset, so identical n_pair; the old form paid a
+    // distinct exchange plus two join-side exchanges before the pair
+    // count — this pays one basket exchange.
+    val baskets = stageScratch(spark, "assoc-baskets",
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("basket"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items")))
+    val nBaskets = baskets.count().toDouble
+    val itemCnt = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(slice(col("items"), col("i") + lit(2),
+          size(col("items")) - col("i") - lit(1))).as("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("n_pair"))
     pairs
       .join(broadcast(itemCnt.select(col("item").as("a"), col("cnt").as("ca"))), "a")

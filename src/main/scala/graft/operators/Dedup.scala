@@ -642,17 +642,25 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   /** Connected components over a duplicate-pair table — the step that
     * turns LSH/verify PAIRS into dedup CLUSTERS so each group keeps one
-    * canonical document (min id = the cluster label). Min-label
-    * propagation with pointer jumping: each round every vertex takes the
-    * minimum label among itself and its neighbors, then follows its label's
-    * label (L(v) ← L(L(v))) — rounds ≈ log₂(component diameter), so even
-    * deep chain-shaped components converge in a handful of rounds at any
-    * corpus size. Every round is one edge⋈label join, one
-    * min-aggregation, and one label self-join, all shuffle-partitioned on
-    * the vertex id; the only driver-side value is the per-round changed
-    * count (the convergence test, an aggregate — standard for iterative
-    * distributed algorithms). Labels are checkpointed per round and the
-    * previous round unpersisted, so peak storage is two label tables.
+    * canonical document (min id = the cluster label). Two regimes behind
+    * one byte gate (r19): a pair graph whose symmetric edge table fits
+    * `spark.graft.cc.localEdgesBytes` (default 64 MiB ≈ 4M edges) is
+    * solved in one driver-side union-find pass — the pair table is the
+    * OUTPUT of LSH/verify pruning, typically corpus-tiny, and ~log rounds
+    * of Spark jobs on a thousand-edge graph is pure scheduling overhead
+    * on any cluster. Past the gate (or on non-long ids, or with the gate
+    * conf'd to 0): min-label propagation with pointer jumping — each
+    * round every vertex takes the minimum label among itself and its
+    * neighbors, then follows its label's label (L(v) ← L(L(v))) —
+    * rounds ≈ log₂(component diameter), so even deep chain-shaped
+    * components converge in a handful of rounds at any corpus size.
+    * Every round is one edge⋈label join, one min-aggregation, and one
+    * label lookup join, all shuffle-partitioned on the vertex id; the
+    * only driver-side value is the per-round changed probe (take(1)
+    * existence — standard for iterative distributed algorithms). Labels
+    * are checkpointed per round and the previous round unpersisted, so
+    * peak storage is two label tables. Both regimes reach the identical
+    * fixpoint (component min id; ComponentsSpec pins them row-for-row).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 24): DataFrame = {
@@ -662,6 +670,62 @@ object Dedup extends org.apache.spark.internal.Logging {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
+    // r19 physical-strategy gate (guide §1.2 step 1 — the same cost-based
+    // regime choice as PrefixJoin's brute/index gate and Spark's own
+    // broadcast decision): a pair graph small enough to hold on the
+    // driver is solved by ONE union-find pass instead of ~log(diameter)
+    // Spark rounds. A dedup pair table is usually a tiny fraction of the
+    // corpus (it is the OUTPUT of the LSH/verify pruning), so production
+    // runs with bounded near-dup density hit this regime too — the loop
+    // below is the unbounded-size path, not the common case. The gate is
+    // byte-based on the MATERIALIZED edge count (the count materializes
+    // the cache the loop's init aggregation would materialize anyway),
+    // fail-safe in the decline direction, long-id-only (the loop handles
+    // any ordered key type), and the labeling is the identical fixpoint:
+    // union-by-min-root makes every final root the component's min id —
+    // the same answer the loop converges to, integer-exact (no float
+    // summation order to preserve). `spark.graft.cc.localEdgesBytes=0`
+    // forces the distributed loop (spec-pinned equality between both
+    // regimes).
+    val localBudget = graft.GraftConf.long(pairs.sparkSession,
+      "spark.graft.cc.localEdgesBytes", 64L << 20)
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localBudget > 0 && longIds) {
+      val nEdges = edges.count()
+      if (nEdges * 16L <= localBudget) {
+        logInfo(s"connectedComponents: LOCAL union-find regime " +
+          s"($nEdges symmetric edge rows x 16 B <= $localBudget B budget)")
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        edges.collect().foreach { row =>
+          // null-keyed rows never join in the loop regime; skip them here
+          // so both regimes see the identical edge set
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val a = row.getLong(0); val b = row.getLong(1)
+            parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+        }
+        val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet.forEach(id => rows += ((id, find(id))))
+        val spark0 = pairs.sparkSession
+        import spark0.implicits._
+        val out = stage(rows.toSeq.toDF("id", "cluster_id"), "cc-labels")
+        edges.unpersist(blocking = false)
+        return out
+      }
+      logInfo(s"connectedComponents: distributed loop regime " +
+        s"($nEdges symmetric edge rows x 16 B > $localBudget B budget)")
+    }
     // localCheckpoint (not just persist): each round's plan would otherwise
     // embed every previous round's plan, and Catalyst re-analysis of the
     // growing tree dwarfs the actual work after a few rounds — the classic
@@ -820,12 +884,22 @@ object Dedup extends org.apache.spark.internal.Logging {
     w
   }
 
-  /** Repartition `grams` for the self-join when the width pin fires;
-    * below it the plan is byte-identical to the unpinned form. */
+  /** Repartition `grams` on the join key at the pinned width — ALWAYS,
+    * not only when the width pin fires (r19). Without the explicit
+    * exchange, a gram table under the broadcast threshold plans as a
+    * BroadcastHashJoin whose STREAM side keeps the raw scan partitioning
+    * — a small corpus parquet is one split, so the join, the pair
+    * partial-aggregation, and the gram evaluation itself ran on ONE core
+    * (and the gram subtree was computed twice: broadcast builds get no
+    * exchange reuse). Measured at sf0.1 (500 docs, 260k gram rows, 1.27M
+    * candidates): join+pair-agg 2.0 s on the single-task plan, 0.4 s with
+    * the pin. At scale nothing changes: the widened width takes over past
+    * the byte budget, and under the no-broadcast (100 TB) regime both
+    * sides carry the IDENTICAL repartition subtree, so the one-shuffle
+    * exchange reuse is preserved (PlanShapeSpec pins it). */
   private def widenedGrams(w: Int, grams: DataFrame): DataFrame =
-    if (w > grams.sparkSession.sessionState.conf.numShufflePartitions)
-      grams.repartition(w, col("gh"))
-    else grams
+    grams.repartition(
+      w.max(grams.sparkSession.sessionState.conf.numShufflePartitions), col("gh"))
 
   /** Pair-aggregation partitioning: same width as the gram join so the
     * FINAL pair-count map scales with the corpus too (the groupBy's own
