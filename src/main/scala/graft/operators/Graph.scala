@@ -21,7 +21,24 @@ import org.apache.spark.sql.functions._
   * driver-side scalars per round (node count once, dangling mass each
   * round) are single aggregate values, never row data.
   */
-object Graph {
+object Graph extends org.apache.spark.internal.Logging {
+
+  /** Byte gate for the driver-local small-graph regimes (r19): an
+    * integer-exact iterative operator (k-core peel, BFS) whose
+    * checkpointed edge table fits this budget is solved in one local
+    * pass instead of ~peel-depth/diameter Spark rounds — the identical
+    * unique fixpoint (both are integer computations with one answer, so
+    * unlike the float operators there is no summation order to
+    * preserve; GraphSpec pins regime equality). 0 forces the
+    * distributed loop. Same cost-based-regime design as the CC
+    * union-find gate and PrefixJoin's brute/index gate.
+    */
+  private def localEdgesBytes(df: DataFrame): Long = graft.GraftConf.long(
+    df.sparkSession, "spark.graft.graph.localEdgesBytes", 64L << 20)
+
+  private def bothLong(df: DataFrame): Boolean =
+    df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
 
   /** K power-iteration steps of PageRank over `edges(src, dst)`.
     * Multi-edges act as weights (a node's contribution splits over edge
@@ -202,6 +219,53 @@ object Graph {
     // consumed once per hop — checkpoint so the caller's edge subtree
     // executes once, not maxHops times
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // r19 local regime: BFS hop distances are a unique integer function
+    // of (edges, sources, maxHops) — a graph whose edge table fits the
+    // byte gate walks locally in one pass instead of one join + one
+    // count per hop (GraphSpec pins regime equality, incl. across the
+    // deep-walk compaction).
+    val budget = localEdgesBytes(e)
+    if (budget > 0 && bothLong(e) &&
+        sources.schema.fields.exists(f => f.name == "node" &&
+          f.dataType == org.apache.spark.sql.types.LongType)) {
+      val nE = e.count()
+      if (nE * 16L <= budget) {
+        logInfo(s"bfsHops: LOCAL walk regime ($nE edge rows x 16 B <= $budget B)")
+        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        e.collect().foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            var l = adj.get(r.getLong(0))
+            if (l == null) { l = new scala.collection.mutable.ArrayBuffer[Long](); adj.put(r.getLong(0), l) }
+            l += r.getLong(1)
+          }
+        }
+        val dist = new java.util.HashMap[Long, Long]()
+        var frontier = new scala.collection.mutable.ArrayBuffer[Long]()
+        sources.select(col("node")).distinct().collect().foreach { r =>
+          if (!r.isNullAt(0)) { dist.put(r.getLong(0), 0L); frontier += r.getLong(0) }
+        }
+        var hop = 0L
+        while (hop < maxHops && frontier.nonEmpty) {
+          hop += 1
+          val next = new scala.collection.mutable.ArrayBuffer[Long]()
+          frontier.foreach { v =>
+            val l = adj.get(v)
+            if (l != null) l.foreach { u =>
+              if (!dist.containsKey(u)) { dist.put(u, hop); next += u }
+            }
+          }
+          frontier = next
+        }
+        val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](dist.size)
+        dist.forEach((v, d) => rows += ((v, d)))
+        val spark0 = e.sparkSession
+        import spark0.implicits._
+        val staged = Dedup.stage(rows.toSeq.toDF("node", "hops"), "bfs_hops")
+        Checkpoints.release(e)
+        return staged
+      }
+      logInfo(s"bfsHops: distributed loop regime ($nE edge rows x 16 B > $budget B)")
+    }
     // r18 (guide §1.2 step 1): `visited` is a LAZY union of the
     // checkpointed per-hop frontiers instead of a re-materialized table
     // per hop — the anti-join scans h small cached tables rather than
@@ -285,6 +349,52 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = edges.select(col("a"), col("b")).localCheckpoint()
     var n = e.count()
+    // r19 local regime: the k-core is the UNIQUE maximal subgraph of min
+    // degree ≥ k — any peel order converges to it, so a driver-side
+    // queue peel returns exactly the loop's answer (node, core-degree),
+    // integer-exact. Multi-edge degrees are preserved (adjacency is a
+    // multiset, matching the loop's count(1) over edge rows).
+    val budget = localEdgesBytes(e)
+    if (budget > 0 && bothLong(e) && n * 16L <= budget) {
+      logInfo(s"kCore: LOCAL peel regime ($n edge rows x 16 B <= $budget B)")
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      def nbrs(v: Long) = {
+        var l = adj.get(v)
+        if (l == null) { l = new scala.collection.mutable.ArrayBuffer[Long](); adj.put(v, l) }
+        l
+      }
+      e.collect().foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val a = r.getLong(0); val b = r.getLong(1)
+          nbrs(a) += b; nbrs(b) += a
+        }
+      }
+      val deg = new java.util.HashMap[Long, Long]()
+      adj.forEach((v, l) => deg.put(v, l.length.toLong))
+      val queue = new java.util.ArrayDeque[Long]()
+      deg.forEach((v, d) => if (d < k) queue.add(v))
+      val dead = new java.util.HashSet[Long]()
+      while (!queue.isEmpty) {
+        val v = queue.poll()
+        if (!dead.contains(v) && deg.get(v) < k) {
+          dead.add(v)
+          nbrs(v).foreach { u =>
+            if (!dead.contains(u)) {
+              val du = deg.get(u) - 1L
+              deg.put(u, du)
+              if (du < k) queue.add(u)
+            }
+          }
+        }
+      }
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      deg.forEach((v, d) => if (!dead.contains(v)) rows += ((v, d)))
+      val spark0 = e.sparkSession
+      import spark0.implicits._
+      val staged = Dedup.stage(rows.toSeq.toDF("v", "deg"), "kcore")
+      Checkpoints.release(e)
+      return staged
+    }
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds && n > 0) {
@@ -320,7 +430,11 @@ object Graph {
     // the closing join. DataFrame references get no CSE (each consumer
     // re-executes the whole subplan), so stage both exactly once: an
     // edge list built from an expensive upstream (e.g. a co-occurrence
-    // self-join) must not be recomputed five times.
+    // self-join) must not be recomputed five times. (r19 tried
+    // localCheckpoint here to skip the parquet round-trips and measured
+    // q163 2.9 → 5.2 s solo: RDD-backed frames report unknown stats, so
+    // every downstream join lost its broadcast strategy — parquet
+    // staging is what keeps the deg/adjacency joins broadcast. Kept.)
     val e = Dedup.stage(edges.select(col("a"), col("b")), "tri_edges")
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))

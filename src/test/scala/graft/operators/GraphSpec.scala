@@ -134,10 +134,14 @@ class GraphSpec extends SparkSpec {
     // that same hop — the next count()/join then read an unpersisted
     // lineage-truncated RDD ("Checkpoint block not found"). A 20-node
     // chain forces two compactions (hops 8 and 16) and the early-exit
-    // frontier drain past them.
-    val chain = (1L until 20L).map(i => (i, i + 1))
-    val got = hopsOf(chain, Seq(1L), 25)
-    assert(got == (1L to 20L).map(i => i -> (i - 1)).toMap, s"got $got")
+    // frontier drain past them. Gate forced off: the compaction lives in
+    // the distributed loop, which the local regime would bypass here.
+    spark.conf.set("spark.graft.graph.localEdgesBytes", "0")
+    try {
+      val chain = (1L until 20L).map(i => (i, i + 1))
+      val got = hopsOf(chain, Seq(1L), 25)
+      assert(got == (1L to 20L).map(i => i -> (i - 1)).toMap, s"got $got")
+    } finally spark.conf.unset("spark.graft.graph.localEdgesBytes")
   }
 
   test("kCore: chain peels to nothing, cycle survives whole") {
@@ -188,5 +192,52 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRank(empty, 3).isEmpty)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "checkpoint storage outlived the empty-graph short-circuit")
+  }
+
+  /** r19: kCore and bfsHops gained byte-gated driver-local regimes (the
+    * k-core and the BFS distance table are unique integer fixpoints, so
+    * a local solve returns the loop's exact answer). Both regimes must
+    * agree row-for-row on a random graph, and every earlier behavioral
+    * test re-runs under the forced loop regime (gate conf'd to 0).
+    */
+  private def inLoopRegime[T](f: => T): T = {
+    spark.conf.set("spark.graft.graph.localEdgesBytes", "0")
+    try f finally spark.conf.unset("spark.graft.graph.localEdgesBytes")
+  }
+
+  test("kCore: local and loop regimes agree on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2).distinct
+    for (k <- Seq(2, 3, 5)) {
+      val local = core(edges, k)
+      val loop = inLoopRegime(core(edges, k))
+      assert(local == loop, s"k=$k regimes diverged")
+    }
+  }
+
+  test("kCore loop regime: behavioral pins still hold") {
+    inLoopRegime {
+      assert(core((1L until 5L).map(i => (i, i + 1)), 2).isEmpty)
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      assert(core(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("bfsHops: local and loop regimes agree, incl. deep-walk compaction") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val sources = Seq(0L, 13L, 27L)
+    for (k <- Seq(0, 3, 6)) {
+      val local = hopsOf(edges, sources, k)
+      val loop = inLoopRegime(hopsOf(edges, sources, k))
+      assert(local == loop, s"maxHops=$k regimes diverged")
+    }
+    // the 20-node chain crosses the loop's 8-hop compaction twice
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    assert(hopsOf(chain, Seq(1L), 25) == inLoopRegime(hopsOf(chain, Seq(1L), 25)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }
