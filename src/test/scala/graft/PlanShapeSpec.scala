@@ -224,20 +224,35 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("weighted prefix join's brute branch: staged vectors, broadcast nested loop, fanned-out stream") {
-    // under the default gate the spec corpus takes the all-pairs branch:
-    // vectors staged once (no term pipeline in the plan), the n²/2 merge
-    // dots ride an inner BroadcastNestedLoopJoin (id_a < id_b is its
-    // pruning condition — NOT a cartesian), and the stream side is
-    // repartitioned so the loop doesn't run on the staged file's single
-    // input partition
+    // under the default gate the spec corpus takes the all-pairs branch —
+    // since r19 the BLOCKED form: vectors staged once (no term pipeline
+    // in the plan — the only xxhash64 allowed is the block-id assignment
+    // on the staged `id`), block pairs ride an inner
+    // BroadcastNestedLoopJoin on bid ≤ bid (NOT a cartesian), and the
+    // stream side is repartitioned so the fused kernel doesn't run on
+    // the staged file's single input partition
     val df = operators.PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.6)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("xxhash64") && !plan.contains("lower("),
+    assert(!plan.contains("lower(") && !plan.contains("word_tf_entries"),
       "vectors not staged; term pipeline re-executes per join side")
+    assert(plan.contains("sorted_dot_block_pairs"),
+      s"blocked verify kernel missing from the brute plan:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"all-pairs must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
     assert(plan.contains("Exchange RoundRobinPartitioning"),
       s"stream side not fanned out; nested loop would run single-core:\n$plan")
+    // the pre-r19 per-pair NLJ form stays reachable (the equality spec's
+    // reference) and keeps ITS shape
+    spark.conf.set("spark.graft.prefixJoin.bruteBlockRows", "0")
+    try {
+      val nlj = operators.PrefixJoin.weightedCosinePrefixJoin(docs, "doc_id", "text", 0.6)
+      val nljPlan = nlj.queryExecution.executedPlan.toString
+      assert(!nljPlan.contains("xxhash64") && !nljPlan.contains("lower("),
+        "NLJ form: vectors not staged")
+      assert(nljPlan.contains("BroadcastNestedLoopJoin") &&
+        !nljPlan.contains("CartesianProduct") &&
+        nljPlan.contains("Exchange RoundRobinPartitioning"), s"NLJ shape lost:\n$nljPlan")
+    } finally spark.conf.unset("spark.graft.prefixJoin.bruteBlockRows")
   }
 
   test("weighted prefix join's shuffle regime: pinned dedup exchange, hash-join verify, no candidate sort") {
