@@ -54,17 +54,33 @@ object Graph extends org.apache.spark.internal.Logging {
     // rank join — checkpoint once so the caller's edge-derivation
     // subtree doesn't re-execute iters+2 times
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // r19 (guide §2.4): past the byte gate, one src-partitioned
+    // checkpoint up front means neither the contribution join nor the
+    // degree aggregate ever exchanges the edge table again
+    // (ranks/deg/nodes are node-partitioned from their own aggregates,
+    // and localCheckpoint preserves hash partitioning) — edge shuffles
+    // per 3-iteration call: 3 → 1. Below the gate the extra checkpoint
+    // JOB costs more than the tiny in-join exchanges it saves (measured
+    // at sf0.1, 100k edges: q132 1.80 → 1.88 s pre-partitioned; at the
+    // sf1 shape, 1M edges: 6.41 → 5.52 s — the crossover sits between
+    // ~2 MB and ~16 MB of edges, so the default splits it at 8 MiB).
+    val nE = e.count()
+    val prepartition = nE * 16L > graft.GraftConf.long(e.sparkSession,
+      "spark.graft.graph.prepartitionEdgesBytes", 8L << 20)
+    val eSrc = if (prepartition) e.repartition(col("src")).localCheckpoint()
+               else e
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    if (prepartition) Checkpoints.release(e)
+    val deg = eSrc.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = nodes.count()
     if (n == 0) { // empty edge list: no nodes, and 1.0/n below would blow up
       val out = Dedup.stage(nodes.select(col("node"), lit(1.0).as("rank")), "pagerank")
       Checkpoints.release(nodes)
       Checkpoints.release(deg)
-      Checkpoints.release(e)
+      Checkpoints.release(eSrc)
       return out
     }
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
@@ -80,7 +96,7 @@ object Graph extends org.apache.spark.internal.Logging {
       // oracle hash is the pin).
       val danglingDf = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
-      val incoming = e.join(ranks, e("src") === ranks("node"))
+      val incoming = eSrc.join(ranks, eSrc("src") === ranks("node"))
         .join(deg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inr"))
@@ -97,7 +113,7 @@ object Graph extends org.apache.spark.internal.Logging {
     Checkpoints.release(ranks)
     Checkpoints.release(nodes)
     Checkpoints.release(deg)
-    Checkpoints.release(e)
+    Checkpoints.release(eSrc)
     out
   }
 
@@ -121,16 +137,32 @@ object Graph extends org.apache.spark.internal.Logging {
     // the edge list is consumed twice per iteration (auth and hub
     // joins) plus once for the node set — checkpoint it or the caller's
     // edge-derivation subtree (often a window over a raw event scan)
-    // re-executes 2×iters+1 times
+    // re-executes 2×iters+1 times.
+    // r19 (guide §2.4): past the byte gate, TWO pre-partitioned
+    // checkpoints (one per join key — localCheckpoint preserves hash
+    // partitioning) mean the loop joins never re-exchange the edge
+    // table: edge shuffles per 3-iteration call 6 → 2, paid once up
+    // front. Below the gate the two extra checkpoint JOBS cost more
+    // than the tiny exchanges they save (same crossover as pageRank's —
+    // measured there at sf0.1 vs the sf1 shape; shared 8 MiB default).
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nE = e.count()
+    val prepartition = nE * 16L > graft.GraftConf.long(e.sparkSession,
+      "spark.graft.graph.prepartitionEdgesBytes", 8L << 20)
+    val eSrc = if (prepartition) e.repartition(col("src")).localCheckpoint()
+               else e
+    val eDst = if (prepartition) e.repartition(col("dst")).localCheckpoint()
+               else e
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    if (prepartition) Checkpoints.release(e)
     if (nodes.isEmpty) { // empty edge list: sum(a) is NULL and getDouble NPEs
       val out = Dedup.stage(
         nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth")), "hits")
       Checkpoints.release(nodes)
-      Checkpoints.release(e)
+      Checkpoints.release(eSrc)
+      if (prepartition) Checkpoints.release(eDst)
       return out
     }
     var scores = nodes
@@ -158,8 +190,8 @@ object Graph extends org.apache.spark.internal.Logging {
     var withAuthCk: DataFrame = null
     var withHubCk: DataFrame = null
     for (_ <- 0 until iters) {
-      val authRaw = e.join(scores.select(col("node"), col("hub")),
-          e("src") === col("node"))
+      val authRaw = eSrc.join(scores.select(col("node"), col("hub")),
+          eSrc("src") === col("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("a"))
       val withAuth = nodes.join(authRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
@@ -167,8 +199,8 @@ object Graph extends org.apache.spark.internal.Logging {
       val anDf = withAuth.agg(safeNorm(sum(col("a"))).as("__an"))
       val normAuth = withAuth.crossJoin(broadcast(anDf))
         .select(col("node"), (col("a") / col("__an")).as("auth"))
-      val hubRaw = e.join(normAuth.select(col("node"), col("auth")),
-          e("dst") === col("node"))
+      val hubRaw = eDst.join(normAuth.select(col("node"), col("auth")),
+          eDst("dst") === col("node"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("h"))
       val withHub = nodes.join(hubRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
@@ -191,7 +223,8 @@ object Graph extends org.apache.spark.internal.Logging {
     if (withAuthCk != null) Checkpoints.release(withAuthCk)
     if (withHubCk != null) Checkpoints.release(withHubCk)
     Checkpoints.release(nodes)
-    Checkpoints.release(e)
+    Checkpoints.release(eSrc)
+    if (eDst ne eSrc) Checkpoints.release(eDst)
     out
   }
 
